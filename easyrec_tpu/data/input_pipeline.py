@@ -1,0 +1,293 @@
+"""Input pipeline: file readers -> feature transforms -> static batches.
+
+Mirrors the reference Input stack (easy_rec/python/input/input.py:36-1064 and
+per-source subclasses) with a TPU-first design: everything is vectorized on
+the host over arrow/numpy chunks, and every emitted batch has identical
+static shapes (batch_size rows; short tails are zero-padded and masked via
+'sample_weight' * '_mask') so the jitted train step never recompiles.
+
+Readers are registered by DatasetConfig.InputType name, like the reference's
+Input registry (input/input.py:36, main.py:85-99).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import logging
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from easyrec_tpu.config import config_util
+from easyrec_tpu.features import feature_spec as fs
+from easyrec_tpu.features import transforms as tr
+from easyrec_tpu.protos import data_pb2
+from easyrec_tpu.utils.registry import INPUTS, load_by_path
+
+DatasetConfig = data_pb2.DatasetConfig
+FieldType = data_pb2.DatasetConfig.FieldType
+
+_NUMERIC_TYPES = (FieldType.INT32, FieldType.INT64, FieldType.FLOAT,
+                  FieldType.DOUBLE, FieldType.BOOL)
+
+
+def _field_numpy_dtype(ftype) -> object:
+  return {
+      FieldType.INT32: np.int32,
+      FieldType.INT64: np.int64,
+      FieldType.FLOAT: np.float32,
+      FieldType.DOUBLE: np.float64,
+      FieldType.BOOL: np.bool_,
+      FieldType.STRING: object,
+  }[ftype]
+
+
+class BaseReader:
+  """Yields column chunks: dict[input_name -> arrow Array | np.ndarray]."""
+
+  def __init__(self, data_config: DatasetConfig, input_path: str,
+               shard_index: int = 0, shard_num: int = 1):
+    self.data_config = data_config
+    self.input_path = input_path
+    self.shard_index = shard_index
+    self.shard_num = shard_num
+    self.field_names = [f.input_name for f in data_config.input_fields]
+
+  def chunks(self, chunk_rows: int) -> Iterator[Dict[str, object]]:
+    raise NotImplementedError
+
+
+@INPUTS.register('CSVInput')
+@INPUTS.register('CSVInputV2')
+@INPUTS.register('CSVInputEx')
+class CSVReader(BaseReader):
+  """CSV files via the multithreaded pyarrow C++ reader.
+
+  Reference: easy_rec/python/input/csv_input.py:78-151. Supports arbitrary
+  single-byte separators (incl. '\\001'), headerless files with the schema
+  taken from input_fields, gz compression, glob patterns, and file- or
+  row-sharding.
+  """
+
+  def chunks(self, chunk_rows: int) -> Iterator[Dict[str, object]]:
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+
+    paths = config_util.expand_input_paths(self.input_path)
+    if not paths:
+      raise FileNotFoundError('no input files match %s' % self.input_path)
+    if self.data_config.file_shard and self.shard_num > 1:
+      paths = paths[self.shard_index::self.shard_num]
+    dc = self.data_config
+    sep = dc.separator or ','
+    col_types = {}
+    names = self.field_names
+    for f in dc.input_fields:
+      if f.input_type == FieldType.STRING:
+        col_types[f.input_name] = pa.string()
+      elif f.input_type in (FieldType.FLOAT, FieldType.DOUBLE):
+        col_types[f.input_name] = pa.float64()
+      elif f.input_type in (FieldType.INT32, FieldType.INT64):
+        col_types[f.input_name] = pa.int64()
+      else:
+        col_types[f.input_name] = pa.bool_()
+    read_opts = pacsv.ReadOptions(
+        column_names=None if dc.with_header else names,
+        block_size=max(chunk_rows * 256, 1 << 20))
+    parse_opts = pacsv.ParseOptions(delimiter=sep)
+    convert_opts = pacsv.ConvertOptions(
+        column_types=col_types,
+        include_columns=names if dc.with_header else None,
+        strings_can_be_null=False)
+    row_in_shard = 0
+    for path in paths:
+      try:
+        reader = pacsv.open_csv(path, read_options=read_opts,
+                                parse_options=parse_opts,
+                                convert_options=convert_opts)
+      except pa.ArrowInvalid as e:
+        if dc.ignore_error:
+          logging.warning('skipping bad file %s: %s', path, e)
+          continue
+        raise
+      for batch in reader:
+        table = pa.Table.from_batches([batch])
+        if (not dc.file_shard) and self.shard_num > 1:
+          # row-shard: keep rows where global_row % shard_num == shard_index
+          n = table.num_rows
+          idx = np.arange(row_in_shard, row_in_shard + n)
+          row_in_shard += n
+          keep = np.nonzero(idx % self.shard_num == self.shard_index)[0]
+          if keep.size == 0:
+            continue
+          table = table.take(pa.array(keep))
+        yield {name: table.column(name) for name in names}
+
+
+@INPUTS.register('ParquetInput')
+@INPUTS.register('ParquetInputV2')
+@INPUTS.register('ParquetInputV3')
+@INPUTS.register('HiveParquetInput')
+class ParquetReader(BaseReader):
+  """Parquet files via pyarrow (reference: input/parquet_input.py:42-260)."""
+
+  def chunks(self, chunk_rows: int) -> Iterator[Dict[str, object]]:
+    import pyarrow.parquet as pq
+    paths = config_util.expand_input_paths(self.input_path)
+    if self.data_config.file_shard and self.shard_num > 1:
+      paths = paths[self.shard_index::self.shard_num]
+    row_in_shard = 0
+    for path in paths:
+      pf = pq.ParquetFile(path)
+      cols = [n for n in self.field_names if n in pf.schema_arrow.names]
+      for batch in pf.iter_batches(batch_size=chunk_rows, columns=cols):
+        import pyarrow as pa
+        table = pa.Table.from_batches([batch])
+        if (not self.data_config.file_shard) and self.shard_num > 1:
+          n = table.num_rows
+          idx = np.arange(row_in_shard, row_in_shard + n)
+          row_in_shard += n
+          keep = np.nonzero(idx % self.shard_num == self.shard_index)[0]
+          if keep.size == 0:
+            continue
+          table = table.take(pa.array(keep))
+        yield {name: table.column(name) for name in cols}
+
+
+@INPUTS.register('DummyInput')
+class DummyReader(BaseReader):
+  """Synthetic constant chunks for input-bottleneck perf testing
+  (reference: input/dummy_input.py)."""
+
+  def chunks(self, chunk_rows: int) -> Iterator[Dict[str, object]]:
+    rng = np.random.default_rng(42)
+    chunk = {}
+    for f in self.data_config.input_fields:
+      if f.input_type == FieldType.STRING:
+        chunk[f.input_name] = np.array(
+            ['id%d' % v for v in rng.integers(0, 100000, chunk_rows)],
+            dtype=object)
+      elif f.input_type in (FieldType.FLOAT, FieldType.DOUBLE):
+        chunk[f.input_name] = rng.random(chunk_rows).astype(np.float32)
+      else:
+        chunk[f.input_name] = rng.integers(0, 2, chunk_rows).astype(np.int64)
+    while True:
+      yield dict(chunk)
+
+
+def create_reader(data_config: DatasetConfig, input_path: str,
+                  shard_index: int = 0, shard_num: int = 1) -> BaseReader:
+  type_name = DatasetConfig.InputType.Name(data_config.input_type)
+  cls = INPUTS.get(type_name)
+  return cls(data_config, input_path, shard_index, shard_num)
+
+
+class InputPipeline:
+  """Full host pipeline: reader -> shuffle -> transforms -> padded batches.
+
+  Yields flat dict batches:
+    feat.<name>.ids / .weights / .dense / .mask : packed feature arrays
+    label.<name>                                : float32 labels
+    sample_weight                               : [B] f32 (0 on padding)
+  """
+
+  def __init__(self,
+               data_config: DatasetConfig,
+               feature_configs,
+               input_path: str,
+               mode: str = 'train',
+               batch_size: Optional[int] = None,
+               shard_index: int = 0,
+               shard_num: int = 1,
+               drop_remainder: Optional[bool] = None):
+    self.data_config = data_config
+    self.mode = mode
+    if batch_size is None:
+      batch_size = data_config.batch_size if mode == 'train' else \
+          (data_config.eval_batch_size or data_config.batch_size)
+    self.batch_size = int(batch_size)
+    self.specs = fs.build_feature_specs(
+        feature_configs, max_tag_len=data_config.max_tag_len or 16)
+    self.transforms = tr.build_transforms(self.specs)
+    self.reader = create_reader(data_config, input_path, shard_index,
+                                shard_num)
+    self.label_fields = list(data_config.label_fields)
+    self.sample_weight_field = data_config.sample_weight or None
+    if drop_remainder is None:
+      drop_remainder = bool(data_config.drop_remainder) and mode == 'train'
+    self.drop_remainder = drop_remainder
+    self._label_fns = {}
+    for f in data_config.input_fields:
+      if f.user_define_fn and f.input_name in self.label_fields:
+        self._label_fns[f.input_name] = load_by_path(f.user_define_fn)
+    self.num_epochs = data_config.num_epochs if mode == 'train' else 1
+    self.shuffle = data_config.shuffle and mode == 'train'
+    self._seed = 17
+
+  # -- iteration ----------------------------------------------------------
+
+  def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    epoch = 0
+    carry: Optional[Dict[str, np.ndarray]] = None
+    while True:
+      epoch += 1
+      for columns in self.reader.chunks(self._chunk_rows()):
+        batch_arrays = self._process_chunk(columns, epoch)
+        carry = self._concat(carry, batch_arrays)
+        n = carry['sample_weight'].shape[0]
+        while n >= self.batch_size:
+          yield self._slice(carry, 0, self.batch_size)
+          carry = self._slice(carry, self.batch_size, n)
+          n = carry['sample_weight'].shape[0]
+      if carry is not None and carry['sample_weight'].shape[0] > 0 and \
+          not self.drop_remainder:
+        yield self._pad(carry)
+        carry = None
+      if self.num_epochs and epoch >= self.num_epochs:
+        return
+
+  def _chunk_rows(self) -> int:
+    mult = max(int(self.data_config.shuffle_buffer_size), 1) \
+        if self.shuffle else 4
+    return self.batch_size * min(mult, 64)
+
+  def _process_chunk(self, columns, epoch) -> Dict[str, np.ndarray]:
+    out = tr.apply_transforms(self.transforms, columns)
+    n = next(iter(out.values())).shape[0] if out else \
+        len(next(iter(columns.values())))
+    for label in self.label_fields:
+      vals = tr._to_float(columns[label])
+      fn = self._label_fns.get(label)
+      if fn is not None:
+        vals = np.asarray(fn(vals), dtype=np.float32)
+      out['label.%s' % label] = vals.astype(np.float32)
+    if self.sample_weight_field:
+      out['sample_weight'] = tr._to_float(columns[self.sample_weight_field])
+    else:
+      out['sample_weight'] = np.ones(n, dtype=np.float32)
+    if self.shuffle:
+      rng = np.random.default_rng(self._seed * 1000003 + epoch)
+      self._seed += 1
+      perm = rng.permutation(n)
+      out = {k: v[perm] for k, v in out.items()}
+    return out
+
+  @staticmethod
+  def _concat(a, b):
+    if a is None or a['sample_weight'].shape[0] == 0:
+      return b
+    return {k: np.concatenate([a[k], b[k]], axis=0) for k in b}
+
+  @staticmethod
+  def _slice(arrays, lo, hi):
+    return {k: v[lo:hi] for k, v in arrays.items()}
+
+  def _pad(self, arrays):
+    n = arrays['sample_weight'].shape[0]
+    pad = self.batch_size - n
+    out = {}
+    for k, v in arrays.items():
+      widths = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
+      out[k] = np.pad(v, widths)
+    # padded rows carry zero sample weight -> excluded from loss & metrics
+    return out

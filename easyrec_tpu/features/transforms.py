@@ -1,0 +1,461 @@
+"""Vectorized host-side feature transforms: raw columns -> packed arrays.
+
+Functional parity with the reference per-type preprocessors
+(easy_rec/python/input/input.py:378-747) re-designed for static shapes:
+every transform emits fixed-width numpy arrays ready for device transfer.
+All string-heavy work goes through the native/arrow fused kernels in
+easyrec_tpu/ops/hashing.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from easyrec_tpu.features.feature_spec import FeatureSpec, FeatureType
+from easyrec_tpu.ops import hashing
+from easyrec_tpu.utils import expr as expr_util
+from easyrec_tpu.utils.registry import load_by_path
+
+
+def _to_numpy_str(col) -> np.ndarray:
+  """Column -> numpy object array of strings ('' for nulls)."""
+  try:
+    import pyarrow as pa
+    if isinstance(col, pa.ChunkedArray):
+      col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+      if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        col = col.fill_null('') if col.null_count else col
+        return col.to_numpy(zero_copy_only=False)
+      return col.cast(pa.string()).fill_null('').to_numpy(
+          zero_copy_only=False)
+  except ImportError:
+    pass
+  arr = np.asarray(col)
+  if arr.dtype.kind in ('f', 'i', 'u'):
+    return arr.astype(str).astype(object)
+  return arr.astype(object)
+
+
+def _to_float(col, default: float = 0.0) -> np.ndarray:
+  try:
+    import pyarrow as pa
+    if isinstance(col, pa.ChunkedArray):
+      col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+      if pa.types.is_floating(col.type) or pa.types.is_integer(col.type):
+        return col.fill_null(default).to_numpy(
+            zero_copy_only=False).astype(np.float32)
+      col = col.to_numpy(zero_copy_only=False)
+  except ImportError:
+    pass
+  arr = np.asarray(col)
+  if arr.dtype.kind in ('f', 'i', 'u', 'b'):
+    return np.nan_to_num(arr.astype(np.float32), nan=default)
+  # string -> float with default for empties
+  out = np.empty(arr.shape[0], dtype=np.float32)
+  for i, v in enumerate(arr):
+    try:
+      out[i] = float(v) if v not in ('', None) else default
+    except (TypeError, ValueError):
+      out[i] = default
+  return out
+
+
+def _to_int(col) -> np.ndarray:
+  try:
+    import pyarrow as pa
+    if isinstance(col, pa.ChunkedArray):
+      col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+      if pa.types.is_integer(col.type):
+        return col.fill_null(0).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+      col = col.to_numpy(zero_copy_only=False)
+  except ImportError:
+    pass
+  arr = np.asarray(col)
+  if arr.dtype.kind in ('i', 'u'):
+    return arr.astype(np.int64)
+  if arr.dtype.kind == 'f':
+    return np.nan_to_num(arr, nan=0).astype(np.int64)
+  out = np.empty(arr.shape[0], dtype=np.int64)
+  for i, v in enumerate(arr):
+    try:
+      out[i] = int(float(v)) if v not in ('', None) else 0
+    except (TypeError, ValueError):
+      out[i] = 0
+  return out
+
+
+def _lookup_ids(col, config, rows: int) -> np.ndarray:
+  """Single-value column -> int ids [B] according to the vocab scheme."""
+  if config.hash_bucket_size > 0:
+    return hashing.hash_strings(col, int(config.hash_bucket_size))
+  if config.num_buckets > 0:
+    ids = _to_int(col)
+    return np.clip(ids, 0, int(config.num_buckets) - 1)
+  if config.vocab_list or config.vocab_file:
+    vocab = list(config.vocab_list)
+    if not vocab and config.vocab_file:
+      with open(config.vocab_file) as f:
+        vocab = [line.strip() for line in f if line.strip()]
+    import pandas as pd
+    mapping = {v: i for i, v in enumerate(vocab)}
+    vals = pd.Series(_to_numpy_str(col))
+    return vals.map(mapping).fillna(len(vocab)).to_numpy().astype(np.int64)
+  raise ValueError('feature %s has no vocab scheme' %
+                   (config.feature_name or config.input_names[0]))
+
+
+class BaseTransform:
+  """Transforms one raw column set into packed arrays for one feature."""
+
+  def __init__(self, spec: FeatureSpec):
+    self.spec = spec
+    self.config = spec.config
+
+  def __call__(self, columns: Dict[str, object]) -> Dict[str, np.ndarray]:
+    raise NotImplementedError
+
+
+class IdTransform(BaseTransform):
+
+  def __call__(self, columns):
+    spec, config = self.spec, self.config
+    col = columns[config.input_names[0]]
+    ids = _lookup_ids(col, config, spec.rows)
+    # empty strings carry zero weight (the reference's SparseTensor simply
+    # omits them)
+    if config.hash_bucket_size > 0 or config.vocab_list or config.vocab_file:
+      strs = _to_numpy_str(col)
+      weights = (strs != '').astype(np.float32)
+    else:
+      weights = np.ones(ids.shape[0], dtype=np.float32)
+    return {
+        spec.ids_key: ids.astype(np.int32)[:, None],
+        spec.weights_key: weights[:, None],
+    }
+
+
+class TagTransform(BaseTransform):
+  """Multi-value tags 'a|b|c', optionally weighted 'a:0.5|b:2'."""
+
+  def __call__(self, columns):
+    spec, config = self.spec, self.config
+    col = columns[config.input_names[0]]
+    sep = config.separator or '|'
+    k = spec.num_ids
+    if config.kv_separator:
+      strs = _to_numpy_str(col)
+      n = strs.shape[0]
+      ids = np.zeros((n, k), dtype=np.int64)
+      weights = np.zeros((n, k), dtype=np.float32)
+      kv = config.kv_separator
+      keys_flat, wts_flat, pos = [], [], []
+      for i, s in enumerate(strs):
+        if not s:
+          continue
+        j = 0
+        for piece in s.split(sep):
+          if not piece or j >= k:
+            continue
+          if kv in piece:
+            key, _, wstr = piece.partition(kv)
+            try:
+              w = float(wstr)
+            except ValueError:
+              w = 1.0
+          else:
+            key, w = piece, 1.0
+          keys_flat.append(key)
+          wts_flat.append(w)
+          pos.append((i, j))
+          j += 1
+      if keys_flat:
+        hashed = self._ids_for(np.array(keys_flat, dtype=object))
+        for (i, j), h, w in zip(pos, hashed, wts_flat):
+          ids[i, j] = h
+          weights[i, j] = w
+    else:
+      if config.hash_bucket_size > 0:
+        ids, counts = hashing.split_hash(
+            col, sep, int(config.hash_bucket_size), k)
+      else:
+        # integer / vocab multi-values via python split
+        strs = _to_numpy_str(col)
+        n = strs.shape[0]
+        ids = np.zeros((n, k), dtype=np.int64)
+        counts = np.zeros(n, dtype=np.int32)
+        flat, pos = [], []
+        for i, s in enumerate(strs):
+          j = 0
+          for piece in (s.split(sep) if s else []):
+            if piece and j < k:
+              flat.append(piece)
+              pos.append((i, j))
+              j += 1
+          counts[i] = j
+        if flat:
+          hashed = self._ids_for(np.array(flat, dtype=object))
+          for (i, j), h in zip(pos, hashed):
+            ids[i, j] = h
+      weights = (np.arange(k)[None, :] < counts[:, None]).astype(np.float32)
+      # optional second input carries weights 'w1|w2|...'
+      if len(config.input_names) > 1:
+        wstrs = _to_numpy_str(columns[config.input_names[1]])
+        wvals = np.zeros_like(weights)
+        for i, s in enumerate(wstrs):
+          if not s:
+            continue
+          for j, piece in enumerate(s.split(sep)[:k]):
+            try:
+              wvals[i, j] = float(piece)
+            except ValueError:
+              wvals[i, j] = 1.0
+        weights = weights * wvals
+    return {
+        spec.ids_key: ids.astype(np.int32),
+        spec.weights_key: weights,
+    }
+
+  def _ids_for(self, values: np.ndarray) -> np.ndarray:
+    return _lookup_ids(values, self.config, self.spec.rows)
+
+
+class RawTransform(BaseTransform):
+  """Raw float features: normalize, then bucketize / raw-project / pass."""
+
+  def __init__(self, spec):
+    super().__init__(spec)
+    self._normalizer = load_by_path(self.config.normalizer_fn) \
+        if self.config.normalizer_fn else None
+
+  def _values(self, columns) -> np.ndarray:
+    config = self.config
+    raw_dim = max(int(config.raw_input_dim), 1)
+    col = columns[config.input_names[0]]
+    if raw_dim == 1:
+      vals = _to_float(col)[:, None]
+    else:
+      strs = _to_numpy_str(col)
+      sep = config.separator or '|'
+      vals = np.zeros((strs.shape[0], raw_dim), dtype=np.float32)
+      for i, s in enumerate(strs):
+        if not s:
+          continue
+        parts = s.split(sep)
+        for d in range(min(raw_dim, len(parts))):
+          try:
+            vals[i, d] = float(parts[d])
+          except ValueError:
+            pass
+    if config.max_val > config.min_val:
+      vals = (vals - config.min_val) / (config.max_val - config.min_val)
+    elif self._normalizer is not None:
+      vals = self._normalizer(vals)
+    return vals.astype(np.float32)
+
+  def __call__(self, columns):
+    spec, config = self.spec, self.config
+    vals = self._values(columns)
+    if list(config.boundaries):
+      bounds = np.asarray(config.boundaries, dtype=np.float64)
+      ids = np.searchsorted(bounds, vals, side='right')
+      return {
+          spec.ids_key: ids.astype(np.int32),
+          spec.weights_key: np.ones_like(vals, dtype=np.float32),
+      }
+    if spec.kind == 'categorical':
+      # raw projection: embed iota ids weighted by the values
+      n, d = vals.shape
+      ids = np.broadcast_to(np.arange(d, dtype=np.int32), (n, d))
+      return {
+          spec.ids_key: np.ascontiguousarray(ids),
+          spec.weights_key: vals,
+      }
+    return {spec.dense_key: vals}
+
+
+class ComboTransform(BaseTransform):
+  """Cross of several inputs, hashed into one id."""
+
+  def __call__(self, columns):
+    spec, config = self.spec, self.config
+    join = config.combo_join_sep or '\x1d'
+    cols = [_to_numpy_str(columns[name]) for name in config.input_names]
+    n = cols[0].shape[0]
+    joined = np.empty(n, dtype=object)
+    for i in range(n):
+      joined[i] = join.join(str(c[i]) for c in cols)
+    ids = _lookup_ids(joined, config, spec.rows) if (
+        config.num_buckets or config.vocab_list or config.vocab_file) else \
+        hashing.hash_strings(joined, spec.rows)
+    nonempty = np.ones(n, dtype=np.float32)
+    return {
+        spec.ids_key: ids.astype(np.int32)[:, None],
+        spec.weights_key: nonempty[:, None],
+    }
+
+
+class LookupTransform(BaseTransform):
+  """inputs = [kv_map_field, key_field]; selects map[key]."""
+
+  def __call__(self, columns):
+    spec, config = self.spec, self.config
+    maps = _to_numpy_str(columns[config.input_names[0]])
+    keys = _to_numpy_str(columns[config.input_names[1]])
+    sep = config.separator or '|'
+    kv = config.kv_separator or ':'
+    n = maps.shape[0]
+    vals = np.empty(n, dtype=object)
+    for i in range(n):
+      found = ''
+      if maps[i]:
+        key = keys[i]
+        for piece in maps[i].split(sep):
+          pk, _, pv = piece.partition(kv)
+          if pk == key:
+            found = pv
+            break
+      vals[i] = found
+    if spec.kind == 'dense':
+      return {spec.dense_key: _to_float(vals)[:, None]}
+    if list(config.boundaries):
+      f = _to_float(vals)[:, None]
+      bounds = np.asarray(config.boundaries, dtype=np.float64)
+      ids = np.searchsorted(bounds, f, side='right')
+      return {
+          spec.ids_key: ids.astype(np.int32),
+          spec.weights_key: np.ones_like(f, dtype=np.float32),
+      }
+    if config.hash_bucket_size > 0:
+      ids = hashing.hash_strings(vals, int(config.hash_bucket_size))
+      weights = (vals != '').astype(np.float32)
+      return {
+          spec.ids_key: ids.astype(np.int32)[:, None],
+          spec.weights_key: weights[:, None],
+      }
+    # raw-projection of the numeric value
+    f = _to_float(vals)[:, None]
+    ids = np.zeros((n, 1), dtype=np.int32)
+    return {spec.ids_key: ids, spec.weights_key: f}
+
+
+class ExprTransform(BaseTransform):
+  """Arithmetic expression over input fields -> dense value."""
+
+  def __call__(self, columns):
+    spec, config = self.spec, self.config
+    variables = {
+        name: _to_float(columns[name]) for name in config.input_names
+    }
+    vals = np.asarray(
+        expr_util.evaluate(config.expression, variables),
+        dtype=np.float32)
+    if vals.ndim == 1:
+      vals = vals[:, None]
+    if spec.kind == 'categorical':
+      n, d = vals.shape
+      ids = np.broadcast_to(np.arange(d, dtype=np.int32), (n, d))
+      return {
+          spec.ids_key: np.ascontiguousarray(ids),
+          spec.weights_key: vals,
+      }
+    return {spec.dense_key: vals}
+
+
+class SequenceTransform(BaseTransform):
+  """Behavior sequences 'i1|i2|...' -> ids[B, L] + mask[B, L]."""
+
+  def __call__(self, columns):
+    spec, config = self.spec, self.config
+    col = columns[config.input_names[0]]
+    sep = config.separator or '|'
+    L = spec.num_ids
+    if spec.seq_is_dense:
+      strs = _to_numpy_str(col)
+      n = strs.shape[0]
+      vals = np.zeros((n, L), dtype=np.float32)
+      mask = np.zeros((n, L), dtype=np.float32)
+      for i, s in enumerate(strs):
+        if not s:
+          continue
+        parts = s.split(sep)[:L]
+        for j, piece in enumerate(parts):
+          try:
+            vals[i, j] = float(piece)
+          except ValueError:
+            pass
+          mask[i, j] = 1.0
+      return {spec.dense_key: vals, spec.mask_key: mask}
+    if config.hash_bucket_size > 0:
+      ids, counts = hashing.split_hash(
+          col, sep, int(config.hash_bucket_size), L)
+    else:
+      strs = _to_numpy_str(col)
+      n = strs.shape[0]
+      ids = np.zeros((n, L), dtype=np.int64)
+      counts = np.zeros(n, dtype=np.int32)
+      flat, pos = [], []
+      for i, s in enumerate(strs):
+        j = 0
+        for piece in (s.split(sep) if s else []):
+          if piece and j < L:
+            flat.append(piece)
+            pos.append((i, j))
+            j += 1
+        counts[i] = j
+      if flat:
+        hashed = _lookup_ids(np.array(flat, dtype=object), config, spec.rows)
+        for (i, j), h in zip(pos, hashed):
+          ids[i, j] = h
+    mask = (np.arange(L)[None, :] < counts[:, None]).astype(np.float32)
+    return {
+        spec.ids_key: ids.astype(np.int32),
+        spec.mask_key: mask,
+    }
+
+
+class PassThroughTransform(BaseTransform):
+
+  def __call__(self, columns):
+    spec, config = self.spec, self.config
+    vals = _to_float(columns[config.input_names[0]])
+    if vals.ndim == 1:
+      vals = vals[:, None]
+    return {spec.dense_key: vals}
+
+
+_TRANSFORMS = {
+    FeatureType.IdFeature: IdTransform,
+    FeatureType.TagFeature: TagTransform,
+    FeatureType.RawFeature: RawTransform,
+    FeatureType.ComboFeature: ComboTransform,
+    FeatureType.LookupFeature: LookupTransform,
+    FeatureType.SequenceFeature: SequenceTransform,
+    FeatureType.ExprFeature: ExprTransform,
+    FeatureType.PassThroughFeature: PassThroughTransform,
+}
+
+
+def build_transform(spec: FeatureSpec) -> BaseTransform:
+  cls = _TRANSFORMS.get(spec.config.feature_type)
+  if cls is None:
+    raise ValueError('no transform for feature type %s' %
+                     spec.config.feature_type)
+  return cls(spec)
+
+
+def build_transforms(specs: Dict[str, FeatureSpec]) -> List[BaseTransform]:
+  return [build_transform(spec) for spec in specs.values()]
+
+
+def apply_transforms(transforms: List[BaseTransform],
+                     columns: Dict[str, object]) -> Dict[str, np.ndarray]:
+  out: Dict[str, np.ndarray] = {}
+  for t in transforms:
+    out.update(t(columns))
+  return out
