@@ -1,0 +1,162 @@
+"""Embedding layout: fuse all same-dim tables into one matrix per dim.
+
+TPU-first replacement for the reference's per-column embedding variables
+(compat/feature_column/feature_column_v2.py): instead of one gather per
+feature column, every embedding table with the same dim is stacked into one
+fused [total_rows, dim] matrix with per-table row offsets. A train step then
+performs ONE big gather (and one sparse update) per dim-group, which XLA
+tiles far better than dozens of small ones, and which shards cleanly:
+row-shard the fused matrix over the mesh and the gather becomes an
+all-to-all exchange (the reference's EmbeddingParallel hvd.alltoall path,
+compat/feature_column/feature_column.py:248-357, done by the XLA partitioner
+instead of hand-written collectives).
+
+Wide columns are embeddings too (dim = wide_output_dim, sum combiner), as in
+the reference (feature_column.py:596-623), so they fuse the same way.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from easyrec_tpu.features.feature_spec import FeatureSpec
+
+# every fused table gets one trailing scratch row: padded slots in the
+# deduplicated sparse update scatter into it so real rows never see
+# zero-gradient optimizer noise
+SCRATCH_ROWS = 1
+
+
+@dataclasses.dataclass
+class TableUse:
+  """One feature's slice inside a fused table's packed id axis."""
+  feature: str
+  role: str          # 'deep' | 'wide'
+  k: int             # number of id slots ([B, k] ids)
+  offset: int        # row offset of this feature's table inside the fusion
+  start: int         # start column inside the fused [B, tot_k] id pack
+  is_sequence: bool = False
+
+
+@dataclasses.dataclass
+class FusedTable:
+  key: str                       # e.g. 'emb16' / 'wide1'
+  dim: int
+  rows: int                      # total rows incl. scratch row
+  offsets: Dict[str, int]        # member table_name -> row offset
+  member_rows: Dict[str, int]
+  uses: List[TableUse] = dataclasses.field(default_factory=list)
+  stddev: Dict[str, float] = dataclasses.field(default_factory=dict)
+
+  @property
+  def tot_k(self) -> int:
+    return sum(u.k for u in self.uses)
+
+
+class EmbeddingLayout:
+  """Builds fused tables from feature specs + their group roles."""
+
+  def __init__(self,
+               specs: Dict[str, FeatureSpec],
+               deep_features: Iterable[str],
+               wide_features: Iterable[str] = (),
+               wide_output_dim: int = 4,
+               seq_features: Iterable[str] = ()):
+    self.specs = specs
+    self.wide_output_dim = wide_output_dim
+    self.tables: Dict[str, FusedTable] = {}
+    # (feature, role) -> (table_key, TableUse)
+    self.feature_use: Dict[Tuple[str, str], Tuple[str, TableUse]] = {}
+
+    deep = list(dict.fromkeys(list(deep_features) + list(seq_features)))
+    wide = list(dict.fromkeys(wide_features))
+
+    # collect member tables per fused dim group
+    plans: Dict[str, List[Tuple[str, str, FeatureSpec]]] = {}
+    for fname in deep:
+      spec = specs[fname]
+      if spec.kind == 'dense' or spec.seq_is_dense:
+        continue
+      if spec.embedding_dim <= 0:
+        raise ValueError('feature %s has no embedding_dim but is used in a '
+                         'deep group' % fname)
+      key = 'emb%d' % spec.embedding_dim
+      plans.setdefault(key, []).append((fname, 'deep', spec))
+    for fname in wide:
+      spec = specs[fname]
+      if spec.kind == 'dense':
+        continue
+      key = 'wide%d' % wide_output_dim
+      plans.setdefault(key, []).append((fname, 'wide', spec))
+
+    for key, members in plans.items():
+      dim = members[0][2].embedding_dim if not key.startswith('wide') \
+          else wide_output_dim
+      offsets: Dict[str, int] = {}
+      member_rows: Dict[str, int] = {}
+      stddev: Dict[str, float] = {}
+      next_row = 0
+      uses: List[TableUse] = []
+      start = 0
+      for fname, role, spec in members:
+        tname = spec.table_name if role == 'deep' else \
+            spec.table_name + '__wide'
+        if tname not in offsets:
+          offsets[tname] = next_row
+          member_rows[tname] = spec.rows
+          stddev[tname] = _init_stddev(spec, dim)
+          next_row += spec.rows
+        use = TableUse(feature=fname, role=role, k=spec.num_ids,
+                       offset=offsets[tname], start=start,
+                       is_sequence=(spec.kind == 'sequence'))
+        uses.append(use)
+        start += spec.num_ids
+        self.feature_use[(fname, role)] = (key, use)
+      table = FusedTable(key=key, dim=dim, rows=next_row + SCRATCH_ROWS,
+                         offsets=offsets, member_rows=member_rows,
+                         uses=uses, stddev=stddev)
+      self.tables[key] = table
+
+  # -- init ----------------------------------------------------------------
+
+  def init_tables(self, rng_seed: int = 0, dtype=np.float32,
+                  pad_rows_to: int = 1) -> Dict[str, np.ndarray]:
+    """Materialize fused tables as numpy arrays (host init, then shard)."""
+    out = {}
+    for key, t in self.tables.items():
+      rows = _round_up(t.rows, pad_rows_to)
+      rng = np.random.default_rng(rng_seed ^ hash(key) & 0xffffffff)
+      arr = np.zeros((rows, t.dim), dtype=dtype)
+      for tname, off in t.offsets.items():
+        n = t.member_rows[tname]
+        arr[off:off + n] = rng.normal(
+            0.0, t.stddev[tname], size=(n, t.dim)).astype(dtype)
+      out[key] = arr
+    return out
+
+  def scratch_row(self, key: str) -> int:
+    return self.tables[key].rows - SCRATCH_ROWS
+
+
+def _init_stddev(spec: FeatureSpec, dim: int) -> float:
+  config = spec.config
+  if config is not None and config.HasField('initializer'):
+    init = config.initializer
+    which = init.WhichOneof('initializer_oneof')
+    if which == 'truncated_normal_initializer':
+      return init.truncated_normal_initializer.stddev
+    if which == 'random_normal_initializer':
+      return init.random_normal_initializer.stddev
+    if which == 'glorot_normal_initializer':
+      return float(np.sqrt(2.0 / (spec.rows + dim)))
+    if which == 'constant_initializer':
+      return 0.0
+  # default: 1/sqrt(dim), the standard embedding scale
+  return float(1.0 / np.sqrt(dim))
+
+
+def _round_up(x: int, m: int) -> int:
+  return ((x + m - 1) // m) * m

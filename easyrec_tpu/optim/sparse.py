@@ -1,0 +1,161 @@
+"""Row-sparse optimizers for embedding tables.
+
+Dense optax updates would touch every row of a multi-GB table each step
+(HBM-bandwidth death); these optimizers update only the rows gathered in the
+current batch — the TPU analog of the reference's sparse/lazy optimizer path
+(AdamAsync/LazyAdam, compat/optimizers.py:294-316, compat/adam_s.py).
+
+Duplicate ids inside a batch are combined with a sort + segment-sum
+(static-shape, O(N log N)) so the optimizer math sees each unique row once,
+exactly like TF's deduplicated IndexedSlices apply.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def dedup_sum(ids: jnp.ndarray, grads: jnp.ndarray,
+              scratch_row: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+  """Combine duplicate row ids: returns (uids [N], ugrads [N, D]).
+
+  Slots beyond the number of unique ids point at `scratch_row` with zero
+  gradient, so downstream scatters never corrupt real rows.
+  """
+  n = ids.shape[0]
+  order = jnp.argsort(ids)
+  sids = jnp.take(ids, order)
+  sgrads = jnp.take(grads, order, axis=0)
+  first = jnp.concatenate(
+      [jnp.ones((1,), dtype=bool), sids[1:] != sids[:-1]])
+  seg = jnp.cumsum(first) - 1                      # [N] segment index
+  ugrads = jax.ops.segment_sum(sgrads, seg, num_segments=n)
+  uids = jnp.full((n,), scratch_row, dtype=sids.dtype).at[seg].set(sids)
+  return uids, ugrads
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseOptimizer:
+  """A row-sparse optimizer: init table-shaped slots, update touched rows."""
+  name: str
+  init: Callable        # (table) -> state pytree (dict of table-shaped slots)
+  update_rows: Callable  # (table, state, uids, ugrads, lr, step) ->
+  #                        (new_table, new_state)
+
+
+def sparse_sgd() -> SparseOptimizer:
+  def init(table):
+    return {}
+
+  def update(table, state, uids, ug, lr, step):
+    return table.at[uids].add((-lr * ug).astype(table.dtype)), state
+
+  return SparseOptimizer('sgd', init, update)
+
+
+def sparse_momentum(momentum: float = 0.9) -> SparseOptimizer:
+  def init(table):
+    return {'m': jnp.zeros_like(table)}
+
+  def update(table, state, uids, ug, lr, step):
+    m_rows = momentum * jnp.take(state['m'], uids, axis=0) + ug
+    m = state['m'].at[uids].set(m_rows.astype(table.dtype))
+    table = table.at[uids].add((-lr * m_rows).astype(table.dtype))
+    return table, {'m': m}
+
+  return SparseOptimizer('momentum', init, update)
+
+
+def sparse_adagrad(initial_accumulator: float = 0.1,
+                   eps: float = 1e-10) -> SparseOptimizer:
+  def init(table):
+    return {'accum': jnp.full_like(table, initial_accumulator)}
+
+  def update(table, state, uids, ug, lr, step):
+    acc_rows = jnp.take(state['accum'], uids, axis=0) + jnp.square(ug)
+    accum = state['accum'].at[uids].set(acc_rows.astype(table.dtype))
+    upd = -lr * ug * jax.lax.rsqrt(acc_rows + eps)
+    return table.at[uids].add(upd.astype(table.dtype)), {'accum': accum}
+
+  return SparseOptimizer('adagrad', init, update)
+
+
+def sparse_adam(b1: float = 0.9, b2: float = 0.999,
+                eps: float = 1e-8,
+                weight_decay: float = 0.0) -> SparseOptimizer:
+  """Lazy Adam: moments decay/update only on touched rows (the reference's
+  AdamAsync semantics). Bias correction uses the global step."""
+
+  def init(table):
+    return {'m': jnp.zeros_like(table), 'v': jnp.zeros_like(table)}
+
+  def update(table, state, uids, ug, lr, step):
+    t = (step + 1).astype(jnp.float32)
+    m_rows = b1 * jnp.take(state['m'], uids, axis=0) + (1 - b1) * ug
+    v_rows = b2 * jnp.take(state['v'], uids, axis=0) + (1 - b2) * \
+        jnp.square(ug)
+    m = state['m'].at[uids].set(m_rows.astype(table.dtype))
+    v = state['v'].at[uids].set(v_rows.astype(table.dtype))
+    mhat = m_rows / (1 - jnp.power(b1, t))
+    vhat = v_rows / (1 - jnp.power(b2, t))
+    upd = -lr * mhat / (jnp.sqrt(vhat) + eps)
+    if weight_decay:
+      upd = upd - lr * weight_decay * jnp.take(table, uids, axis=0)
+    return table.at[uids].add(upd.astype(table.dtype)), {'m': m, 'v': v}
+
+  return SparseOptimizer('adam', init, update)
+
+
+def sparse_ftrl(learning_rate_power: float = -0.5,
+                initial_accumulator: float = 0.1,
+                l1: float = 0.0, l2: float = 0.0) -> SparseOptimizer:
+  def init(table):
+    return {'accum': jnp.full_like(table, initial_accumulator),
+            'z': jnp.zeros_like(table)}
+
+  def update(table, state, uids, ug, lr, step):
+    w = jnp.take(table, uids, axis=0)
+    acc_old = jnp.take(state['accum'], uids, axis=0)
+    acc_new = acc_old + jnp.square(ug)
+    p = -learning_rate_power
+    sigma = (jnp.power(acc_new, p) - jnp.power(acc_old, p)) / lr
+    z_rows = jnp.take(state['z'], uids, axis=0) + ug - sigma * w
+    accum = state['accum'].at[uids].set(acc_new.astype(table.dtype))
+    z = state['z'].at[uids].set(z_rows.astype(table.dtype))
+    w_new = jnp.where(
+        jnp.abs(z_rows) <= l1,
+        0.0,
+        -(z_rows - jnp.sign(z_rows) * l1) /
+        (jnp.power(acc_new, p) / lr + 2 * l2))
+    return table.at[uids].set(w_new.astype(table.dtype)), \
+        {'accum': accum, 'z': z}
+
+  return SparseOptimizer('ftrl', init, update)
+
+
+def apply_sparse_updates(tables: Dict[str, jnp.ndarray],
+                         states: Dict[str, dict],
+                         packs: Dict[str, jnp.ndarray],
+                         pulled_grads: Dict[str, jnp.ndarray],
+                         optimizer: SparseOptimizer,
+                         lr: jnp.ndarray,
+                         step: jnp.ndarray,
+                         scratch_rows: Dict[str, int]):
+  """Apply one sparse update per fused table."""
+  new_tables, new_states = {}, {}
+  for key, table in tables.items():
+    ids = packs[key].reshape(-1)
+    g = pulled_grads[key].reshape(-1, table.shape[-1]).astype(jnp.float32)
+    uids, ug = dedup_sum(ids, g, scratch_rows[key])
+    new_tables[key], new_states[key] = optimizer.update_rows(
+        table, states[key], uids, ug, lr, step)
+  return new_tables, new_states
+
+
+def init_sparse_states(tables: Dict[str, jnp.ndarray],
+                       optimizer: SparseOptimizer) -> Dict[str, dict]:
+  return {key: optimizer.init(t) for key, t in tables.items()}

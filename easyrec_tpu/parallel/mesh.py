@@ -1,0 +1,103 @@
+"""Device mesh + sharding rules.
+
+The entire distribution story is one jitted SPMD program over a
+jax.sharding.Mesh (replacing the reference's PS/Horovod/SOK strategies,
+protos/train.proto DistributionStrategy):
+
+  axis 'data'  — batch rows are sharded here (pure data parallel)
+  axis 'model' — embedding-table ROWS are sharded here
+                 (the EmbeddingParallel analog; XLA's partitioner inserts
+                 the id/vector all-to-alls that the reference hand-writes
+                 with hvd.alltoall, compat/feature_column:248-357)
+
+With mesh_model_parallel=1 tables are replicated (classic DP). The default
+EmbeddingParallel-style mode shards tables over ALL devices: mesh is
+(data=D, model=M) and tables use P(('data','model'), None) so every chip
+holds 1/(D*M) of each fused table while the batch stays sharded over 'data'.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def build_mesh(data_parallel: int = 0, model_parallel: int = 1,
+               devices=None) -> Mesh:
+  """Create a ('data', 'model') mesh over the available devices."""
+  if devices is None:
+    devices = jax.devices()
+  n = len(devices)
+  if model_parallel <= 0:
+    model_parallel = 1
+  if data_parallel <= 0:
+    data_parallel = n // model_parallel
+  if data_parallel * model_parallel != n:
+    raise ValueError(
+        'mesh %dx%d does not cover %d devices' %
+        (data_parallel, model_parallel, n))
+  arr = np.asarray(devices).reshape(data_parallel, model_parallel)
+  return Mesh(arr, axis_names=('data', 'model'))
+
+
+class ShardingRules:
+  """Canonical shardings for every train-state leaf."""
+
+  def __init__(self, mesh: Mesh, shard_embeddings: bool = True):
+    self.mesh = mesh
+    self.shard_embeddings = shard_embeddings
+
+  def named(self, spec: P) -> NamedSharding:
+    return NamedSharding(self.mesh, spec)
+
+  @property
+  def batch(self) -> NamedSharding:
+    # batch rows over every device: full data parallelism
+    return self.named(P(('data', 'model')))
+
+  @property
+  def table(self) -> NamedSharding:
+    # fused embedding tables: rows sharded over all devices
+    if self.shard_embeddings:
+      return self.named(P(('data', 'model'), None))
+    return self.replicated
+
+  @property
+  def replicated(self) -> NamedSharding:
+    return self.named(P())
+
+  def shard_batch(self, batch: Dict[str, np.ndarray]):
+    return jax.device_put(batch, self.batch)
+
+  def shard_tables(self, tables: Dict[str, np.ndarray]):
+    return {k: jax.device_put(v, self.table) for k, v in tables.items()}
+
+  def table_pad_rows(self) -> int:
+    """Fused tables pad their row count to a multiple of this so the
+    row-shard split is even."""
+    if not self.shard_embeddings:
+      return 8
+    return max(self.mesh.devices.size * 8, 8)
+
+
+def make_rules(train_config=None, devices=None) -> ShardingRules:
+  """Build mesh+rules from a TrainConfig proto (or defaults)."""
+  dp = getattr(train_config, 'mesh_data_parallel', 0) if train_config else 0
+  mp = getattr(train_config, 'mesh_model_parallel', 1) if train_config else 1
+  strategy = None
+  if train_config is not None:
+    from easyrec_tpu.protos import train_pb2
+    strategy = train_config.train_distribute
+    shard_emb = strategy in (
+        train_pb2.DistributionStrategy.EmbeddingParallelStrategy,
+        train_pb2.DistributionStrategy.SokStrategy,
+        train_pb2.DistributionStrategy.NoStrategy,
+        train_pb2.DistributionStrategy.PSStrategy,
+    )
+  else:
+    shard_emb = True
+  mesh = build_mesh(dp, mp, devices)
+  return ShardingRules(mesh, shard_embeddings=shard_emb)
