@@ -1,0 +1,150 @@
+"""Attention layers: DIN target attention, multi-head self-attention
+(AutoInt), transformer encoder (BST).
+
+Reference: easy_rec/python/layers/sequence_feature_layer.py:123-190 (DIN),
+model/autoint.py, layers/keras/{din,bst,transformer}.py. Everything is
+batched masked attention over padded [B, L, D] — XLA-friendly static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from easyrec_tpu.layers.dnn import DNN, get_activation
+
+_NEG_INF = -1e9
+
+
+class DinAttention(nn.Module):
+  """DIN target attention: score(hist_t | query) via an MLP over
+  [q, h, q-h, q*h], masked softmax over valid steps, weighted sum.
+
+  query [B, D], keys [B, L, D], mask [B, L] -> [B, D]
+  Reference: model/multi_tower_din.py:62-98.
+  """
+  attention_dims: Sequence[int] = (32, 16)
+  attention_normalizer: str = 'softmax'
+
+  @nn.compact
+  def __call__(self, query, keys, mask, training: bool = False):
+    L = keys.shape[1]
+    q = jnp.repeat(query[:, None, :], L, axis=1)
+    att_in = jnp.concatenate([q, keys, q - keys, q * keys], axis=-1)
+    scores = DNN(hidden_units=tuple(self.attention_dims) + (1,),
+                 activation='sigmoid', use_bn=False,
+                 use_final_activation=False,
+                 name='att_dnn')(att_in, training)[..., 0]   # [B, L]
+    if self.attention_normalizer == 'softmax':
+      scores = jnp.where(mask > 0, scores, _NEG_INF)
+      weights = nn.softmax(scores, axis=-1)
+      weights = weights * (mask.sum(axis=1, keepdims=True) > 0)
+    else:  # sigmoid
+      weights = nn.sigmoid(scores) * mask
+    return jnp.einsum('bl,bld->bd', weights, keys)
+
+
+class MultiHeadSelfAttention(nn.Module):
+  """Multi-head self-attention over fields/steps with residual.
+
+  AutoInt interacting layer (reference model/autoint.py:16): input
+  [B, F, D] -> [B, F, num_heads * head_size].
+  """
+  num_heads: int
+  head_size: int
+  use_residual: bool = True
+
+  @nn.compact
+  def __call__(self, x, mask=None):
+    d_out = self.num_heads * self.head_size
+    q = nn.DenseGeneral((self.num_heads, self.head_size), axis=-1,
+                        use_bias=False, name='q')(x)
+    k = nn.DenseGeneral((self.num_heads, self.head_size), axis=-1,
+                        use_bias=False, name='k')(x)
+    v = nn.DenseGeneral((self.num_heads, self.head_size), axis=-1,
+                        use_bias=False, name='v')(x)
+    scores = jnp.einsum('bfhe,bghe->bhfg', q, k) / jnp.sqrt(
+        float(self.head_size))
+    if mask is not None:
+      scores = jnp.where(mask[:, None, None, :] > 0, scores, _NEG_INF)
+    probs = nn.softmax(scores, axis=-1)
+    out = jnp.einsum('bhfg,bghe->bfhe', probs, v)
+    out = out.reshape(out.shape[0], out.shape[1], d_out)
+    if self.use_residual:
+      res = nn.Dense(d_out, use_bias=False, name='res')(x) \
+          if x.shape[-1] != d_out else x
+      out = nn.relu(out + res)
+    return out
+
+
+class TransformerBlock(nn.Module):
+  """Post-LN transformer encoder block (BST flavor,
+  reference layers/keras/bst.py)."""
+  hidden_size: int
+  num_heads: int
+  intermediate_size: int
+  hidden_act: str = 'gelu'
+  hidden_dropout: float = 0.1
+  attention_dropout: float = 0.1
+
+  @nn.compact
+  def __call__(self, x, mask, training: bool = False):
+    att = nn.MultiHeadDotProductAttention(
+        num_heads=self.num_heads,
+        qkv_features=self.hidden_size,
+        out_features=self.hidden_size,
+        dropout_rate=self.attention_dropout,
+        deterministic=not training,
+        name='mha')(x, x, mask=mask[:, None, None, :] > 0)
+    att = nn.Dropout(self.hidden_dropout, deterministic=not training)(att)
+    x = nn.LayerNorm(name='ln1')(x + att)
+    act = get_activation(self.hidden_act)
+    ffn = nn.Dense(self.intermediate_size, name='ffn1')(x)
+    ffn = act(ffn)
+    ffn = nn.Dense(self.hidden_size, name='ffn2')(ffn)
+    ffn = nn.Dropout(self.hidden_dropout, deterministic=not training)(ffn)
+    return nn.LayerNorm(name='ln2')(x + ffn)
+
+
+class BSTEncoder(nn.Module):
+  """Behavior-sequence transformer: target item + history sequence through
+  transformer blocks, output flattened valid positions (reference
+  model/multi_tower_bst.py, layers/keras/bst.py).
+  """
+  hidden_size: int
+  num_layers: int = 1
+  num_heads: int = 4
+  intermediate_size: int = 128
+  max_position: int = 512
+  use_position: bool = True
+  hidden_dropout: float = 0.1
+  attention_dropout: float = 0.1
+  output_all_tokens: bool = False
+
+  @nn.compact
+  def __call__(self, seq, mask, target=None, training: bool = False):
+    # seq [B, L, D], optional target [B, D] prepended at position 0
+    x = nn.Dense(self.hidden_size, name='input_proj')(seq)
+    if target is not None:
+      t = nn.Dense(self.hidden_size, name='target_proj')(target)
+      x = jnp.concatenate([t[:, None, :], x], axis=1)
+      mask = jnp.concatenate(
+          [jnp.ones((mask.shape[0], 1), mask.dtype), mask], axis=1)
+    if self.use_position:
+      L = x.shape[1]
+      pos = self.param('position_emb', nn.initializers.normal(0.02),
+                       (self.max_position, self.hidden_size))
+      x = x + pos[None, :L, :]
+    for i in range(self.num_layers):
+      x = TransformerBlock(
+          hidden_size=self.hidden_size, num_heads=self.num_heads,
+          intermediate_size=self.intermediate_size,
+          hidden_dropout=self.hidden_dropout,
+          attention_dropout=self.attention_dropout,
+          name='block_%d' % i)(x, mask, training)
+    x = x * mask[:, :, None]
+    if self.output_all_tokens:
+      return x.reshape(x.shape[0], -1)
+    return x[:, 0, :]

@@ -1,0 +1,241 @@
+"""Streaming evaluation metrics.
+
+AUC & max-F1 run fully on device as histogram accumulators (the TPU-friendly
+formulation of the reference's fast_auc, core/metrics.py:111); GAUC and
+session AUC group on the host exactly like the reference py_func
+implementation (core/metrics.py:59-110, 260-299).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+AUC_BINS = 8192
+
+
+# -- device-side streaming states -------------------------------------------
+
+
+def init_metric_state(name: str) -> Dict[str, jnp.ndarray]:
+  if name in ('auc', 'max_f1'):
+    return {'pos': jnp.zeros(AUC_BINS, jnp.float32),
+            'neg': jnp.zeros(AUC_BINS, jnp.float32)}
+  # moment accumulators
+  return {'sum': jnp.zeros((), jnp.float32),
+          'sum_sq': jnp.zeros((), jnp.float32),
+          'count': jnp.zeros((), jnp.float32)}
+
+
+def update_auc(state, labels, probs, weights):
+  idx = jnp.clip((probs * AUC_BINS).astype(jnp.int32), 0, AUC_BINS - 1)
+  w = weights.astype(jnp.float32)
+  lbl = labels.astype(jnp.float32)
+  pos = state['pos'].at[idx].add(w * lbl)
+  neg = state['neg'].at[idx].add(w * (1.0 - lbl))
+  return {'pos': pos, 'neg': neg}
+
+
+def auc_result(state) -> float:
+  pos = np.asarray(state['pos'], np.float64)
+  neg = np.asarray(state['neg'], np.float64)
+  total_pos, total_neg = pos.sum(), neg.sum()
+  if total_pos == 0 or total_neg == 0:
+    return 0.5
+  # rank-sum (Mann-Whitney U) over histogram bins with tie correction
+  neg_below = np.concatenate([[0.0], np.cumsum(neg)[:-1]])
+  u = np.sum(pos * (neg_below + 0.5 * neg))
+  return float(u / (total_pos * total_neg))
+
+
+def max_f1_result(state) -> float:
+  pos = np.asarray(state['pos'], np.float64)
+  neg = np.asarray(state['neg'], np.float64)
+  total_pos = pos.sum()
+  if total_pos == 0:
+    return 0.0
+  # thresholding at each bin boundary (predict positive >= bin)
+  tp = np.cumsum(pos[::-1])[::-1]
+  fp = np.cumsum(neg[::-1])[::-1]
+  fn = total_pos - tp
+  f1 = 2 * tp / np.maximum(2 * tp + fp + fn, 1e-9)
+  return float(f1.max())
+
+
+def update_error(state, labels, preds, weights):
+  err = (preds - labels).astype(jnp.float32)
+  w = weights.astype(jnp.float32)
+  return {'sum': state['sum'] + jnp.sum(jnp.abs(err) * w),
+          'sum_sq': state['sum_sq'] + jnp.sum(jnp.square(err) * w),
+          'count': state['count'] + jnp.sum(w)}
+
+
+def update_accuracy(state, labels, preds, weights):
+  correct = (preds == labels).astype(jnp.float32)
+  w = weights.astype(jnp.float32)
+  return {'sum': state['sum'] + jnp.sum(correct * w),
+          'sum_sq': state['sum_sq'],
+          'count': state['count'] + jnp.sum(w)}
+
+
+def update_binary_counts(state, labels, preds, weights):
+  """For precision/recall at threshold 0.5: sum=tp, sum_sq=fp, count=pos."""
+  w = weights.astype(jnp.float32)
+  pred_pos = (preds >= 0.5).astype(jnp.float32)
+  lbl = labels.astype(jnp.float32)
+  return {'sum': state['sum'] + jnp.sum(pred_pos * lbl * w),
+          'sum_sq': state['sum_sq'] + jnp.sum(pred_pos * (1 - lbl) * w),
+          'count': state['count'] + jnp.sum(lbl * w)}
+
+
+# -- host-side grouped AUC ---------------------------------------------------
+
+
+def numpy_auc(labels: np.ndarray, probs: np.ndarray) -> float:
+  order = np.argsort(probs, kind='mergesort')
+  sorted_labels = labels[order]
+  sorted_probs = probs[order]
+  n = len(labels)
+  # average ranks with ties
+  ranks = np.empty(n, np.float64)
+  i = 0
+  while i < n:
+    j = i
+    while j + 1 < n and sorted_probs[j + 1] == sorted_probs[i]:
+      j += 1
+    ranks[i:j + 1] = 0.5 * (i + j) + 1.0
+    i = j + 1
+  n_pos = sorted_labels.sum()
+  n_neg = n - n_pos
+  if n_pos == 0 or n_neg == 0:
+    return float('nan')
+  return float((ranks[sorted_labels > 0].sum() -
+                n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+
+
+def grouped_auc(uids: np.ndarray, labels: np.ndarray, probs: np.ndarray,
+                reduction: str = 'mean') -> float:
+  """Per-group AUC, reduced (reference gauc, core/metrics.py:260)."""
+  order = np.argsort(uids, kind='mergesort')
+  uids, labels, probs = uids[order], labels[order], probs[order]
+  boundaries = np.nonzero(np.concatenate(
+      [[True], uids[1:] != uids[:-1], [True]]))[0]
+  aucs, wts = [], []
+  for lo, hi in zip(boundaries[:-1], boundaries[1:]):
+    lbl = labels[lo:hi]
+    n_pos = lbl.sum()
+    if n_pos == 0 or n_pos == len(lbl):
+      continue
+    aucs.append(numpy_auc(lbl, probs[lo:hi]))
+    if reduction == 'mean_by_sample_num':
+      wts.append(hi - lo)
+    elif reduction == 'mean_by_positive_num':
+      wts.append(n_pos)
+    else:
+      wts.append(1.0)
+  if not aucs:
+    return 0.5
+  return float(np.average(aucs, weights=wts))
+
+
+# -- metric collection --------------------------------------------------------
+
+
+class MetricsCollection:
+  """Builds streaming metric updates from EvalConfig.metrics_set.
+
+  Device metrics update inside the jitted eval step; grouped metrics
+  (gauc / session_auc) buffer predictions on host.
+  """
+
+  def __init__(self, metrics_configs, label_name: str = None):
+    self.configs = []
+    self.host_fields = set()
+    for m in metrics_configs:
+      which = m.WhichOneof('metric')
+      cfg = getattr(m, which)
+      self.configs.append((which, cfg))
+      if which == 'gauc':
+        self.host_fields.add(cfg.uid_field)
+      elif which == 'session_auc':
+        self.host_fields.add(cfg.session_id_field)
+
+  def init_states(self):
+    states = {}
+    for which, _ in self.configs:
+      if which in ('auc', 'max_f1'):
+        states.setdefault('auc_hist', init_metric_state('auc'))
+      elif which in ('mean_absolute_error', 'mean_squared_error',
+                     'root_mean_squared_error'):
+        states.setdefault('error', init_metric_state('error'))
+      elif which == 'accuracy':
+        states.setdefault('accuracy', init_metric_state('accuracy'))
+      elif which in ('precision', 'recall'):
+        states.setdefault('binary', init_metric_state('binary'))
+    return states
+
+  def update_states(self, states, labels, probs, preds, weights):
+    """jit-safe: update all device metric states."""
+    out = dict(states)
+    if 'auc_hist' in states:
+      out['auc_hist'] = update_auc(states['auc_hist'], labels, probs,
+                                   weights)
+    if 'error' in states:
+      out['error'] = update_error(states['error'], labels, preds, weights)
+    if 'accuracy' in states:
+      cls = (probs >= 0.5).astype(labels.dtype) if preds is None else preds
+      out['accuracy'] = update_accuracy(states['accuracy'], labels,
+                                        (probs >= 0.5).astype(jnp.float32),
+                                        weights)
+    if 'binary' in states:
+      out['binary'] = update_binary_counts(states['binary'], labels, probs,
+                                           weights)
+    return out
+
+  def results(self, states, host_buffers: Optional[dict] = None) -> dict:
+    res = {}
+    for which, cfg in self.configs:
+      if which == 'auc':
+        res['auc'] = auc_result(states['auc_hist'])
+      elif which == 'max_f1':
+        res['max_f1'] = max_f1_result(states['auc_hist'])
+      elif which == 'mean_absolute_error':
+        s = states['error']
+        res['mean_absolute_error'] = float(
+            np.asarray(s['sum']) / max(float(np.asarray(s['count'])), 1e-9))
+      elif which == 'mean_squared_error':
+        s = states['error']
+        res['mean_squared_error'] = float(
+            np.asarray(s['sum_sq']) /
+            max(float(np.asarray(s['count'])), 1e-9))
+      elif which == 'root_mean_squared_error':
+        s = states['error']
+        res['root_mean_squared_error'] = float(np.sqrt(
+            np.asarray(s['sum_sq']) /
+            max(float(np.asarray(s['count'])), 1e-9)))
+      elif which == 'accuracy':
+        s = states['accuracy']
+        res['accuracy'] = float(
+            np.asarray(s['sum']) / max(float(np.asarray(s['count'])), 1e-9))
+      elif which == 'precision':
+        s = states['binary']
+        tp, fp = float(np.asarray(s['sum'])), float(np.asarray(s['sum_sq']))
+        res['precision'] = tp / max(tp + fp, 1e-9)
+      elif which == 'recall':
+        s = states['binary']
+        tp, pos = float(np.asarray(s['sum'])), float(np.asarray(s['count']))
+        res['recall'] = tp / max(pos, 1e-9)
+      elif which == 'gauc' and host_buffers is not None:
+        res['gauc'] = grouped_auc(
+            host_buffers['field.%s' % cfg.uid_field],
+            host_buffers['labels'], host_buffers['probs'],
+            cfg.reduction or 'mean')
+      elif which == 'session_auc' and host_buffers is not None:
+        res['session_auc'] = grouped_auc(
+            host_buffers['field.%s' % cfg.session_id_field],
+            host_buffers['labels'], host_buffers['probs'],
+            cfg.reduction or 'mean')
+    return res

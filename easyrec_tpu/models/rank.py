@@ -1,0 +1,377 @@
+"""Ranking model zoo: DeepFM, WideAndDeep, MultiTower(+DIN/BST), DCN,
+AutoInt, DLRM, FM, DummyModel.
+
+Reference implementations: easy_rec/python/model/{deepfm,wide_and_deep,
+multi_tower,multi_tower_din,multi_tower_bst,dcn,autoint,dlrm,fm,
+dummy_model}.py. Re-designed around the fused embedding pull: each module
+receives (batch, pulled, training) and assembles its groups via the shared
+InputLayer.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from easyrec_tpu.layers.attention import (BSTEncoder, DinAttention,
+                                          MultiHeadSelfAttention)
+from easyrec_tpu.layers.dnn import DNN
+from easyrec_tpu.layers.interaction import FM as FMLayer
+from easyrec_tpu.layers.interaction import CrossNet, DotInteraction
+from easyrec_tpu.models.base import ModelContext, RankModel, register_model
+
+
+def _final_logits(x, n, name='logits'):
+  return nn.Dense(n, name=name)(x)
+
+
+class _DeepFMModule(nn.Module):
+  ctx: Any
+  num_logits: int
+
+  @nn.compact
+  def __call__(self, batch, pulled, training: bool = False):
+    ctx = self.ctx
+    il = ctx.input_layer
+    cfg = ctx.model_config.deepfm
+    deep_names = ctx.group_features('deep')
+    wide_names = ctx.group_features('wide') if 'wide' in ctx.groups \
+        else deep_names
+
+    # wide part: sum of wide embeddings (dim == num_logits)
+    wide = il.wide_logits(pulled, batch, wide_names)
+
+    # fm over embedding fields (equal dims required)
+    fm_in = il.group_stack(pulled, batch, [
+        f for f in deep_names
+        if ctx.specs[f].kind == 'categorical'])
+    fm_out = FMLayer(use_variant=True, name='fm')(fm_in)
+
+    # deep tower
+    deep_in = il.group_concat(pulled, batch, deep_names)
+    deep_out = DNN.from_config(cfg.dnn, name='dnn',
+                               compute_dtype=ctx.compute_dtype)(
+                                   deep_in, training)
+
+    if cfg.HasField('final_dnn') and len(cfg.final_dnn.hidden_units):
+      all_in = jnp.concatenate([wide, fm_out, deep_out], axis=1)
+      final = DNN.from_config(cfg.final_dnn, name='final_dnn',
+                              compute_dtype=ctx.compute_dtype)(
+                                  all_in, training)
+      logits = _final_logits(final, self.num_logits)
+    else:
+      logits = _final_logits(
+          jnp.concatenate([fm_out, deep_out], axis=1), self.num_logits)
+      logits = logits + jnp.sum(wide, axis=1, keepdims=True)
+    return {'raw_logits': logits}
+
+
+@register_model('DeepFM')
+class DeepFM(RankModel):
+  """reference: model/deepfm.py:16"""
+
+  def __init__(self, ctx: ModelContext):
+    super().__init__(ctx)
+    self.wide_output_dim = int(ctx.model_config.deepfm.wide_output_dim) or 1
+
+  def make_module(self):
+    return _WithPrediction(self, _DeepFMModule(self.ctx, self.logits_dim()))
+
+
+class _WideAndDeepModule(nn.Module):
+  ctx: Any
+  num_logits: int
+
+  @nn.compact
+  def __call__(self, batch, pulled, training: bool = False):
+    ctx = self.ctx
+    il = ctx.input_layer
+    cfg = ctx.model_config.wide_and_deep
+    deep_names = ctx.group_features('deep')
+    wide_names = ctx.group_features('wide')
+    wide = il.wide_logits(pulled, batch, wide_names)
+    deep_in = il.group_concat(pulled, batch, deep_names)
+    deep = DNN.from_config(cfg.dnn, name='dnn',
+                           compute_dtype=ctx.compute_dtype)(deep_in,
+                                                            training)
+    if cfg.HasField('final_dnn') and len(cfg.final_dnn.hidden_units):
+      final_in = jnp.concatenate([wide, deep], axis=1)
+      final = DNN.from_config(cfg.final_dnn, name='final_dnn',
+                              compute_dtype=ctx.compute_dtype)(
+                                  final_in, training)
+      logits = _final_logits(final, self.num_logits)
+    else:
+      logits = _final_logits(deep, self.num_logits) + \
+          jnp.sum(wide, axis=1, keepdims=True)
+    return {'raw_logits': logits}
+
+
+@register_model('WideAndDeep')
+class WideAndDeep(RankModel):
+  """reference: model/wide_and_deep.py:16"""
+
+  def __init__(self, ctx):
+    super().__init__(ctx)
+    self.wide_output_dim = \
+        int(ctx.model_config.wide_and_deep.wide_output_dim) or 1
+
+  def make_module(self):
+    return _WithPrediction(self,
+                           _WideAndDeepModule(self.ctx, self.logits_dim()))
+
+
+class _MultiTowerModule(nn.Module):
+  ctx: Any
+  num_logits: int
+
+  @nn.compact
+  def __call__(self, batch, pulled, training: bool = False):
+    ctx = self.ctx
+    il = ctx.input_layer
+    cfg = ctx.model_config.multi_tower
+    tower_outs = []
+    for tower in cfg.towers:
+      x = il.group_concat(pulled, batch, ctx.group_features(tower.input))
+      tower_outs.append(
+          DNN.from_config(tower.dnn, name='tower_%s' % tower.input,
+                          compute_dtype=ctx.compute_dtype)(x, training))
+    for din_tower in cfg.din_towers:
+      tower_outs.append(self._din_tower(din_tower, batch, pulled, training))
+    for bst_tower in cfg.bst_towers:
+      tower_outs.append(self._bst_tower(bst_tower, batch, pulled, training))
+    all_in = jnp.concatenate(tower_outs, axis=1)
+    final = DNN.from_config(cfg.final_dnn, name='final_dnn',
+                            compute_dtype=ctx.compute_dtype)(all_in,
+                                                             training)
+    return {'raw_logits': _final_logits(final, self.num_logits)}
+
+  def _seq_group_tensors(self, group_name, batch, pulled):
+    ctx = self.ctx
+    il = ctx.input_layer
+    group = ctx.seq_att_groups[group_name]
+    keys, seqs, mask = [], [], None
+    for m in group.seq_att_map:
+      for k in m.key:
+        keys.append(il.feature_embedding(pulled, batch, k))
+      for h in m.hist_seq:
+        seq, msk = il.sequence_embedding(pulled, batch, h)
+        seqs.append(seq)
+        mask = msk if mask is None else jnp.maximum(mask, msk)
+    query = jnp.concatenate(keys, axis=1) if len(keys) > 1 else keys[0]
+    hist = jnp.concatenate(seqs, axis=2) if len(seqs) > 1 else seqs[0]
+    return query, hist, mask
+
+  def _din_tower(self, tower, batch, pulled, training):
+    query, hist, mask = self._seq_group_tensors(tower.input, batch, pulled)
+    att = DinAttention(
+        attention_dims=tuple(tower.dnn.hidden_units)[:-1] or (32,),
+        name='din_%s' % tower.input)(query, hist, mask, training)
+    return jnp.concatenate([att, query], axis=1)
+
+  def _bst_tower(self, tower, batch, pulled, training):
+    query, hist, mask = self._seq_group_tensors(tower.input, batch, pulled)
+    hidden = hist.shape[-1]
+    return BSTEncoder(
+        hidden_size=hidden,
+        num_heads=int(tower.multi_head_size) or 4,
+        intermediate_size=hidden * 4,
+        max_position=max(int(tower.seq_len), hist.shape[1] + 1),
+        name='bst_%s' % tower.input)(hist, mask, target=query,
+                                     training=training)
+
+
+@register_model('MultiTower')
+@register_model('MultiTowerDIN')
+@register_model('MultiTowerBST')
+class MultiTower(RankModel):
+  """reference: model/multi_tower.py, multi_tower_din.py:18,
+  multi_tower_bst.py"""
+
+  def make_module(self):
+    return _WithPrediction(self,
+                           _MultiTowerModule(self.ctx, self.logits_dim()))
+
+
+class _DCNModule(nn.Module):
+  ctx: Any
+  num_logits: int
+
+  @nn.compact
+  def __call__(self, batch, pulled, training: bool = False):
+    ctx = self.ctx
+    il = ctx.input_layer
+    cfg = ctx.model_config.dcn
+    deep_in = il.group_concat(
+        pulled, batch, ctx.group_features(cfg.deep_tower.input))
+    deep = DNN.from_config(cfg.deep_tower.dnn, name='deep',
+                           compute_dtype=ctx.compute_dtype)(deep_in,
+                                                            training)
+    cross_in = il.group_concat(
+        pulled, batch, ctx.group_features(cfg.cross_tower.input))
+    cross = CrossNet(num_layers=int(cfg.cross_tower.cross_num) or 3,
+                     name='cross')(cross_in)
+    final_in = jnp.concatenate([deep, cross], axis=1)
+    final = DNN.from_config(cfg.final_dnn, name='final_dnn',
+                            compute_dtype=ctx.compute_dtype)(final_in,
+                                                             training)
+    return {'raw_logits': _final_logits(final, self.num_logits)}
+
+
+@register_model('DCN')
+class DCN(RankModel):
+  """reference: model/dcn.py:15"""
+
+  def make_module(self):
+    return _WithPrediction(self, _DCNModule(self.ctx, self.logits_dim()))
+
+
+class _AutoIntModule(nn.Module):
+  ctx: Any
+  num_logits: int
+
+  @nn.compact
+  def __call__(self, batch, pulled, training: bool = False):
+    ctx = self.ctx
+    il = ctx.input_layer
+    cfg = ctx.model_config.autoint
+    group = next(iter(ctx.groups))
+    names = [f for f in ctx.group_features(group)
+             if ctx.specs[f].kind == 'categorical']
+    x = il.group_stack(pulled, batch, names)
+    heads = int(cfg.multi_head_num) or 1
+    head_size = int(cfg.multi_head_size) or x.shape[-1]
+    for i in range(int(cfg.interacting_layer_num) or 1):
+      x = MultiHeadSelfAttention(num_heads=heads, head_size=head_size,
+                                 name='interact_%d' % i)(x)
+    flat = x.reshape(x.shape[0], -1)
+    return {'raw_logits': _final_logits(flat, self.num_logits)}
+
+
+@register_model('AutoInt')
+class AutoInt(RankModel):
+  """reference: model/autoint.py:16"""
+
+  def make_module(self):
+    return _WithPrediction(self, _AutoIntModule(self.ctx,
+                                                self.logits_dim()))
+
+
+class _DLRMModule(nn.Module):
+  ctx: Any
+  num_logits: int
+
+  @nn.compact
+  def __call__(self, batch, pulled, training: bool = False):
+    ctx = self.ctx
+    il = ctx.input_layer
+    cfg = ctx.model_config.dlrm
+    # groups: 'dense' (raw features) and 'sparse' (categorical)
+    dense_names = ctx.group_features('dense') if 'dense' in ctx.groups \
+        else []
+    sparse_group = 'sparse' if 'sparse' in ctx.groups else \
+        next(iter(ctx.groups))
+    sparse_names = [f for f in ctx.group_features(sparse_group)
+                    if ctx.specs[f].kind == 'categorical']
+    cat_emb = il.group_stack(pulled, batch, sparse_names)   # [B, F, D]
+    d = cat_emb.shape[-1]
+    feats = [cat_emb]
+    bot_out = None
+    if dense_names:
+      dense_in = il.group_concat(pulled, batch, dense_names)
+      bot_out = DNN.from_config(cfg.bot_dnn, name='bot_dnn',
+                                compute_dtype=ctx.compute_dtype)(
+                                    dense_in, training)
+      if bot_out.shape[-1] != d:
+        bot_out = nn.Dense(d, name='bot_proj')(bot_out)
+      feats = [bot_out[:, None, :], cat_emb]
+    x = jnp.concatenate(feats, axis=1)
+    if (cfg.arch_interaction_op or 'dot') == 'dot':
+      inter = DotInteraction(
+          self_interaction=cfg.arch_interaction_itself,
+          name='dot_interaction')(x)
+    else:
+      inter = x.reshape(x.shape[0], -1)
+    tops = [inter]
+    if cfg.arch_with_dense_feature and bot_out is not None:
+      tops.append(bot_out)
+    elif bot_out is not None:
+      tops.append(bot_out)
+    top_in = jnp.concatenate(tops, axis=1)
+    top = DNN.from_config(cfg.top_dnn, name='top_dnn',
+                          compute_dtype=ctx.compute_dtype)(top_in, training)
+    return {'raw_logits': _final_logits(top, self.num_logits)}
+
+
+@register_model('DLRM')
+class DLRM(RankModel):
+  """reference: model/dlrm.py:16"""
+
+  def make_module(self):
+    return _WithPrediction(self, _DLRMModule(self.ctx, self.logits_dim()))
+
+
+class _FMModule(nn.Module):
+  ctx: Any
+  num_logits: int
+
+  @nn.compact
+  def __call__(self, batch, pulled, training: bool = False):
+    ctx = self.ctx
+    il = ctx.input_layer
+    deep_group = 'deep' if 'deep' in ctx.groups else \
+        next(iter(g for g in ctx.groups if g != 'wide'))
+    names = [f for f in ctx.group_features(deep_group)
+             if ctx.specs[f].kind == 'categorical']
+    x = il.group_stack(pulled, batch, names)
+    fm_out = FMLayer(use_variant=False, name='fm')(x)   # [B, 1]
+    logits = fm_out
+    if 'wide' in ctx.groups:
+      wide = il.wide_logits(pulled, batch, ctx.group_features('wide'))
+      logits = logits + jnp.sum(wide, axis=1, keepdims=True)
+    bias = self.param('global_bias', nn.initializers.zeros, (1,))
+    return {'raw_logits': logits + bias[None, :]}
+
+
+@register_model('FM')
+class FM(RankModel):
+  """reference: model/fm.py"""
+
+  def __init__(self, ctx):
+    super().__init__(ctx)
+    self.wide_output_dim = 1
+
+  def make_module(self):
+    return _WithPrediction(self, _FMModule(self.ctx, self.logits_dim()))
+
+
+class _DummyModule(nn.Module):
+  ctx: Any
+
+  @nn.compact
+  def __call__(self, batch, pulled, training: bool = False):
+    b = batch['sample_weight'].shape[0]
+    bias = self.param('bias', nn.initializers.zeros, (1,))
+    return {'raw_logits': jnp.zeros((b, 1)) + bias[None, :]}
+
+
+@register_model('DummyModel')
+class DummyModel(RankModel):
+  """input-pipeline perf testing (reference model/dummy_model.py)."""
+
+  def make_module(self):
+    return _WithPrediction(self, _DummyModule(self.ctx))
+
+
+class _WithPrediction(nn.Module):
+  """Wraps a raw-logit module and attaches probs/preds."""
+  model: Any
+  inner: nn.Module
+
+  @nn.compact
+  def __call__(self, batch, pulled, training: bool = False):
+    out = self.inner(batch, pulled, training)
+    pred = self.model._prediction(out.pop('raw_logits'))
+    out.update(pred)
+    return out

@@ -1,0 +1,369 @@
+"""Trainer: jitted SPMD train/eval steps + checkpointing + export hooks.
+
+Replaces the reference estimator loop (easy_rec/python/model/
+easy_rec_estimator.py:155-472): one donated, jitted train step updates dense
+params with optax and embedding tables with row-sparse updates; eval runs a
+jitted forward + streaming metric updates; checkpoints via orbax.
+
+Distribution: the step is jitted over a ('data','model') mesh — batch rows
+data-sharded, fused tables row-sharded — so PS/Horovod/SOK strategies all
+collapse into XLA-partitioned collectives (SURVEY.md §2.10 TPU equivalents).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Any, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from easyrec_tpu.config import config_util
+from easyrec_tpu.data.input_pipeline import InputPipeline
+from easyrec_tpu.features import feature_spec as fs
+from easyrec_tpu.metrics.metrics import MetricsCollection
+from easyrec_tpu.models import base as model_base
+from easyrec_tpu.models import zoo  # noqa: F401 (registers models)
+from easyrec_tpu.ops import embedding as emb_ops
+from easyrec_tpu.optim import builder as opt_builder
+from easyrec_tpu.optim import sparse as sparse_lib
+from easyrec_tpu.parallel.mesh import ShardingRules, make_rules
+
+
+@flax.struct.dataclass
+class TrainState:
+  step: jnp.ndarray
+  params: Any
+  batch_stats: Any
+  opt_state: Any
+  tables: Dict[str, jnp.ndarray]
+  slots: Dict[str, Any]
+
+
+def _l2_of_kernels(params) -> jnp.ndarray:
+  total = 0.0
+  for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+    name = path[-1].key if hasattr(path[-1], 'key') else ''
+    if name == 'kernel' or name.startswith('w'):
+      total = total + jnp.sum(jnp.square(leaf))
+  return total
+
+
+def _model_l2_reg(model_config) -> float:
+  which = model_config.WhichOneof('model')
+  if which is None:
+    return 0.0
+  sub = getattr(model_config, which)
+  fields = {f.name for f in sub.DESCRIPTOR.fields}
+  if 'l2_regularization' in fields:
+    return float(sub.l2_regularization)
+  return 0.0
+
+
+def _wide_output_dim(model_config) -> int:
+  which = model_config.WhichOneof('model')
+  if which is None:
+    return 1
+  sub = getattr(model_config, which)
+  fields = {f.name for f in sub.DESCRIPTOR.fields}
+  if 'wide_output_dim' in fields:
+    return max(int(sub.wide_output_dim), 1)
+  return 1
+
+
+class Trainer:
+  """Builds the whole training program from one pipeline config."""
+
+  def __init__(self, pipeline_config, devices=None):
+    self.pipeline_config = pipeline_config
+    self.data_config = pipeline_config.data_config
+    self.train_config = pipeline_config.train_config
+    self.eval_config = pipeline_config.eval_config
+    self.model_dir = pipeline_config.model_dir
+    self.feature_configs = config_util.get_feature_configs(pipeline_config)
+
+    tc = self.train_config
+    self.compute_dtype = jnp.bfloat16 \
+        if tc.compute_dtype == 'bfloat16' else jnp.float32
+
+    self.specs = fs.build_feature_specs(
+        self.feature_configs,
+        max_tag_len=self.data_config.max_tag_len or 16)
+    self.ctx = model_base.build_context(
+        pipeline_config, self.specs,
+        wide_output_dim=_wide_output_dim(pipeline_config.model_config),
+        compute_dtype=self.compute_dtype)
+    self.model = model_base.create_model(self.ctx)
+    self.module = self.model.make_module()
+    self.layout = self.ctx.layout
+
+    self.rules: ShardingRules = make_rules(tc, devices)
+    self.mesh = self.rules.mesh
+
+    self.dense_opt, embed_override = opt_builder.build_optimizers(tc)
+    self.embed_opt = embed_override or self.dense_opt
+    self.l2_reg = _model_l2_reg(pipeline_config.model_config)
+    self.emb_reg = float(pipeline_config.model_config
+                         .embedding_regularization)
+    self.seed = int(getattr(tc, 'random_seed', 2025) or 2025)
+
+    self._train_step = None
+    self._eval_step = None
+    self.metrics = MetricsCollection(
+        self.eval_config.metrics_set,
+        label_name=self.model.label_name if self.ctx.label_fields else None)
+
+  # -- state init ----------------------------------------------------------
+
+  def init_state(self, sample_batch: Dict[str, np.ndarray]) -> TrainState:
+    rng = jax.random.PRNGKey(self.seed)
+    tables_np = self.layout.init_tables(
+        self.seed, pad_rows_to=self.rules.table_pad_rows())
+    tables = self.rules.shard_tables(tables_np)
+    batch = self.rules.shard_batch(sample_batch)
+    packs = emb_ops.pack_ids(self.layout, batch)
+    pulled = emb_ops.pull_embeddings(tables, packs)
+    variables = self.module.init(
+        {'params': rng, 'dropout': rng}, batch, pulled, False)
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    opt_state = self.dense_opt.dense.init(params)
+    slots = sparse_lib.init_sparse_states(tables, self.embed_opt.sparse)
+    # replicate dense params / shard slots like their tables
+    params = jax.device_put(params, self.rules.replicated)
+    batch_stats = jax.device_put(batch_stats, self.rules.replicated)
+    opt_state = jax.device_put(opt_state, self.rules.replicated)
+    slots = jax.device_put(slots, self.rules.table)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=opt_state,
+                      tables=tables, slots=slots)
+
+  # -- train step ----------------------------------------------------------
+
+  def _build_train_step(self):
+    model = self.model
+    module = self.module
+    layout = self.layout
+    dense_tx = self.dense_opt.dense
+    sparse_opt = self.embed_opt.sparse
+    embed_schedule = self.embed_opt.schedule
+    embed_mult = self.embed_opt.embedding_lr_multiplier
+    l2_reg, emb_reg = self.l2_reg, self.emb_reg
+    scratch = {k: layout.scratch_row(k) for k in layout.tables}
+    seed = self.seed
+
+    def train_step(state: TrainState, batch):
+      packs = emb_ops.pack_ids(layout, batch)
+      pulled = emb_ops.pull_embeddings(state.tables, packs)
+      dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+
+      def loss_fn(params, pulled):
+        variables = {'params': params}
+        if state.batch_stats:
+          variables['batch_stats'] = state.batch_stats
+        outputs, mutated = module.apply(
+            variables, batch, pulled, True,
+            mutable=['batch_stats'],
+            rngs={'dropout': dropout_rng, 'routing': dropout_rng})
+        total, loss_dict = model.build_loss(outputs, batch)
+        if l2_reg > 0:
+          total = total + l2_reg * _l2_of_kernels(params)
+        if emb_reg > 0:
+          reg = sum(jnp.sum(jnp.square(p.astype(jnp.float32)))
+                    for p in pulled.values())
+          total = total + emb_reg * reg
+        return total, (loss_dict, mutated.get('batch_stats', {}))
+
+      grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+      (loss, (loss_dict, new_stats)), (g_params, g_pulled) = grad_fn(
+          state.params, pulled)
+
+      updates, new_opt_state = dense_tx.update(g_params, state.opt_state,
+                                               state.params)
+      new_params = optax.apply_updates(state.params, updates)
+
+      emb_lr = embed_schedule(state.step) * embed_mult
+      new_tables, new_slots = sparse_lib.apply_sparse_updates(
+          state.tables, state.slots, packs, g_pulled, sparse_opt,
+          emb_lr, state.step, scratch)
+
+      new_state = TrainState(
+          step=state.step + 1, params=new_params,
+          batch_stats=new_stats if new_stats else state.batch_stats,
+          opt_state=new_opt_state, tables=new_tables, slots=new_slots)
+      loss_dict = dict(loss_dict)
+      loss_dict['total_loss'] = loss
+      return new_state, loss_dict
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+  def _build_eval_step(self):
+    model = self.model
+    module = self.module
+    layout = self.layout
+    metrics = self.metrics
+
+    def eval_step(state: TrainState, batch, metric_states):
+      packs = emb_ops.pack_ids(layout, batch)
+      pulled = emb_ops.pull_embeddings(state.tables, packs)
+      variables = {'params': state.params}
+      if state.batch_stats:
+        variables['batch_stats'] = state.batch_stats
+      outputs = module.apply(variables, batch, pulled, False)
+      mi = model.metric_inputs(outputs, batch)
+      loss, _ = model.build_loss(outputs, batch)
+      new_states = metrics.update_states(
+          metric_states, mi['labels'], mi['probs'], mi['preds'],
+          mi['weights'])
+      return new_states, loss, mi
+
+    return jax.jit(eval_step)
+
+  @property
+  def train_step(self):
+    if self._train_step is None:
+      self._train_step = self._build_train_step()
+    return self._train_step
+
+  @property
+  def eval_step(self):
+    if self._eval_step is None:
+      self._eval_step = self._build_eval_step()
+    return self._eval_step
+
+  # -- pipelines -----------------------------------------------------------
+
+  def train_input(self, batch_size=None) -> InputPipeline:
+    return InputPipeline(self.data_config, self.feature_configs,
+                         self.pipeline_config.train_input_path,
+                         mode='train', batch_size=batch_size)
+
+  def eval_input(self, batch_size=None) -> InputPipeline:
+    return InputPipeline(self.data_config, self.feature_configs,
+                         self.pipeline_config.eval_input_path,
+                         mode='eval', batch_size=batch_size)
+
+  # -- evaluation ----------------------------------------------------------
+
+  def evaluate(self, state: TrainState,
+               eval_iter=None,
+               max_batches: Optional[int] = None) -> Dict[str, float]:
+    if eval_iter is None:
+      eval_iter = self.eval_input()
+    metric_states = self.metrics.init_states()
+    host_needed = bool(self.metrics.host_fields)
+    buffers = {'labels': [], 'probs': []} if host_needed else None
+    field_buffers = {f: [] for f in self.metrics.host_fields}
+    losses, n = [], 0
+    for batch in eval_iter:
+      host_fields = {f: batch.pop('field.%s' % f)
+                     for f in self.metrics.host_fields
+                     if 'field.%s' % f in batch}
+      sharded = self.rules.shard_batch(batch)
+      metric_states, loss, mi = self.eval_step(state, sharded,
+                                               metric_states)
+      losses.append(float(loss))
+      if host_needed:
+        w = np.asarray(mi['weights']) > 0
+        buffers['labels'].append(np.asarray(mi['labels'])[w])
+        buffers['probs'].append(np.asarray(mi['probs'])[w])
+        for f, vals in host_fields.items():
+          field_buffers[f].append(np.asarray(vals)[w])
+      n += 1
+      if max_batches and n >= max_batches:
+        break
+    host_buffers = None
+    if host_needed and buffers['labels']:
+      host_buffers = {
+          'labels': np.concatenate(buffers['labels']),
+          'probs': np.concatenate(buffers['probs']),
+      }
+      for f, chunks in field_buffers.items():
+        if chunks:
+          host_buffers['field.%s' % f] = np.concatenate(chunks)
+    results = self.metrics.results(metric_states, host_buffers)
+    if losses:
+      results['loss'] = float(np.mean(losses))
+    return results
+
+  # -- full training loop ---------------------------------------------------
+
+  def fit(self,
+          num_steps: Optional[int] = None,
+          log_every: Optional[int] = None,
+          eval_at_end: bool = True,
+          checkpoint: bool = True) -> Dict[str, Any]:
+    from easyrec_tpu.train import checkpoints as ckpt_lib
+    from easyrec_tpu.train.hooks import EarlyStopper
+
+    tc = self.train_config
+    num_steps = num_steps or (tc.num_steps or None)
+    log_every = log_every or max(int(tc.log_step_count_steps), 1)
+    save_every = int(tc.save_checkpoints_steps) or 1000
+
+    train_iter = iter(self.train_input())
+    first = next(train_iter)
+    state = self.init_state(first)
+
+    manager = None
+    if checkpoint and self.model_dir:
+      manager = ckpt_lib.CheckpointManager(
+          self.model_dir, max_to_keep=int(tc.keep_checkpoint_max) or 10)
+      restored = manager.restore_latest(state)
+      if restored is not None:
+        state = restored
+        logging.info('restored checkpoint at step %d',
+                     int(np.asarray(state.step)))
+
+    stopper = EarlyStopper(self.pipeline_config.export_config) \
+        if self.pipeline_config.HasField('export_config') else None
+
+    step = int(np.asarray(state.step))
+    t0 = time.time()
+    window_examples = 0
+    history = []
+
+    def run_batch(batch):
+      nonlocal state, step, window_examples, t0
+      sharded = self.rules.shard_batch(batch)
+      state, loss_dict = self.train_step(state, sharded)
+      step += 1
+      window_examples += batch['sample_weight'].shape[0]
+      if step % log_every == 0:
+        loss_val = float(loss_dict['total_loss'])
+        dt = time.time() - t0
+        rate = window_examples / max(dt, 1e-6)
+        logging.info('step %d: loss=%.5f (%.1f ex/s)', step, loss_val, rate)
+        history.append({'step': step, 'loss': loss_val,
+                        'examples_per_sec': rate})
+        t0 = time.time()
+        window_examples = 0
+      if manager is not None and step % save_every == 0:
+        manager.save(state, step)
+
+    run_batch(first)
+    for batch in train_iter:
+      if num_steps and step >= num_steps:
+        break
+      run_batch(batch)
+
+    if manager is not None:
+      manager.save(state, step, force=True)
+    result = {'state': state, 'global_step': step, 'history': history}
+    if eval_at_end and self.pipeline_config.WhichOneof('eval_path'):
+      metrics = self.evaluate(state)
+      result['eval_metrics'] = metrics
+      logging.info('eval: %s', metrics)
+      if self.model_dir:
+        os.makedirs(self.model_dir, exist_ok=True)
+        with open(os.path.join(self.model_dir, 'eval_result.txt'),
+                  'w') as f:
+          json.dump({k: float(v) for k, v in metrics.items()}, f)
+    return result
