@@ -1,0 +1,79 @@
+"""Benchmark: Criteo-shaped DeepFM training throughput (examples/sec/chip).
+
+Model mirrors the reference headline config (examples/configs/
+deepfm_on_criteo.config): 13 raw + 26 categorical features, 1M hash buckets,
+16-dim embeddings, batch 4096, Adam. One full train step = fused embedding
+pull + DeepFM forward/backward + dense optax + row-sparse lazy-adam table
+updates.
+
+vs_baseline = TPU examples/s divided by the same jitted program's
+examples/s on one host CPU core (the reference runs on CPU PS clusters;
+the north-star target in BASELINE.md is >3x a CPU-PS worker).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _rate(trainer, batches, warmup, steps):
+  import jax
+  state = trainer.init_state(batches[0])
+  sharded = [trainer.rules.shard_batch(b) for b in batches]
+  for i in range(warmup):
+    state, loss = trainer.train_step(state, sharded[i % len(sharded)])
+  jax.block_until_ready((state, loss))
+  t0 = time.perf_counter()
+  for i in range(steps):
+    state, loss = trainer.train_step(state, sharded[i % len(sharded)])
+  # block on the FULL state: sparse table updates must have landed, not
+  # just the (early) loss scalar
+  jax.block_until_ready((state, loss))
+  dt = time.perf_counter() - t0
+  bs = batches[0]['sample_weight'].shape[0]
+  return steps * bs / dt
+
+
+def main():
+  import jax
+  from easyrec_tpu.train.trainer import Trainer
+  from easyrec_tpu.utils.flagship import criteo_deepfm_config
+  from easyrec_tpu.utils.synthetic import synthetic_batch
+
+  batch_size = int(os.environ.get('BENCH_BATCH_SIZE', 4096))
+  hash_buckets = int(os.environ.get('BENCH_HASH_BUCKETS', 1000000))
+  steps = int(os.environ.get('BENCH_STEPS', 100))
+
+  cfg = criteo_deepfm_config(batch_size=batch_size,
+                             hash_bucket_size=hash_buckets)
+  trainer = Trainer(cfg)
+  batches = [synthetic_batch(trainer.specs, ['label'], batch_size, seed=s)
+             for s in range(4)]
+
+  tpu_rate = _rate(trainer, batches, warmup=10, steps=steps)
+
+  # CPU baseline: identical program on one host CPU (few steps, it is slow)
+  vs_baseline = 0.0
+  try:
+    cpu_devices = jax.devices('cpu')
+    cpu_trainer = Trainer(cfg, devices=cpu_devices[:1])
+    cpu_rate = _rate(cpu_trainer, batches[:2], warmup=1, steps=3)
+    vs_baseline = tpu_rate / cpu_rate
+  except Exception as e:  # pragma: no cover
+    print('cpu baseline failed: %s' % e, file=sys.stderr)
+
+  print(json.dumps({
+      'metric': 'criteo_deepfm_examples_per_sec_per_chip',
+      'value': round(tpu_rate, 1),
+      'unit': 'examples/s',
+      'vs_baseline': round(vs_baseline, 2),
+  }))
+
+
+if __name__ == '__main__':
+  main()

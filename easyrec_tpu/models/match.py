@@ -1,0 +1,448 @@
+"""Matching / retrieval model zoo: DSSM, DSSM_SENet, DAT, MIND,
+MultiTowerRecall, DropoutNet.
+
+Reference: easy_rec/python/model/{dssm,dssm_senet,dat,mind,
+multi_tower_recall,dropoutnet}.py and match_model.py:18-357. List-wise mode
+uses in-batch softmax over the items of the batch with id-collision masking;
+point-wise mode reduces to a sigmoid over the pair similarity.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from easyrec_tpu.layers.capsule import CapsuleLayer
+from easyrec_tpu.layers.dnn import DNN
+from easyrec_tpu.layers.fibinet import SENet
+from easyrec_tpu.losses import losses as L
+from easyrec_tpu.models.base import (BaseModel, ModelContext, register_model)
+from easyrec_tpu.protos import common_pb2, models_pb2
+
+Similarity = common_pb2.Similarity
+LossType = models_pb2.LossType
+
+
+def _normalize(x):
+  return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-9)
+
+
+class MatchModel(BaseModel):
+  """Two-tower base: similarity, in-batch softmax loss, recall@k metrics
+  (reference match_model.py)."""
+
+  def _simi_cfg(self):
+    which = self.config.WhichOneof('model')
+    return getattr(self.config, which)
+
+  @property
+  def simi_func(self):
+    cfg = self._simi_cfg()
+    return cfg.simi_func if hasattr(cfg, 'simi_func') else Similarity.COSINE
+
+  @property
+  def temperature(self) -> float:
+    cfg = self._simi_cfg()
+    t = getattr(cfg, 'temperature', 1.0) or 1.0
+    return float(t)
+
+  @property
+  def is_listwise(self) -> bool:
+    # softmax CE -> in-batch listwise; CLASSIFICATION -> pointwise
+    return self.config.loss_type == LossType.SOFTMAX_CROSS_ENTROPY
+
+  def _tower_embs(self, outputs):
+    return outputs['user_tower_emb'], outputs['item_tower_emb']
+
+  def _in_batch_logits(self, user_emb, item_emb, batch):
+    """[B, B] user x item similarity with temperature."""
+    if self.simi_func == Similarity.COSINE:
+      user_emb = _normalize(user_emb)
+      item_emb = _normalize(item_emb)
+    sim = user_emb @ item_emb.T
+    return sim / self.temperature
+
+  def _item_id_mask(self, batch):
+    """Mask colliding item ids in-batch (match_model.py:50-69)."""
+    cfg = self._simi_cfg()
+    item_id = getattr(cfg, 'item_id', '')
+    ignore = getattr(cfg, 'ignore_in_batch_neg_sam', False)
+    if not item_id or ignore:
+      return None
+    key = 'feat.%s.ids' % item_id
+    if key not in batch:
+      return None
+    ids = batch[key][:, 0]
+    same = ids[None, :] == ids[:, None]
+    return same
+
+  def build_loss(self, outputs, batch):
+    labels = self.labels(batch)
+    weights = self.sample_weights(batch)
+    user_emb, item_emb = self._tower_embs(outputs)
+    if self.is_listwise:
+      logits = self._in_batch_logits(user_emb, item_emb, batch)
+      b = logits.shape[0]
+      collide = self._item_id_mask(batch)
+      if collide is not None:
+        off_diag = collide & ~jnp.eye(b, dtype=bool)
+        logits = jnp.where(off_diag, -1e9, logits)
+      logp = jax.nn.log_softmax(logits, axis=1)
+      per = -jnp.diagonal(logp)
+      w = weights * labels
+      loss = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-9)
+      return loss, {'softmax_cross_entropy': loss}
+    logits = outputs['logits']
+    loss = L.sigmoid_cross_entropy(labels, logits, weights)
+    return loss, {'sigmoid_cross_entropy': loss}
+
+  def metric_inputs(self, outputs, batch):
+    labels = self.labels(batch)
+    weights = self.sample_weights(batch)
+    if self.is_listwise:
+      user_emb, item_emb = self._tower_embs(outputs)
+      logits = self._in_batch_logits(user_emb, item_emb, batch)
+      # recall@k: does the positive item rank in top-k of in-batch items
+      return {'labels': labels, 'probs': jax.nn.sigmoid(
+          jnp.diagonal(logits)), 'preds': jnp.diagonal(logits),
+          'weights': weights, 'in_batch_logits': logits}
+    return {'labels': labels, 'probs': outputs['probs'],
+            'preds': outputs['probs'], 'weights': weights}
+
+  def export_outputs(self, outputs):
+    out = {'user_emb': outputs['user_tower_emb'],
+            'item_emb': outputs['item_tower_emb']}
+    if 'probs' in outputs:
+      out['probs'] = outputs['probs']
+    return out
+
+
+class _TwoTowerModule(nn.Module):
+  ctx: Any
+  model: Any
+  user_dnn_cfg: Any
+  item_dnn_cfg: Any
+  use_senet: bool = False
+  senet_cfgs: Any = None
+
+  @nn.compact
+  def __call__(self, batch, pulled, training: bool = False):
+    ctx = self.ctx
+    il = ctx.input_layer
+    if self.use_senet:
+      u_feats = il.group_stack(pulled, batch, ctx.group_features('user'))
+      i_feats = il.group_stack(pulled, batch, ctx.group_features('item'))
+      u_cfg, i_cfg = self.senet_cfgs
+      user_in = SENet(reduction_ratio=int(u_cfg.reduction_ratio) or 4,
+                      num_squeeze_group=int(u_cfg.num_squeeze_group) or 2,
+                      name='user_senet')(u_feats)
+      item_in = SENet(reduction_ratio=int(i_cfg.reduction_ratio) or 4,
+                      num_squeeze_group=int(i_cfg.num_squeeze_group) or 2,
+                      name='item_senet')(i_feats)
+    else:
+      user_in = il.group_concat(pulled, batch, ctx.group_features('user'))
+      item_in = il.group_concat(pulled, batch, ctx.group_features('item'))
+    user_emb = DNN.from_config(self.user_dnn_cfg, name='user_dnn',
+                               compute_dtype=ctx.compute_dtype,
+                               )(user_in, training)
+    item_emb = DNN.from_config(self.item_dnn_cfg, name='item_dnn',
+                               compute_dtype=ctx.compute_dtype,
+                               )(item_in, training)
+    out = {'user_tower_emb': user_emb, 'item_tower_emb': item_emb}
+    model = self.model
+    if not model.is_listwise:
+      if model.simi_func == Similarity.COSINE:
+        sim = jnp.sum(_normalize(user_emb) * _normalize(item_emb), axis=1)
+      else:
+        sim = jnp.sum(user_emb * item_emb, axis=1)
+      logits = sim / model.temperature
+      cfg = model._simi_cfg()
+      if getattr(cfg, 'scale_simi', False):
+        scale = self.param('simi_scale', nn.initializers.ones, (1,))
+        bias = self.param('simi_bias', nn.initializers.zeros, (1,))
+        logits = logits * scale[0] + bias[0]
+      out['logits'] = logits
+      out['probs'] = jax.nn.sigmoid(logits)
+    return out
+
+
+@register_model('DSSM')
+class DSSM(MatchModel):
+  """reference: model/dssm.py:17"""
+
+  def make_module(self):
+    cfg = self.config.dssm
+    return _TwoTowerModule(self.ctx, self, cfg.user_tower.dnn,
+                           cfg.item_tower.dnn)
+
+
+@register_model('DSSM_SENet')
+class DSSMSENet(MatchModel):
+  """reference: model/dssm_senet.py"""
+
+  def make_module(self):
+    cfg = self.config.dssm_senet
+    return _TwoTowerModule(self.ctx, self, cfg.user_tower.dnn,
+                           cfg.item_tower.dnn, use_senet=True,
+                           senet_cfgs=(cfg.user_tower.senet,
+                                       cfg.item_tower.senet))
+
+
+class _DATModule(nn.Module):
+  """Dual-augmented two-tower: each tower also consumes an augmented
+  vector supervised to mimic the OTHER tower's output (AMM loss)."""
+  ctx: Any
+  model: Any
+
+  @nn.compact
+  def __call__(self, batch, pulled, training: bool = False):
+    ctx = self.ctx
+    il = ctx.input_layer
+    cfg = ctx.model_config.dat
+    user_in = il.group_concat(pulled, batch, ctx.group_features('user'))
+    item_in = il.group_concat(pulled, batch, ctx.group_features('item'))
+    user_emb = DNN.from_config(cfg.user_tower.dnn, name='user_dnn')(
+        user_in, training)
+    item_emb = DNN.from_config(cfg.item_tower.dnn, name='item_dnn')(
+        item_in, training)
+    d = user_emb.shape[-1]
+    # augmented vectors from dedicated 'user_id_aug'/'item_id_aug' groups
+    # if present, else learned projections
+    if 'user_augment' in ctx.groups:
+      au = nn.Dense(d, name='user_aug_proj')(il.group_concat(
+          pulled, batch, ctx.group_features('user_augment')))
+      ai = nn.Dense(d, name='item_aug_proj')(il.group_concat(
+          pulled, batch, ctx.group_features('item_augment')))
+    else:
+      au = nn.Dense(d, name='user_aug_proj')(user_in)
+      ai = nn.Dense(d, name='item_aug_proj')(item_in)
+    return {'user_tower_emb': user_emb, 'item_tower_emb': item_emb,
+            'augmented_u': au, 'augmented_i': ai}
+
+
+@register_model('DAT')
+class DAT(MatchModel):
+  """reference: model/dat.py (dual augmented two-tower)"""
+
+  def make_module(self):
+    return _DATModule(self.ctx, self)
+
+  def build_loss(self, outputs, batch):
+    total, losses = super().build_loss(outputs, batch)
+    cfg = self.config.dat
+    labels = self.labels(batch)
+    w = self.sample_weights(batch) * labels
+    # adaptive mimic: augmented vec -> other tower's (stopped) embedding
+    amm_u = jnp.sum(jnp.square(
+        outputs['augmented_u'] -
+        jax.lax.stop_gradient(outputs['item_tower_emb'])), axis=1)
+    amm_i = jnp.sum(jnp.square(
+        outputs['augmented_i'] -
+        jax.lax.stop_gradient(outputs['user_tower_emb'])), axis=1)
+    denom = jnp.maximum(jnp.sum(w), 1e-9)
+    lu = jnp.sum(amm_u * w) / denom
+    li = jnp.sum(amm_i * w) / denom
+    losses['amm_loss_u'] = lu
+    losses['amm_loss_i'] = li
+    total = total + cfg.amm_u_weight * lu + cfg.amm_i_weight * li
+    return total, losses
+
+
+class _MINDModule(nn.Module):
+  ctx: Any
+  model: Any
+
+  @nn.compact
+  def __call__(self, batch, pulled, training: bool = False):
+    ctx = self.ctx
+    il = ctx.input_layer
+    cfg = ctx.model_config.mind
+    # history sequences from the 'hist' group (sequence features)
+    hist_names = [f for f in ctx.group_features('hist')
+                  if ctx.specs[f].kind == 'sequence']
+    seqs, mask = [], None
+    for h in hist_names:
+      s, m = il.sequence_embedding(pulled, batch, h)
+      seqs.append(s)
+      mask = m if mask is None else jnp.maximum(mask, m)
+    if cfg.user_seq_combine == models_pb2.MIND.UserSeqCombineMethod.SUM:
+      hist = sum(seqs) / len(seqs)
+    else:
+      hist = jnp.concatenate(seqs, axis=-1)
+    if cfg.HasField('pre_capsule_dnn') and \
+        len(cfg.pre_capsule_dnn.hidden_units):
+      hist = DNN.from_config(cfg.pre_capsule_dnn, name='pre_capsule')(
+          hist, training)
+    caps = cfg.capsule_config
+    interests, caps_mask = CapsuleLayer(
+        max_k=int(caps.max_k) or 5,
+        high_dim=int(caps.high_dim) or hist.shape[-1],
+        num_iters=int(caps.num_iters) or 3,
+        routing_logits_scale=caps.routing_logits_scale,
+        routing_logits_stddev=caps.routing_logits_stddev,
+        squash_pow=caps.squash_pow,
+        const_caps_num=caps.const_caps_num,
+        name='capsule')(hist, mask, training)      # [B, K, H]
+
+    user_in = il.group_concat(pulled, batch, ctx.group_features('user'))
+    user_feat = DNN.from_config(cfg.user_dnn, name='user_dnn')(
+        user_in, training)
+    k = interests.shape[1]
+    tiled = jnp.repeat(user_feat[:, None, :], k, axis=1)
+    concat = jnp.concatenate([interests, tiled], axis=-1)
+    user_interests = DNN.from_config(cfg.concat_dnn, name='concat_dnn')(
+        concat, training)                           # [B, K, D]
+
+    item_in = il.group_concat(pulled, batch, ctx.group_features('item'))
+    item_emb = DNN.from_config(cfg.item_dnn, name='item_dnn')(
+        item_in, training)
+
+    # label-guided attention (mind.py:168-200): softmax(simi^pow) over
+    # interests against the positive item
+    iu = _normalize(user_interests) if \
+        self.model.simi_func == Similarity.COSINE else user_interests
+    ie = _normalize(item_emb) if \
+        self.model.simi_func == Similarity.COSINE else item_emb
+    simi = jnp.einsum('bkd,bd->bk', iu, ie)
+    simi = jnp.where(caps_mask > 0, simi, -1e9)
+    if cfg.simi_pow >= 100:
+      att = jax.nn.one_hot(jnp.argmax(simi, axis=1), k)
+    else:
+      att = jax.nn.softmax(simi * cfg.simi_pow, axis=1)
+    user_emb = jnp.einsum('bk,bkd->bd', att, user_interests)
+    return {'user_tower_emb': user_emb, 'item_tower_emb': item_emb,
+            'user_interests': user_interests, 'interests_mask': caps_mask}
+
+
+@register_model('MIND')
+class MIND(MatchModel):
+  """reference: model/mind.py:21 (multi-interest capsule matching)"""
+
+  def make_module(self):
+    return _MINDModule(self.ctx, self)
+
+  def build_loss(self, outputs, batch):
+    total, losses = super().build_loss(outputs, batch)
+    cfg = self.config.mind
+    if cfg.max_interests_simi < 1.0:
+      ui = _normalize(outputs['user_interests'])
+      sims = jnp.einsum('bkd,bjd->bkj', ui, ui)
+      k = sims.shape[1]
+      off = ~jnp.eye(k, dtype=bool)
+      msk = outputs['interests_mask']
+      pair_mask = off[None] * (msk[:, :, None] * msk[:, None, :])
+      reg = jnp.sum(jnp.maximum(sims - cfg.max_interests_simi, 0.0)
+                    * pair_mask) / jnp.maximum(jnp.sum(pair_mask), 1e-9)
+      losses['interest_simi_reg'] = reg
+      total = total + reg
+    return total, losses
+
+  def export_outputs(self, outputs):
+    return {'user_emb': outputs['user_tower_emb'],
+            'user_interests': outputs['user_interests'],
+            'item_emb': outputs['item_tower_emb']}
+
+
+class _MultiTowerRecallModule(nn.Module):
+  ctx: Any
+  model: Any
+
+  @nn.compact
+  def __call__(self, batch, pulled, training: bool = False):
+    ctx = self.ctx
+    il = ctx.input_layer
+    cfg = ctx.model_config.multi_tower_recall
+    user_in = il.group_concat(pulled, batch, ctx.group_features('user'))
+    item_in = il.group_concat(pulled, batch, ctx.group_features('item'))
+    user_emb = DNN.from_config(cfg.user_tower.dnn, name='user_dnn')(
+        user_in, training)
+    item_emb = DNN.from_config(cfg.item_tower.dnn, name='item_dnn')(
+        item_in, training)
+    both = jnp.concatenate([user_emb, item_emb], axis=1)
+    final = DNN.from_config(cfg.final_dnn, name='final_dnn')(both, training)
+    logits = nn.Dense(1, name='logits')(final)[:, 0]
+    return {'user_tower_emb': user_emb, 'item_tower_emb': item_emb,
+            'logits': logits, 'probs': jax.nn.sigmoid(logits)}
+
+
+@register_model('MultiTowerRecall')
+class MultiTowerRecall(MatchModel):
+  """reference: model/multi_tower_recall.py"""
+
+  def make_module(self):
+    return _MultiTowerRecallModule(self.ctx, self)
+
+  def build_loss(self, outputs, batch):
+    labels = self.labels(batch)
+    weights = self.sample_weights(batch)
+    loss = L.sigmoid_cross_entropy(labels, outputs['logits'], weights)
+    return loss, {'sigmoid_cross_entropy': loss}
+
+
+class _DropoutNetModule(nn.Module):
+  ctx: Any
+  model: Any
+
+  @nn.compact
+  def __call__(self, batch, pulled, training: bool = False):
+    ctx = self.ctx
+    il = ctx.input_layer
+    cfg = ctx.model_config.dropoutnet
+    def group(name):
+      if name in ctx.groups:
+        return il.group_concat(pulled, batch, ctx.group_features(name))
+      return None
+    u_content = group('user_content')
+    u_pref = group('user_preference')
+    i_content = group('item_content')
+    i_pref = group('item_preference')
+    outs = []
+    for name, x, dnn_cfg, rate in [
+        ('user_content', u_content, cfg.user_content, 0.0),
+        ('user_preference', u_pref, cfg.user_preference,
+         cfg.user_dropout_rate),
+        ('item_content', i_content, cfg.item_content, 0.0),
+        ('item_preference', i_pref, cfg.item_preference,
+         cfg.item_dropout_rate)]:
+      if x is None:
+        outs.append(None)
+        continue
+      if rate > 0 and training:
+        # dropout whole preference vectors (cold-start simulation)
+        keep = jax.random.bernoulli(
+            self.make_rng('dropout'), 1 - rate, (x.shape[0], 1))
+        x = x * keep
+      outs.append(DNN.from_config(dnn_cfg, name=name)(x, training))
+    u_in = jnp.concatenate([o for o in outs[:2] if o is not None], axis=1)
+    i_in = jnp.concatenate([o for o in outs[2:] if o is not None], axis=1)
+    user_emb = DNN.from_config(cfg.user_tower, name='user_tower')(
+        u_in, training)
+    item_emb = DNN.from_config(cfg.item_tower, name='item_tower')(
+        i_in, training)
+    sim = jnp.sum(_normalize(user_emb) * _normalize(item_emb), axis=1)
+    return {'user_tower_emb': user_emb, 'item_tower_emb': item_emb,
+            'logits': sim, 'probs': jax.nn.sigmoid(sim)}
+
+
+@register_model('DropoutNet')
+class DropoutNet(MatchModel):
+  """reference: model/dropoutnet.py (cold-start two-tower)"""
+
+  def make_module(self):
+    return _DropoutNetModule(self.ctx, self)
+
+  def build_loss(self, outputs, batch):
+    labels = self.labels(batch)
+    weights = self.sample_weights(batch)
+    cfg = self.config.dropoutnet
+    sl = cfg.softmax_loss
+    loss = L.softmax_loss_with_negative_mining(
+        outputs['user_tower_emb'], outputs['item_tower_emb'], labels,
+        weights,
+        num_negative_samples=int(sl.num_negative_samples) or 4,
+        margin=sl.margin, gamma=sl.gamma,
+        coef=sl.coefficient_of_support_vector)
+    return loss, {'softmax_neg_mining': loss}
