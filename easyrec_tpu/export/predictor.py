@@ -1,0 +1,145 @@
+"""Predictor: load an export and serve batch / offline predictions.
+
+Reference: easy_rec/python/inference/predictor.py:101-603 (PredictorImpl +
+Predictor): loads a SavedModel, feeds CSV/table inputs through the same
+feature pipeline used in training, writes outputs. Here the export carries
+the pipeline config, so the host transforms are reconstructed exactly and
+the forward pass is one jitted function.
+"""
+
+from __future__ import annotations
+
+import csv as csv_lib
+import json
+import os
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from easyrec_tpu.data.input_pipeline import InputPipeline
+from easyrec_tpu.export import saved_model as sm
+from easyrec_tpu.features import feature_spec as fs
+from easyrec_tpu.features import transforms as tr
+from easyrec_tpu.models import base as model_base
+from easyrec_tpu.models import zoo  # noqa: F401
+from easyrec_tpu.ops import embedding as emb_ops
+from easyrec_tpu.config import config_util
+
+
+class Predictor:
+  """Loads an easyrec_tpu export and predicts."""
+
+  def __init__(self, export_dir: str, batch_size: int = 1024):
+    self.export_dir = export_dir
+    self.config, self.state = sm.load_serving_state(export_dir)
+    with open(os.path.join(export_dir, sm.EXPORT_META)) as f:
+      self.meta = json.load(f)
+    self.batch_size = batch_size
+    self.feature_configs = config_util.get_feature_configs(self.config)
+    self.specs = fs.build_feature_specs(
+        self.feature_configs,
+        max_tag_len=self.config.data_config.max_tag_len or 16)
+    self.transforms = tr.build_transforms(self.specs)
+    self.ctx = model_base.build_context(self.config, self.specs)
+    self.model = model_base.create_model(self.ctx)
+    self.module = self.model.make_module()
+    self._predict_fn = None
+
+  @property
+  def input_names(self) -> List[str]:
+    names = []
+    for fc in self.feature_configs:
+      names.extend(fc.input_names)
+    return list(dict.fromkeys(names))
+
+  def _build_predict_fn(self):
+    module, model, layout = self.module, self.model, self.ctx.layout
+    params = self.state['params']
+    batch_stats = self.state.get('batch_stats') or {}
+    tables = self.state['tables']
+
+    def fn(batch):
+      packs = emb_ops.pack_ids(layout, batch)
+      pulled = emb_ops.pull_embeddings(tables, packs)
+      variables = {'params': params}
+      if batch_stats:
+        variables['batch_stats'] = batch_stats
+      outputs = module.apply(variables, batch, pulled, False)
+      return model.export_outputs(outputs)
+
+    return jax.jit(fn)
+
+  @property
+  def predict_fn(self):
+    if self._predict_fn is None:
+      self._predict_fn = self._build_predict_fn()
+    return self._predict_fn
+
+  # -- feeding -------------------------------------------------------------
+
+  def predict_columns(self, columns: Dict[str, np.ndarray]) -> Dict:
+    """Raw input columns (one value per sample) -> output dict."""
+    n = len(next(iter(columns.values())))
+    packed = tr.apply_transforms(self.transforms, columns)
+    packed['sample_weight'] = np.ones(n, np.float32)
+    # pad to the static batch size
+    pad = (-n) % self.batch_size
+    if pad or n > self.batch_size:
+      out_chunks = []
+      for lo in range(0, n, self.batch_size):
+        chunk = {k: v[lo:lo + self.batch_size] for k, v in packed.items()}
+        m = chunk['sample_weight'].shape[0]
+        if m < self.batch_size:
+          chunk = {k: np.pad(v, [(0, self.batch_size - m)] +
+                             [(0, 0)] * (v.ndim - 1))
+                   for k, v in chunk.items()}
+        res = jax.device_get(self.predict_fn(chunk))
+        out_chunks.append({k: np.asarray(v)[:m] for k, v in res.items()})
+      return {k: np.concatenate([c[k] for c in out_chunks])
+              for k in out_chunks[0]}
+    res = jax.device_get(self.predict_fn(packed))
+    return {k: np.asarray(v)[:n] for k, v in res.items()}
+
+  def predict(self, inputs: Iterable[Dict[str, object]]) -> List[Dict]:
+    """List of {input_name: value} dicts -> list of output dicts
+    (the reference Predictor online API)."""
+    rows = list(inputs)
+    columns = {}
+    for name in self.input_names:
+      columns[name] = np.array([row.get(name, '') for row in rows],
+                               dtype=object)
+    out = self.predict_columns(columns)
+    return [{k: v[i] for k, v in out.items()} for i in range(len(rows))]
+
+  def predict_csv(self, input_path: str, output_path: str,
+                  reserved_cols: Optional[List[str]] = None,
+                  shard_index: int = 0, shard_num: int = 1) -> int:
+    """Batch predict a CSV input (same schema as training), writing
+    output CSV; returns row count (reference csv_predictor)."""
+    pipeline = InputPipeline(
+        self.config.data_config, self.feature_configs, input_path,
+        mode='eval', batch_size=self.batch_size,
+        shard_index=shard_index, shard_num=shard_num)
+    n_total = 0
+    with open(output_path, 'w', newline='') as f:
+      writer = None
+      for batch in pipeline:
+        valid = batch['sample_weight'] > 0
+        res = jax.device_get(self.predict_fn(batch))
+        keys = sorted(res.keys())
+        if writer is None:
+          writer = csv_lib.writer(f)
+          writer.writerow(keys)
+        arrays = [np.asarray(res[k]) for k in keys]
+        for i in np.nonzero(valid)[0]:
+          writer.writerow([_fmt(a[i]) for a in arrays])
+          n_total += 1
+    return n_total
+
+
+def _fmt(v):
+  arr = np.asarray(v)
+  if arr.ndim == 0:
+    return float(arr) if arr.dtype.kind == 'f' else arr.item()
+  return '|'.join(str(float(x)) for x in arr.ravel())

@@ -76,7 +76,21 @@ class ModelContext:
     return names
 
 
-def build_context(pipeline_config, specs, wide_output_dim: int = 4,
+
+
+def wide_output_dim(model_config) -> int:
+  """Wide embedding dim from the active model message (default 1)."""
+  which = model_config.WhichOneof('model')
+  if which is None:
+    return 1
+  sub = getattr(model_config, which)
+  fields = {f.name for f in sub.DESCRIPTOR.fields}
+  if 'wide_output_dim' in fields:
+    return max(int(sub.wide_output_dim), 1)
+  return 1
+
+
+def build_context(pipeline_config, specs, wide_dim: int = None,
                   compute_dtype=jnp.float32) -> ModelContext:
   mc = pipeline_config.model_config
   ctx_tmp = ModelContext.__new__(ModelContext)
@@ -93,7 +107,7 @@ def build_context(pipeline_config, specs, wide_output_dim: int = 4,
   layout = EmbeddingLayout(
       specs, deep_features=[f for f in deep if f in specs],
       wide_features=[f for f in wide if f in specs],
-      wide_output_dim=wide_output_dim,
+      wide_output_dim=wide_dim if wide_dim is not None else wide_output_dim(mc),
       seq_features=[])
   return ModelContext(
       model_config=mc, specs=specs, layout=layout,

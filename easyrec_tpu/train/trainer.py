@@ -67,17 +67,6 @@ def _model_l2_reg(model_config) -> float:
   return 0.0
 
 
-def _wide_output_dim(model_config) -> int:
-  which = model_config.WhichOneof('model')
-  if which is None:
-    return 1
-  sub = getattr(model_config, which)
-  fields = {f.name for f in sub.DESCRIPTOR.fields}
-  if 'wide_output_dim' in fields:
-    return max(int(sub.wide_output_dim), 1)
-  return 1
-
-
 class Trainer:
   """Builds the whole training program from one pipeline config."""
 
@@ -97,9 +86,7 @@ class Trainer:
         self.feature_configs,
         max_tag_len=self.data_config.max_tag_len or 16)
     self.ctx = model_base.build_context(
-        pipeline_config, self.specs,
-        wide_output_dim=_wide_output_dim(pipeline_config.model_config),
-        compute_dtype=self.compute_dtype)
+        pipeline_config, self.specs, compute_dtype=self.compute_dtype)
     self.model = model_base.create_model(self.ctx)
     self.module = self.model.make_module()
     self.layout = self.ctx.layout
