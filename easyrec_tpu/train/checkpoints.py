@@ -31,7 +31,9 @@ class CheckpointManager:
         os.path.join(self.directory, 'checkpoints'), options=options)
 
   def save(self, state: Any, step: int, force: bool = False) -> None:
-    if not force and self._mgr.latest_step() == step:
+    # a forced end-of-training save may land on the same step as the last
+    # periodic save — orbax raises StepAlreadyExistsError on re-save
+    if step in self._mgr.all_steps():
       return
     self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
     self._mgr.wait_until_finished()

@@ -118,7 +118,8 @@ class Trainer:
     packs = emb_ops.pack_ids(self.layout, batch)
     pulled = emb_ops.pull_embeddings(tables, packs)
     variables = self.module.init(
-        {'params': rng, 'dropout': rng}, batch, pulled, False)
+        {'params': rng, 'dropout': rng, 'routing': rng, 'augment': rng},
+        batch, pulled, False)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     opt_state = self.dense_opt.dense.init(params)
@@ -157,9 +158,16 @@ class Trainer:
           variables['batch_stats'] = state.batch_stats
         outputs, mutated = module.apply(
             variables, batch, pulled, True,
-            mutable=['batch_stats'],
-            rngs={'dropout': dropout_rng, 'routing': dropout_rng})
+            mutable=['batch_stats', 'losses'],
+            rngs={'dropout': dropout_rng, 'routing': dropout_rng,
+                  'augment': dropout_rng})
         total, loss_dict = model.build_loss(outputs, batch)
+        # auxiliary losses sown by backbone blocks (AuxiliaryLoss layers)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+            mutated.get('losses', {})):
+          aux = leaf[0] if isinstance(leaf, tuple) else leaf
+          total = total + aux
+          loss_dict['aux_loss'] = loss_dict.get('aux_loss', 0.0) + aux
         if l2_reg > 0:
           total = total + l2_reg * _l2_of_kernels(params)
         if emb_reg > 0:

@@ -1,0 +1,175 @@
+"""Backbone DSL: block-DAG composite models build, train and learn.
+
+Mirrors the reference's *_backbone_on_* sample configs
+(easy_rec/python/layers/backbone.py DAG semantics).
+"""
+
+import numpy as np
+import pytest
+
+from easyrec_tpu.config import get_configs_from_pipeline_file
+from easyrec_tpu.train.trainer import Trainer
+from tests import fixtures
+
+MASKNET_BODY = """
+  feature_groups {
+    group_name: "all"
+    feature_names: "d1" feature_names: "d2"
+    feature_names: "c1" feature_names: "c2" feature_names: "c3"
+    wide_deep: DEEP
+  }
+  backbone {
+    blocks {
+      name: "feat"
+      inputs { feature_group_name: "all" }
+      input_layer { do_layer_norm: true }
+    }
+    blocks {
+      name: "masknet"
+      inputs { block_name: "feat" }
+      keras_layer {
+        class_name: "MaskNet"
+        masknet {
+          mask_blocks { output_size: 32 reduction_factor: 1.0 }
+          mask_blocks { output_size: 32 reduction_factor: 1.0 }
+          mlp { hidden_units: 16 use_bn: false }
+        }
+      }
+    }
+    top_mlp { hidden_units: 8 use_bn: false final_activation: "relu" }
+  }
+"""
+
+# struct-params + lambda + repeat + senet on a 3d input
+MIXED_BODY = """
+  feature_groups {
+    group_name: "cats"
+    feature_names: "c1" feature_names: "c2" feature_names: "c3"
+    wide_deep: DEEP
+  }
+  feature_groups {
+    group_name: "nums"
+    feature_names: "d1" feature_names: "d2"
+    wide_deep: DEEP
+  }
+  backbone {
+    blocks {
+      name: "cats3d"
+      inputs { feature_group_name: "cats" }
+      input_layer { only_output_3d_tensor: true }
+    }
+    blocks {
+      name: "senet"
+      inputs { block_name: "cats3d" }
+      keras_layer {
+        class_name: "SENet"
+        senet { reduction_ratio: 2 num_squeeze_group: 2 }
+      }
+    }
+    blocks {
+      name: "scaled"
+      inputs { block_name: "senet" input_fn: "lambda x: x * 2.0" }
+      lambda { expression: "lambda x: jnp.tanh(x)" }
+    }
+    blocks {
+      name: "deep"
+      inputs { feature_group_name: "nums" }
+      inputs { block_name: "scaled" }
+      keras_layer {
+        class_name: "MLP"
+        st_params {
+          fields {
+            key: "hidden_units"
+            value { list_value { values { number_value: 24 }
+                                 values { number_value: 12 } } }
+          }
+          fields { key: "use_bn" value { bool_value: false } }
+        }
+      }
+    }
+    concat_blocks: "deep"
+    top_mlp { hidden_units: 8 use_bn: false }
+  }
+"""
+
+MULTI_TASK_BODY = """
+  feature_groups {
+    group_name: "all"
+    feature_names: "d1" feature_names: "d2"
+    feature_names: "c1" feature_names: "c2" feature_names: "c3"
+    wide_deep: DEEP
+  }
+  backbone {
+    blocks {
+      name: "mmoe"
+      inputs { feature_group_name: "all" }
+      keras_layer {
+        class_name: "MMoE"
+        mmoe { num_task: 2 num_expert: 3
+               expert_mlp { hidden_units: 16 use_bn: false } }
+      }
+    }
+    output_blocks: "mmoe"
+  }
+  model_params {
+    task_towers {
+      tower_name: "ctr" label_name: "label"
+      dnn { hidden_units: 8 use_bn: false }
+    }
+    task_towers {
+      tower_name: "cvr" label_name: "label"
+      dnn { hidden_units: 8 use_bn: false }
+    }
+  }
+"""
+
+
+def _train(tmp_path, body, model_class='RankModel', num_steps=120):
+  cfg_path = fixtures.write_pipeline(
+      tmp_path, model_class=model_class, model_body=body,
+      num_steps=num_steps)
+  cfg = get_configs_from_pipeline_file(cfg_path)
+  trainer = Trainer(cfg)
+  return trainer.fit()
+
+
+def test_backbone_masknet_learns(tmp_path):
+  result = _train(tmp_path, MASKNET_BODY)
+  assert result['eval_metrics']['auc'] > 0.7, result['eval_metrics']
+
+
+def test_backbone_mixed_blocks(tmp_path):
+  result = _train(tmp_path, MIXED_BODY, num_steps=60)
+  hist = result['history']
+  assert hist[-1]['loss'] < hist[0]['loss']
+  assert result['eval_metrics']['auc'] > 0.6
+
+
+def test_backbone_multi_task(tmp_path):
+  result = _train(tmp_path, MULTI_TASK_BODY, model_class='MultiTaskModel',
+                  num_steps=60)
+  assert np.isfinite(result['history'][-1]['loss'])
+  assert result['eval_metrics']['auc'] > 0.6
+
+
+def test_numeric_embedding_layers():
+  """Periodic / AutoDis / NaryDis numeric embeddings produce the right
+  shapes and gradients."""
+  import jax
+  import jax.numpy as jnp
+  from easyrec_tpu.layers import numeric_embedding as NE
+
+  x = jnp.asarray(np.random.default_rng(0).random((8, 5)), jnp.float32)
+  for mod, extra in [
+      (NE.PeriodicEmbedding(embedding_dim=6, sigma=1.0), {}),
+      (NE.AutoDisEmbedding(embedding_dim=6, num_bins=4,
+                           temperature=0.5), {}),
+      (NE.NaryDisEmbedding(embedding_dim=6, carries=(2, 9),
+                           inter_ary_pooling='sum'), {}),
+  ]:
+    params = mod.init(jax.random.PRNGKey(0), x)
+    out = mod.apply(params, x)
+    assert out.shape == (8, 30), (type(mod).__name__, out.shape)
+    g = jax.grad(lambda p: mod.apply(p, x).sum())(params)
+    assert all(np.isfinite(v).all()
+               for v in jax.tree_util.tree_leaves(g))
