@@ -224,6 +224,18 @@ class InputPipeline:
     self.shuffle = data_config.shuffle and mode == 'train'
     self._seed = 17
 
+    # negative sampler splice (reference input/input.py:823-845)
+    from easyrec_tpu.data import samplers as sampler_lib
+    self.sampler = sampler_lib.build(data_config, mode)
+    self._neg_transforms = []
+    if self.sampler is not None:
+      attr_set = set(self.sampler.attr_fields) | {self.sampler.item_id_field}
+      item_specs = {
+          name: spec for name, spec in self.specs.items()
+          if spec.config is not None and
+          all(n in attr_set for n in spec.config.input_names)}
+      self._neg_transforms = tr.build_transforms(item_specs)
+
   # -- iteration ----------------------------------------------------------
 
   def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -236,12 +248,12 @@ class InputPipeline:
         carry = self._concat(carry, batch_arrays)
         n = carry['sample_weight'].shape[0]
         while n >= self.batch_size:
-          yield self._slice(carry, 0, self.batch_size)
+          yield self._finalize(self._slice(carry, 0, self.batch_size))
           carry = self._slice(carry, self.batch_size, n)
           n = carry['sample_weight'].shape[0]
       if carry is not None and carry['sample_weight'].shape[0] > 0 and \
           not self.drop_remainder:
-        yield self._pad(carry)
+        yield self._finalize(self._pad(carry))
         carry = None
       if self.num_epochs and epoch >= self.num_epochs:
         return
@@ -265,6 +277,13 @@ class InputPipeline:
       out['sample_weight'] = tr._to_float(columns[self.sample_weight_field])
     else:
       out['sample_weight'] = np.ones(n, dtype=np.float32)
+    if self.sampler is not None:
+      # raw ids ride along for per-batch exclusion / hard-edge lookup
+      out['_sid.item'] = tr._to_numpy_str(
+          columns[self.sampler.item_id_field])
+      user_field = getattr(self.sampler, 'user_id_field', None)
+      if user_field and user_field in columns:
+        out['_sid.user'] = tr._to_numpy_str(columns[user_field])
     if self.shuffle:
       rng = np.random.default_rng(self._seed * 1000003 + epoch)
       self._seed += 1
@@ -281,6 +300,27 @@ class InputPipeline:
   @staticmethod
   def _slice(arrays, lo, hi):
     return {k: v[lo:hi] for k, v in arrays.items()}
+
+  def _finalize(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Splice sampled negatives into the batch as neg.feat.* arrays
+    (static [num_sample, ...] shapes; reference input/input.py:823-845)."""
+    if self.sampler is None:
+      return batch
+    item_ids = batch.pop('_sid.item', None)
+    user_ids = batch.pop('_sid.user', None)
+    cols = self.sampler.sample(
+        batch_item_ids=item_ids, batch_user_ids=user_ids)
+    neg = tr.apply_transforms(self._neg_transforms, cols)
+    for k, v in neg.items():
+      batch['neg.%s' % k] = v
+    if hasattr(self.sampler, 'sample_hard') and user_ids is not None:
+      hcols = self.sampler.sample_hard(user_ids)
+      hmask = hcols.pop('hard_neg_mask')
+      hneg = tr.apply_transforms(self._neg_transforms, hcols)
+      for k, v in hneg.items():
+        batch['hard_neg.%s' % k] = v
+      batch['hard_neg_mask'] = hmask
+    return batch
 
   def _pad(self, arrays):
     n = arrays['sample_weight'].shape[0]

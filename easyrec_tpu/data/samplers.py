@@ -1,0 +1,232 @@
+"""Negative samplers: weighted in-memory item sampling for matching models.
+
+Replaces the reference's GraphLearn-service-backed samplers
+(easy_rec/python/core/sampler.py:261-744) with vectorized in-memory
+alias-method sampling — there is no PS cluster to host a graph store on
+TPU; item tables up to O(100M) rows fit in host RAM as numpy arrays, and
+draws are O(1) per sample. Sampler kinds mirror the reference:
+
+  NegativeSampler          weighted node sampling           (:261)
+  NegativeSamplerInMemory  same (the reference's no-service variant :321)
+  NegativeSamplerV2        excludes the batch's positive edges (:475)
+  HardNegativeSampler      + per-user hard negative edges   (:549)
+  HardNegativeSamplerV2    V2 exclusion + hard edges        (:644)
+
+Input files use the GraphLearn text format the reference consumes:
+  items: id<TAB>weight<TAB>attrs     (attrs = attr_delimiter-joined fields)
+  edges: src_id<TAB>dst_id<TAB>weight
+Header lines (e.g. 'id:int64\tweight:float') are auto-skipped.
+
+Sampled attrs are mapped onto the item-side input fields (attr_fields)
+and re-enter the normal feature-transform path, emitting static-shape
+`neg.feat.*` arrays appended to every batch.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class AliasSampler:
+  """Walker's alias method: O(n) build, O(1) vectorized draws."""
+
+  def __init__(self, weights: np.ndarray):
+    w = np.asarray(weights, np.float64)
+    w = np.maximum(w, 0.0)
+    total = w.sum()
+    n = len(w)
+    if total <= 0:
+      w = np.ones(n) / n
+    else:
+      w = w / total
+    self.n = n
+    prob = w * n
+    self.prob = np.ones(n)
+    self.alias = np.arange(n)
+    small = [i for i in range(n) if prob[i] < 1.0]
+    large = [i for i in range(n) if prob[i] >= 1.0]
+    while small and large:
+      s, lg = small.pop(), large.pop()
+      self.prob[s] = prob[s]
+      self.alias[s] = lg
+      prob[lg] = prob[lg] - (1.0 - prob[s])
+      (small if prob[lg] < 1.0 else large).append(lg)
+
+  def draw(self, rng: np.random.Generator, count: int) -> np.ndarray:
+    idx = rng.integers(0, self.n, count)
+    accept = rng.random(count) < self.prob[idx]
+    return np.where(accept, idx, self.alias[idx])
+
+
+def _load_table(path: str, num_cols: int) -> List[List[str]]:
+  rows = []
+  with open(path) as f:
+    for line in f:
+      line = line.rstrip('\n')
+      if not line:
+        continue
+      parts = line.split('\t')
+      if ':' in parts[0] and not parts[0].split(':')[0].lstrip(
+          '-').isdigit():
+        continue  # header line like 'id:int64'
+      rows.append(parts[:num_cols] + [''] * (num_cols - len(parts)))
+  return rows
+
+
+class BaseNegativeSampler:
+  """Weighted item sampling + attr re-emission as input columns."""
+
+  def __init__(self, config, num_sample: int):
+    self.config = config
+    self.num_sample = int(num_sample)
+    self.attr_fields = list(config.attr_fields)
+    self.item_id_field = config.item_id_field
+    self.attr_delimiter = config.attr_delimiter or ':'
+    fields = {f.name for f in config.DESCRIPTOR.fields}
+    item_path = config.input_path if 'input_path' in fields \
+        else config.item_input_path
+    rows = _load_table(item_path, 3)
+    self.item_ids = np.array([r[0] for r in rows], dtype=object)
+    weights = np.array([float(r[1] or 1.0) for r in rows])
+    attrs = [r[2].split(self.attr_delimiter) for r in rows]
+    n_attr = len(self.attr_fields)
+    self.attrs = np.empty((len(rows), n_attr), dtype=object)
+    for i, a in enumerate(attrs):
+      a = a[:n_attr] + [''] * (n_attr - len(a))
+      self.attrs[i] = a
+    self.id_to_row = {v: i for i, v in enumerate(self.item_ids)}
+    self.alias = AliasSampler(weights)
+    self.rng = np.random.default_rng(20250816)
+    logging.info('loaded %d items for negative sampling from %s',
+                 len(rows), item_path)
+
+  # -- drawing ---------------------------------------------------------------
+
+  def _draw_excluding(self, count: int, exclude: Optional[set]) -> np.ndarray:
+    idx = self.alias.draw(self.rng, count)
+    if exclude:
+      for _ in range(3):  # bounded rejection resampling
+        bad = np.array([self.item_ids[i] in exclude for i in idx])
+        if not bad.any():
+          break
+        idx[bad] = self.alias.draw(self.rng, int(bad.sum()))
+    return idx
+
+  def _exclusion_set(self, batch_item_ids, batch_user_ids) -> Optional[set]:
+    # plain sampler: avoid the batch's own positive items
+    return set(batch_item_ids) if batch_item_ids is not None else None
+
+  def sample(self, batch_item_ids=None,
+             batch_user_ids=None) -> Dict[str, np.ndarray]:
+    """Returns {input_field_name: values[num_sample]} for the item-side
+    attr fields (reference sampler.get, core/sampler.py:205-259)."""
+    exclude = self._exclusion_set(batch_item_ids, batch_user_ids)
+    idx = self._draw_excluding(self.num_sample, exclude)
+    return self._attr_columns(idx)
+
+  def _attr_columns(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+    out = {}
+    for j, field in enumerate(self.attr_fields):
+      out[field] = self.attrs[idx, j]
+    out[self.item_id_field] = self.item_ids[idx]
+    return out
+
+
+class NegativeSampler(BaseNegativeSampler):
+  """Weighted sampling by item weight (reference core/sampler.py:261)."""
+
+
+class NegativeSamplerInMemory(BaseNegativeSampler):
+  """Identical runtime here — the reference's distinction (service vs
+  local numpy, core/sampler.py:321) disappears without a PS cluster."""
+
+
+class NegativeSamplerV2(BaseNegativeSampler):
+  """Excludes the batch users' positive edges (core/sampler.py:475)."""
+
+  def __init__(self, config, num_sample: int):
+    super().__init__(config, num_sample)
+    self.user_id_field = config.user_id_field
+    self.pos_edges: Dict[str, set] = {}
+    for r in _load_table(config.pos_edge_input_path, 3):
+      self.pos_edges.setdefault(r[0], set()).add(r[1])
+
+  def _exclusion_set(self, batch_item_ids, batch_user_ids):
+    exclude = set(batch_item_ids) if batch_item_ids is not None else set()
+    if batch_user_ids is not None:
+      for u in batch_user_ids:
+        exclude |= self.pos_edges.get(u, set())
+    return exclude
+
+
+class _HardEdgeMixin:
+  """Adds per-user hard negative edges -> static [B, H] hard negatives."""
+
+  def _load_hard(self, config):
+    self.num_hard_sample = int(config.num_hard_sample)
+    self.hard_edges: Dict[str, List[int]] = {}
+    for r in _load_table(config.hard_neg_edge_input_path, 3):
+      row = self.id_to_row.get(r[1])
+      if row is not None:
+        self.hard_edges.setdefault(r[0], []).append(row)
+
+  def sample_hard(self, batch_user_ids) -> Dict[str, np.ndarray]:
+    """Per-user hard negatives, padded to [B, H] (mask marks real ones).
+    Returns attr columns of length B*H plus 'hard_neg_mask' [B, H]."""
+    b, h = len(batch_user_ids), self.num_hard_sample
+    idx = np.zeros(b * h, dtype=np.int64)
+    mask = np.zeros((b, h), dtype=np.float32)
+    for i, u in enumerate(batch_user_ids):
+      cands = self.hard_edges.get(u, [])
+      if not cands:
+        continue
+      take = min(len(cands), h)
+      chosen = self.rng.choice(len(cands), take, replace=False)
+      for j, c in enumerate(chosen):
+        idx[i * h + j] = cands[c]
+        mask[i, j] = 1.0
+    cols = self._attr_columns(idx)
+    cols['hard_neg_mask'] = mask
+    return cols
+
+
+class HardNegativeSampler(BaseNegativeSampler, _HardEdgeMixin):
+  """Weighted negatives + per-user hard edges (core/sampler.py:549)."""
+
+  def __init__(self, config, num_sample: int):
+    super().__init__(config, num_sample)
+    self.user_id_field = config.user_id_field
+    self._load_hard(config)
+
+
+class HardNegativeSamplerV2(NegativeSamplerV2, _HardEdgeMixin):
+  """V2 exclusion + hard edges (core/sampler.py:644)."""
+
+  def __init__(self, config, num_sample: int):
+    super().__init__(config, num_sample)
+    self._load_hard(config)
+
+
+_SAMPLER_CLASSES = {
+    'negative_sampler': NegativeSampler,
+    'negative_sampler_in_memory': NegativeSamplerInMemory,
+    'negative_sampler_v2': NegativeSamplerV2,
+    'hard_negative_sampler': HardNegativeSampler,
+    'hard_negative_sampler_v2': HardNegativeSamplerV2,
+}
+
+
+def build(data_config, mode: str = 'train'):
+  """Dispatch on DatasetConfig.sampler oneof (reference sampler.build:746).
+  Returns None when no sampler is configured."""
+  which = data_config.WhichOneof('sampler')
+  if which is None:
+    return None
+  config = getattr(data_config, which)
+  num = int(config.num_sample)
+  if mode != 'train' and config.num_eval_sample:
+    num = int(config.num_eval_sample)
+  return _SAMPLER_CLASSES[which](config, num)

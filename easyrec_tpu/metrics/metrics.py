@@ -81,6 +81,21 @@ def update_accuracy(state, labels, preds, weights):
           'count': state['count'] + jnp.sum(w)}
 
 
+def update_topk_recall(state, logits, k: int, labels, weights):
+  """Recall@k over candidate columns: column 0 (or the diagonal caller
+  passes as col 0) is the positive; hit when it ranks in the top-k.
+  Used for recall_in_batch@k / recall_neg_sam@k (reference
+  match_model.py:287-317)."""
+  pos = logits[:, 0]
+  rank = jnp.sum((logits[:, 1:] > pos[:, None]).astype(jnp.float32),
+                 axis=1)
+  hit = (rank < k).astype(jnp.float32)
+  w = weights.astype(jnp.float32) * labels.astype(jnp.float32)
+  return {'sum': state['sum'] + jnp.sum(hit * w),
+          'sum_sq': state['sum_sq'],
+          'count': state['count'] + jnp.sum(w)}
+
+
 def update_binary_counts(state, labels, preds, weights):
   """For precision/recall at threshold 0.5: sum=tp, sum_sq=fp, count=pos."""
   w = weights.astype(jnp.float32)
@@ -165,7 +180,7 @@ class MetricsCollection:
 
   def init_states(self):
     states = {}
-    for which, _ in self.configs:
+    for which, cfg in self.configs:
       if which in ('auc', 'max_f1'):
         states.setdefault('auc_hist', init_metric_state('auc'))
       elif which in ('mean_absolute_error', 'mean_squared_error',
@@ -175,11 +190,26 @@ class MetricsCollection:
         states.setdefault('accuracy', init_metric_state('accuracy'))
       elif which in ('precision', 'recall'):
         states.setdefault('binary', init_metric_state('binary'))
+      elif which in ('recall_at_topk', 'precision_at_topk'):
+        states.setdefault('topk_%d' % int(cfg.topk),
+                          init_metric_state('topk'))
     return states
 
-  def update_states(self, states, labels, probs, preds, weights):
+  def update_states(self, states, labels, probs, preds, weights,
+                    extra: Optional[dict] = None):
     """jit-safe: update all device metric states."""
     out = dict(states)
+    extra = extra or {}
+    cand = extra.get('neg_sam_logits')
+    if cand is None and 'in_batch_logits' in extra:
+      ib = extra['in_batch_logits']
+      pos = jnp.diagonal(ib)
+      cand = jnp.concatenate([pos[:, None], ib], axis=1)
+    for key in states:
+      if key.startswith('topk_') and cand is not None:
+        k = int(key.split('_')[1])
+        out[key] = update_topk_recall(states[key], cand, k, labels,
+                                      weights)
     if 'auc_hist' in states:
       out['auc_hist'] = update_auc(states['auc_hist'], labels, probs,
                                    weights)
@@ -228,6 +258,15 @@ class MetricsCollection:
         s = states['binary']
         tp, pos = float(np.asarray(s['sum'])), float(np.asarray(s['count']))
         res['recall'] = tp / max(pos, 1e-9)
+      elif which in ('recall_at_topk', 'precision_at_topk'):
+        k = int(cfg.topk)
+        s = states.get('topk_%d' % k)
+        if s is not None:
+          hits = float(np.asarray(s['sum']))
+          cnt = float(np.asarray(s['count']))
+          name = 'recall@%d' % k if which == 'recall_at_topk' \
+              else 'precision@%d' % k
+          res[name] = hits / max(cnt, 1e-9)
       elif which == 'gauc' and host_buffers is not None:
         res['gauc'] = grouped_auc(
             host_buffers['field.%s' % cfg.uid_field],

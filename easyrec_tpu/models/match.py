@@ -79,19 +79,43 @@ class MatchModel(BaseModel):
     same = ids[None, :] == ids[:, None]
     return same
 
+  def _maybe_norm(self, x):
+    return _normalize(x) if self.simi_func == Similarity.COSINE else x
+
+  def _full_logits(self, outputs, batch):
+    """[B, B + N + H] similarity columns: in-batch items, sampled
+    negatives, per-row hard negatives (reference match_model.py:71-121
+    _list_wise_sim with hard-negative scatter)."""
+    user_emb, item_emb = self._tower_embs(outputs)
+    u = self._maybe_norm(user_emb)
+    cols = []
+    logits = u @ self._maybe_norm(item_emb).T          # [B, B]
+    b = logits.shape[0]
+    collide = self._item_id_mask(batch)
+    if collide is not None:
+      off_diag = collide & ~jnp.eye(b, dtype=bool)
+      logits = jnp.where(off_diag, -1e9, logits)
+    cols.append(logits)
+    neg = outputs.get('neg_item_tower_emb')
+    if neg is not None:
+      cols.append(u @ self._maybe_norm(neg).T)         # [B, N]
+    hard = outputs.get('hard_neg_item_tower_emb')
+    if hard is not None and 'hard_neg_mask' in batch:
+      mask = batch['hard_neg_mask']                    # [B, H]
+      h = mask.shape[1]
+      hard = self._maybe_norm(hard).reshape(b, h, -1)
+      hl = jnp.einsum('bd,bhd->bh', u, hard)
+      cols.append(jnp.where(mask > 0, hl, -1e9))
+    full = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+    return full / self.temperature
+
   def build_loss(self, outputs, batch):
     labels = self.labels(batch)
     weights = self.sample_weights(batch)
-    user_emb, item_emb = self._tower_embs(outputs)
     if self.is_listwise:
-      logits = self._in_batch_logits(user_emb, item_emb, batch)
-      b = logits.shape[0]
-      collide = self._item_id_mask(batch)
-      if collide is not None:
-        off_diag = collide & ~jnp.eye(b, dtype=bool)
-        logits = jnp.where(off_diag, -1e9, logits)
+      logits = self._full_logits(outputs, batch)
       logp = jax.nn.log_softmax(logits, axis=1)
-      per = -jnp.diagonal(logp)
+      per = -jnp.diagonal(logp[:, :logits.shape[0]])
       w = weights * labels
       loss = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-9)
       return loss, {'softmax_cross_entropy': loss}
@@ -103,12 +127,17 @@ class MatchModel(BaseModel):
     labels = self.labels(batch)
     weights = self.sample_weights(batch)
     if self.is_listwise:
-      user_emb, item_emb = self._tower_embs(outputs)
-      logits = self._in_batch_logits(user_emb, item_emb, batch)
-      # recall@k: does the positive item rank in top-k of in-batch items
-      return {'labels': labels, 'probs': jax.nn.sigmoid(
-          jnp.diagonal(logits)), 'preds': jnp.diagonal(logits),
-          'weights': weights, 'in_batch_logits': logits}
+      logits = self._full_logits(outputs, batch)
+      b = logits.shape[0]
+      pos = jnp.diagonal(logits[:, :b])
+      mi = {'labels': labels, 'probs': jax.nn.sigmoid(pos), 'preds': pos,
+            'weights': weights, 'in_batch_logits': logits[:, :b]}
+      if logits.shape[1] > b:
+        # positive vs sampled negatives only (recall_neg_sam@k,
+        # match_model.py:287-317)
+        mi['neg_sam_logits'] = jnp.concatenate(
+            [pos[:, None], logits[:, b:]], axis=1)
+      return mi
     return {'labels': labels, 'probs': outputs['probs'],
             'preds': outputs['probs'], 'weights': weights}
 
@@ -145,13 +174,21 @@ class _TwoTowerModule(nn.Module):
     else:
       user_in = il.group_concat(pulled, batch, ctx.group_features('user'))
       item_in = il.group_concat(pulled, batch, ctx.group_features('item'))
-    user_emb = DNN.from_config(self.user_dnn_cfg, name='user_dnn',
-                               compute_dtype=ctx.compute_dtype,
-                               )(user_in, training)
-    item_emb = DNN.from_config(self.item_dnn_cfg, name='item_dnn',
-                               compute_dtype=ctx.compute_dtype,
-                               )(item_in, training)
+    user_dnn = DNN.from_config(self.user_dnn_cfg, name='user_dnn',
+                               compute_dtype=ctx.compute_dtype)
+    item_dnn = DNN.from_config(self.item_dnn_cfg, name='item_dnn',
+                               compute_dtype=ctx.compute_dtype)
+    user_emb = user_dnn(user_in, training)
+    item_emb = item_dnn(item_in, training)
     out = {'user_tower_emb': user_emb, 'item_tower_emb': item_emb}
+    # sampled negatives run through the SAME item tower (shared params,
+    # reference match_model list-wise mode with sampler outputs)
+    item_names = ctx.group_features('item')
+    for pfx, key in (('neg.', 'neg_item_tower_emb'),
+                     ('hard_neg.', 'hard_neg_item_tower_emb')):
+      if any(k.startswith(pfx + 'feat.') for k in batch):
+        neg_in = il.group_concat(pulled, batch, item_names, prefix=pfx)
+        out[key] = item_dnn(neg_in, training)
     model = self.model
     if not model.is_listwise:
       if model.simi_func == Similarity.COSINE:

@@ -19,16 +19,36 @@ from easyrec_tpu.features.embedding_layout import EmbeddingLayout
 
 
 def pack_ids(layout: EmbeddingLayout,
-             batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+             batch: Dict[str, jnp.ndarray],
+             prefix: str = '') -> Dict[str, jnp.ndarray]:
   """Concatenate every feature's ids (+ its table's row offset) into one
   [B, totK] int32 pack per fused table. One cheap device-side concat buys
-  one big gather per dim-group."""
+  one big gather per dim-group.
+
+  With a prefix (e.g. 'neg.' for sampled negatives), features absent from
+  the batch fill with id 0 so per-use slice offsets stay valid — negatives
+  only carry item-side features, and the wasted gather rows are tiny.
+  """
   packs = {}
   for key, table in layout.tables.items():
     cols = []
+    rows = None
+    missing = []
     for use in table.uses:
-      ids = batch['feat.%s.ids' % use.feature]
-      cols.append(ids.astype(jnp.int32) + jnp.int32(use.offset))
+      bkey = '%sfeat.%s.ids' % (prefix, use.feature)
+      if bkey in batch:
+        ids = batch[bkey]
+        rows = ids.shape[0]
+        cols.append(ids.astype(jnp.int32) + jnp.int32(use.offset))
+      elif prefix:
+        cols.append(use.k)         # placeholder, resolved once rows known
+        missing.append(len(cols) - 1)
+      else:
+        raise KeyError('batch is missing %s' % bkey)
+    if rows is None:
+      continue                     # no feature of this table in this view
+    for i in missing:
+      cols[i] = jnp.zeros((rows, cols[i]), jnp.int32)
     packs[key] = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
   return packs
 
@@ -36,8 +56,31 @@ def pack_ids(layout: EmbeddingLayout,
 def pull_embeddings(tables: Dict[str, jnp.ndarray],
                     packs: Dict[str, jnp.ndarray]
                     ) -> Dict[str, jnp.ndarray]:
-  """Fused gather: one table.take per dim-group -> [B, totK, dim]."""
-  return {key: jnp.take(tables[key], packs[key], axis=0) for key in packs}
+  """Fused gather: one table.take per dim-group -> [B, totK, dim].
+
+  Pack keys may carry a view prefix ('neg.<table>' / 'hard_neg.<table>'
+  for sampled negatives); they gather from the same underlying table.
+  """
+  out = {}
+  for key in packs:
+    base = key
+    for pfx in ('neg.', 'hard_neg.'):
+      if key.startswith(pfx):
+        base = key[len(pfx):]
+        break
+    out[key] = jnp.take(tables[base], packs[key], axis=0)
+  return out
+
+
+def pack_all_views(layout: EmbeddingLayout,
+                   batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+  """Packs for the main batch plus any sampled-negative views present."""
+  packs = pack_ids(layout, batch)
+  for pfx in ('neg.', 'hard_neg.'):
+    if any(k.startswith(pfx + 'feat.') for k in batch):
+      extra = pack_ids(layout, batch, prefix=pfx)
+      packs.update({pfx + k: v for k, v in extra.items()})
+  return packs
 
 
 def combine(rows: jnp.ndarray, weights: jnp.ndarray,
@@ -82,13 +125,25 @@ class InputLayer:
 
   def feature_embedding(self, pulled: Dict[str, jnp.ndarray],
                         batch: Dict[str, jnp.ndarray],
-                        fname: str, role: str = 'deep') -> jnp.ndarray:
-    """[B, dim] combined embedding for one categorical feature."""
+                        fname: str, role: str = 'deep',
+                        prefix: str = '') -> jnp.ndarray:
+    """[B, dim] combined embedding for one categorical feature.
+
+    prefix selects an alternate batch view (e.g. 'neg.' for sampled
+    negatives; pulled must then hold the matching '<prefix>' pack pulls).
+    """
     spec = self.specs[fname]
     key, use = self.layout.feature_use[(fname, role)]
-    rows = jax.lax.slice_in_dim(pulled[key], use.start, use.start + use.k,
-                                axis=1)
-    weights = batch['feat.%s.weights' % fname]
+    wkey = '%sfeat.%s.weights' % (prefix, fname)
+    if prefix and wkey not in batch:
+      raise KeyError(
+          'feature %r is used by a sampled-negative tower but is not in '
+          'the batch view %r — add its input column to the sampler '
+          'attr_fields (protos/data.proto NegativeSampler)' %
+          (fname, prefix))
+    rows = jax.lax.slice_in_dim(pulled[prefix + key], use.start,
+                                use.start + use.k, axis=1)
+    weights = batch[wkey]
     combiner = spec.combiner if role == 'deep' else 'sum'
     return combine(rows, weights, combiner)
 
@@ -103,38 +158,39 @@ class InputLayer:
     return rows * mask[:, :, None], mask
 
   def dense_feature(self, batch: Dict[str, jnp.ndarray],
-                    fname: str) -> jnp.ndarray:
-    return batch['feat.%s.dense' % fname]
+                    fname: str, prefix: str = '') -> jnp.ndarray:
+    return batch['%sfeat.%s.dense' % (prefix, fname)]
 
   def group_embeddings(self, pulled, batch, feature_names,
-                       role: str = 'deep'):
+                       role: str = 'deep', prefix: str = ''):
     """List of per-feature [B, d_f] tensors for a feature group (dense
     features pass through)."""
     outs = []
     for fname in feature_names:
       spec = self.specs[fname]
       if spec.kind == 'dense':
-        outs.append(self.dense_feature(batch, fname))
+        outs.append(self.dense_feature(batch, fname, prefix))
       elif spec.kind == 'sequence':
         # sequences used in a flat group are mean-pooled over valid steps
         seq, mask = self.sequence_embedding(pulled, batch, fname)
         denom = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
         outs.append(seq.sum(axis=1) / denom)
       else:
-        outs.append(self.feature_embedding(pulled, batch, fname, role))
+        outs.append(self.feature_embedding(pulled, batch, fname, role,
+                                           prefix))
     return outs
 
   def group_concat(self, pulled, batch, feature_names,
-                   role: str = 'deep') -> jnp.ndarray:
+                   role: str = 'deep', prefix: str = '') -> jnp.ndarray:
     """[B, sum(d_f)] concatenation of a feature group."""
-    outs = self.group_embeddings(pulled, batch, feature_names, role)
+    outs = self.group_embeddings(pulled, batch, feature_names, role, prefix)
     return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
   def group_stack(self, pulled, batch, feature_names,
-                  role: str = 'deep') -> jnp.ndarray:
+                  role: str = 'deep', prefix: str = '') -> jnp.ndarray:
     """[B, F, dim] stack (requires equal dims) for FM/AutoInt/DLRM-style
     field-wise interactions."""
-    outs = self.group_embeddings(pulled, batch, feature_names, role)
+    outs = self.group_embeddings(pulled, batch, feature_names, role, prefix)
     dims = {o.shape[-1] for o in outs}
     if len(dims) != 1:
       raise ValueError('group_stack needs equal embedding dims, got %s'

@@ -145,11 +145,23 @@ def apply_sparse_updates(tables: Dict[str, jnp.ndarray],
                          lr: jnp.ndarray,
                          step: jnp.ndarray,
                          scratch_rows: Dict[str, int]):
-  """Apply one sparse update per fused table."""
+  """Apply one sparse update per fused table.
+
+  A table may be pulled through several batch views (main batch plus
+  'neg.' / 'hard_neg.' sampled-negative views); their ids and pulled-row
+  gradients are concatenated before the dedup-sum so negative items also
+  receive updates (reference optimizers.py:294-316 IndexedSlices path).
+  """
   new_tables, new_states = {}, {}
   for key, table in tables.items():
-    ids = packs[key].reshape(-1)
-    g = pulled_grads[key].reshape(-1, table.shape[-1]).astype(jnp.float32)
+    id_parts, g_parts = [], []
+    for view in (key, 'neg.' + key, 'hard_neg.' + key):
+      if view in packs:
+        id_parts.append(packs[view].reshape(-1))
+        g_parts.append(pulled_grads[view].reshape(
+            -1, table.shape[-1]).astype(jnp.float32))
+    ids = jnp.concatenate(id_parts) if len(id_parts) > 1 else id_parts[0]
+    g = jnp.concatenate(g_parts) if len(g_parts) > 1 else g_parts[0]
     uids, ug = dedup_sum(ids, g, scratch_rows[key])
     new_tables[key], new_states[key] = optimizer.update_rows(
         table, states[key], uids, ug, lr, step)

@@ -70,7 +70,16 @@ class ShardingRules:
     return self.named(P())
 
   def shard_batch(self, batch: Dict[str, np.ndarray]):
-    return jax.device_put(batch, self.batch)
+    # sampled-negative views ('neg.*', 'hard_neg.*') are shared by every
+    # row of the batch: replicate them so the user x neg similarity needs
+    # no gather across devices (the reference broadcasts sampled items to
+    # all workers the same way)
+    shardings = {
+        k: (self.replicated if k.startswith(('neg.', 'hard_neg'))
+            else self.batch)
+        for k in batch
+    }
+    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
 
   def shard_tables(self, tables: Dict[str, np.ndarray]):
     return {k: jax.device_put(v, self.table) for k, v in tables.items()}

@@ -115,7 +115,7 @@ class Trainer:
         self.seed, pad_rows_to=self.rules.table_pad_rows())
     tables = self.rules.shard_tables(tables_np)
     batch = self.rules.shard_batch(sample_batch)
-    packs = emb_ops.pack_ids(self.layout, batch)
+    packs = emb_ops.pack_all_views(self.layout, batch)
     pulled = emb_ops.pull_embeddings(tables, packs)
     variables = self.module.init(
         {'params': rng, 'dropout': rng, 'routing': rng, 'augment': rng},
@@ -148,7 +148,7 @@ class Trainer:
     seed = self.seed
 
     def train_step(state: TrainState, batch):
-      packs = emb_ops.pack_ids(layout, batch)
+      packs = emb_ops.pack_all_views(layout, batch)
       pulled = emb_ops.pull_embeddings(state.tables, packs)
       dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
 
@@ -206,7 +206,7 @@ class Trainer:
     metrics = self.metrics
 
     def eval_step(state: TrainState, batch, metric_states):
-      packs = emb_ops.pack_ids(layout, batch)
+      packs = emb_ops.pack_all_views(layout, batch)
       pulled = emb_ops.pull_embeddings(state.tables, packs)
       variables = {'params': state.params}
       if state.batch_stats:
@@ -216,7 +216,7 @@ class Trainer:
       loss, _ = model.build_loss(outputs, batch)
       new_states = metrics.update_states(
           metric_states, mi['labels'], mi['probs'], mi['preds'],
-          mi['weights'])
+          mi['weights'], extra=mi)
       return new_states, loss, mi
 
     return jax.jit(eval_step)
