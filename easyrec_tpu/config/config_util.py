@@ -355,3 +355,53 @@ def process_neg_sampler_data_path(config: EasyRecConfig) -> None:
     if sampler.DESCRIPTOR.fields_by_name.get(field) and \
         getattr(sampler, field, ''):
       setattr(sampler, field, getattr(sampler, field).strip())
+
+
+def collect_extra_fields(config: EasyRecConfig) -> list:
+  """Input fields that must ride along in batches as 'field.<name>'
+  columns: metric grouping ids (GAUC uid / session AUC), loss
+  session_name fields, and KD teacher-prediction / soft-label fields
+  (reference keeps these via effective-field selection,
+  input/input.py:144-175)."""
+  fields = []
+
+  def _add(name):
+    if name and name not in fields:
+      fields.append(name)
+
+  def _metric_fields(metrics_set):
+    for m in metrics_set:
+      which = m.WhichOneof('metric')
+      if which == 'gauc':
+        _add(m.gauc.uid_field)
+      elif which == 'session_auc':
+        _add(m.session_auc.session_id_field)
+
+  _metric_fields(config.eval_config.metrics_set)
+  mc = config.model_config
+  for loss in mc.losses:
+    which = loss.WhichOneof('loss_param')
+    if which is not None:
+      params = getattr(loss, which)
+      if 'session_name' in {f.name for f in params.DESCRIPTOR.fields}:
+        _add(params.session_name)
+  for kd in mc.kd:
+    _add(kd.pred_name)
+    _add(kd.soft_label_name)
+    _add(kd.task_space_indicator_name)
+  which_model = mc.WhichOneof('model')
+  if which_model is not None:
+    sub = getattr(mc, which_model)
+    sub_fields = {f.name for f in sub.DESCRIPTOR.fields}
+    for tower_field in ('task_towers',):
+      if tower_field in sub_fields:
+        for tower in getattr(sub, tower_field):
+          _metric_fields(tower.metrics_set)
+          _add(tower.task_space_indicator_name)
+    # metric-learning grouping ids
+    for name_field in ('session_id', 'sample_id'):
+      if name_field in sub_fields:
+        _add(getattr(sub, name_field))
+  # drop names that are already labels (those flow as label.<name>)
+  labels = set(config.data_config.label_fields)
+  return [f for f in fields if f not in labels]

@@ -199,7 +199,8 @@ class InputPipeline:
                batch_size: Optional[int] = None,
                shard_index: int = 0,
                shard_num: int = 1,
-               drop_remainder: Optional[bool] = None):
+               drop_remainder: Optional[bool] = None,
+               extra_fields: Optional[List[str]] = None):
     self.data_config = data_config
     self.mode = mode
     if batch_size is None:
@@ -223,6 +224,13 @@ class InputPipeline:
     self.num_epochs = data_config.num_epochs if mode == 'train' else 1
     self.shuffle = data_config.shuffle and mode == 'train'
     self._seed = 17
+    # pass-through fields emitted as numeric 'field.<name>' columns
+    # (metric uid/session ids, KD teacher preds — config_util
+    # .collect_extra_fields); strings are hashed so they can live on device
+    field_types = {f.input_name: f.input_type
+                   for f in data_config.input_fields}
+    self.extra_fields = [(f, field_types.get(f, FieldType.STRING))
+                         for f in (extra_fields or []) if f in field_types]
 
     # negative sampler splice (reference input/input.py:823-845)
     from easyrec_tpu.data import samplers as sampler_lib
@@ -277,6 +285,13 @@ class InputPipeline:
       out['sample_weight'] = tr._to_float(columns[self.sample_weight_field])
     else:
       out['sample_weight'] = np.ones(n, dtype=np.float32)
+    for fname, ftype in self.extra_fields:
+      if ftype == FieldType.STRING:
+        from easyrec_tpu.ops.hashing import hash_strings
+        out['field.%s' % fname] = hash_strings(
+            columns[fname], 1 << 31).astype(np.int64)
+      else:
+        out['field.%s' % fname] = tr._to_float(columns[fname])
     if self.sampler is not None:
       # raw ids ride along for per-batch exclusion / hard-edge lookup
       out['_sid.item'] = tr._to_numpy_str(

@@ -233,8 +233,7 @@ class AuxiliaryLoss(nn.Module):
           labels, labels])
     else:  # l2
       loss = jnp.mean(jnp.sum(jnp.square(x1 - x2), axis=-1))
-    self.sow('losses', 'aux_loss', self.loss_weight * loss,
-             reduce_fn=lambda a, b: a + b)
+    self.sow('losses', 'aux_loss', self.loss_weight * loss)
     return x1
 
 

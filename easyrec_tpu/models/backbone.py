@@ -327,6 +327,16 @@ class Package(nn.Module):
       return t
 
     feature_list = il.group_embeddings(pulled, batch, names)
+    mc = self.ctx.model_config
+    if mc.HasField('variational_dropout'):
+      from easyrec_tpu.layers.variational_dropout import VariationalDropout
+      vd = mc.variational_dropout
+      feature_list = VariationalDropout(
+          feature_names=tuple(names),
+          regularization_lambda=vd.regularization_lambda,
+          embedding_wise=vd.embedding_wise_variational_dropout,
+          name='%s_variational_dropout' % block_name)(feature_list,
+                                                      training)
     if cfg.feature_dropout_rate > 0 and training:
       rng = self.make_rng('dropout')
       keep = jax.random.bernoulli(rng, 1.0 - cfg.feature_dropout_rate,

@@ -309,15 +309,95 @@ class RankModel(BaseModel):
     return [{'type': self.loss_type, 'weight': 1.0, 'params': None,
              'name': LossType.Name(self.loss_type)}]
 
+  def _kd_losses(self, outputs, batch, weights):
+    """Knowledge-distillation losses (reference easy_rec_model.proto:51-87
+    KD message + loss_builder.py:228-330): student prediction vs a
+    teacher signal carried in the batch (field.<soft_label_name>)."""
+    out = {}
+    for i, kd in enumerate(self.config.kd):
+      pred = outputs.get(kd.pred_name) if kd.pred_name else None
+      if pred is None:
+        pred = outputs['logits']
+      soft_key = 'field.%s' % kd.soft_label_name
+      if soft_key not in batch:
+        soft_key = 'label.%s' % kd.soft_label_name
+      soft = batch[soft_key]
+      w = weights
+      if kd.task_space_indicator_name:
+        ind_key = 'field.%s' % kd.task_space_indicator_name
+        if ind_key in batch:
+          ind = batch[ind_key]
+          try:
+            thr = float(kd.task_space_indicator_value)
+          except ValueError:
+            thr = 0.0
+          in_space = (ind > thr).astype(jnp.float32)
+          w = w * (kd.in_task_space_weight * in_space +
+                   kd.out_task_space_weight * (1.0 - in_space))
+      t = float(kd.temperature) or 1.0
+      pred_l = pred if kd.pred_is_logits else \
+          jnp.log(jnp.clip(pred, 1e-9, 1.0 - 1e-9)) - \
+          jnp.log1p(-jnp.clip(pred, 1e-9, 1.0 - 1e-9))
+      soft_l = soft if kd.label_is_logits else \
+          jnp.log(jnp.clip(soft, 1e-9, 1.0 - 1e-9)) - \
+          jnp.log1p(-jnp.clip(soft, 1e-9, 1.0 - 1e-9))
+      lt = kd.loss_type
+      if lt == LossType.KL_DIVERGENCE_LOSS:
+        p = jax.nn.sigmoid(soft_l / t)
+        q = jax.nn.sigmoid(pred_l / t)
+        kl = p * (jnp.log(jnp.clip(p, 1e-9, 1.0)) -
+                  jnp.log(jnp.clip(q, 1e-9, 1.0))) + \
+            (1 - p) * (jnp.log(jnp.clip(1 - p, 1e-9, 1.0)) -
+                       jnp.log(jnp.clip(1 - q, 1e-9, 1.0)))
+        value = jnp.sum(kl * w) / jnp.maximum(jnp.sum(w), 1e-9) * t * t
+      elif lt == LossType.L2_LOSS:
+        value = L.l2_loss(soft, pred, w)
+      elif lt == LossType.LISTWISE_DISTILL_LOSS:
+        sess = batch.get('field.%s' % getattr(
+            getattr(kd, kd.WhichOneof('loss_param') or 'listwise_distill_loss',
+                    None), 'session_name', ''), None) \
+            if kd.WhichOneof('loss_param') else None
+        value = L.listwise_rank_loss(jax.nn.sigmoid(soft_l / t), pred_l,
+                                     sess if sess is not None else
+                                     jnp.zeros_like(w), w)
+      else:  # CROSS_ENTROPY (binary, temperature-scaled)
+        p = jax.nn.sigmoid(soft_l / t)
+        value = L.sigmoid_cross_entropy(p, pred_l / t, w) * t * t
+      name = kd.loss_name or ('kd_loss_%d' % i)
+      out[name] = (value, float(kd.loss_weight) or 1.0)
+    return out
+
   def build_loss(self, outputs, batch):
     labels = self.labels(batch)
     weights = self.sample_weights(batch)
     losses = {}
-    total = 0.0
+    terms = []
     for cfg in self._loss_configs():
       value = self._single_loss(cfg, labels, outputs, weights, batch)
       losses[cfg['name']] = value
-      total = total + cfg['weight'] * value
+      terms.append((value, cfg['weight'], cfg['type']))
+    for name, (value, w) in self._kd_losses(outputs, batch,
+                                            weights).items():
+      losses[name] = value
+      terms.append((value, w, None))
+    strategy = self.config.loss_weight_strategy
+    Strategy = models_pb2.EasyRecModel.LossWeightStrategy
+    if strategy == Strategy.Uncertainty and 'uncertainty_w' in outputs \
+            and len(terms) > 1:
+      # learned homoscedastic weights: exp(-u)*L + 0.5*u, halved for L2
+      # losses (reference rank_model.py:302-318)
+      u = outputs['uncertainty_w']
+      total = 0.0
+      for i, (value, _, lt) in enumerate(terms):
+        scale = 0.5 if lt in (LossType.L2_LOSS,
+                              LossType.SIGMOID_L2_LOSS) else 1.0
+        total = total + scale * jnp.exp(-u[i]) * value + 0.5 * u[i]
+    elif strategy == Strategy.Random and 'random_loss_w' in outputs \
+            and len(terms) > 1:
+      w = outputs['random_loss_w']
+      total = sum(w[i] * v for i, (v, _, _) in enumerate(terms))
+    else:
+      total = sum(w * v for v, w, _ in terms)
     return total, losses
 
   def metric_inputs(self, outputs, batch):

@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from easyrec_tpu.layers.attention import (BSTEncoder, DinAttention,
@@ -365,13 +366,27 @@ class DummyModel(RankModel):
 
 
 class _WithPrediction(nn.Module):
-  """Wraps a raw-logit module and attaches probs/preds."""
+  """Wraps a raw-logit module and attaches probs/preds (+ learned or
+  random multi-loss weights, rank_model.py:284-322)."""
   model: Any
   inner: nn.Module
 
   @nn.compact
   def __call__(self, batch, pulled, training: bool = False):
+    from easyrec_tpu.protos import models_pb2 as _m
     out = self.inner(batch, pulled, training)
     pred = self.model._prediction(out.pop('raw_logits'))
     out.update(pred)
+    cfg = self.model.config
+    n_losses = max(len(cfg.losses), 1) + len(cfg.kd)
+    Strategy = _m.EasyRecModel.LossWeightStrategy
+    if n_losses > 1:
+      if cfg.loss_weight_strategy == Strategy.Uncertainty:
+        out['uncertainty_w'] = self.param(
+            'loss_uncertainty', nn.initializers.zeros, (n_losses,))
+      elif cfg.loss_weight_strategy == Strategy.Random:
+        rng = self.make_rng('dropout') if training else \
+            jax.random.PRNGKey(0)
+        out['random_loss_w'] = jax.nn.softmax(
+            jax.random.normal(rng, (n_losses,))) * n_losses
     return out

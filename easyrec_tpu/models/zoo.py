@@ -14,3 +14,11 @@ try:
   from easyrec_tpu.models import backbone_model  # noqa: F401
 except ImportError:  # pragma: no cover
   pass
+try:
+  from easyrec_tpu.models import rank_extra  # noqa: F401
+except ImportError:  # pragma: no cover
+  pass
+try:
+  from easyrec_tpu.models import match_extra  # noqa: F401
+except ImportError:  # pragma: no cover
+  pass

@@ -1,0 +1,147 @@
+"""Fine-tune (warm-start) partial restore with var-map renames, restore
+filters and shape-compatible clip/pad.
+
+Reference: easy_rec/python/model/easy_rec_model.py:219-351 (restore with
+fine_tune_ckpt_var_map), utils/estimator_utils.py:669-750
+(IncompatibleShapeRestoreHook), easy_rec_model.py:425-444 restore_filters.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix=()) -> Dict[str, Any]:
+  out = {}
+  for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+    keys = [str(p.key) for p in path if hasattr(p, 'key')]
+    out['/'.join(keys)] = leaf
+  return out
+
+
+def _parse_var_map(var_map: str) -> Dict[str, str]:
+  """'ckpt_name:model_name' lines or comma-separated pairs -> rename map
+  applied to checkpoint names (reference var-map file semantics)."""
+  mapping = {}
+  if not var_map:
+    return mapping
+  if os.path.exists(var_map):
+    with open(var_map) as f:
+      content = f.read()
+  else:
+    content = var_map
+  for entry in re.split(r'[,\n]', content):
+    entry = entry.strip()
+    if not entry:
+      continue
+    if ':' in entry:
+      src, dst = entry.split(':', 1)
+    elif '\t' in entry:
+      src, dst = entry.split('\t', 1)
+    else:
+      continue
+    mapping[src.strip()] = dst.strip()
+  return mapping
+
+
+def _fit_shape(value: np.ndarray, target_shape, name: str,
+               force: bool) -> Optional[np.ndarray]:
+  if tuple(value.shape) == tuple(target_shape):
+    return value
+  if not force:
+    logging.warning('skip %s: ckpt shape %s != model shape %s '
+                    '(set force_restore_shape_compatible to clip/pad)',
+                    name, value.shape, target_shape)
+    return None
+  if value.ndim != len(target_shape):
+    logging.warning('skip %s: rank mismatch %s vs %s', name, value.shape,
+                    target_shape)
+    return None
+  # clip or zero-pad each axis (reference IncompatibleShapeRestoreHook)
+  out = np.zeros(target_shape, dtype=value.dtype)
+  slices = tuple(slice(0, min(a, b))
+                 for a, b in zip(value.shape, target_shape))
+  out[slices] = value[slices]
+  logging.info('restored %s with shape adaptation %s -> %s', name,
+               value.shape, target_shape)
+  return out
+
+
+def load_raw_checkpoint(ckpt_path: str):
+  """Load a checkpoint as a raw pytree (no template). Accepts either a
+  model_dir (picks the latest step), a .../checkpoints dir, or a direct
+  step dir."""
+  import orbax.checkpoint as ocp
+  path = os.path.abspath(ckpt_path)
+  cdir = os.path.join(path, 'checkpoints')
+  if os.path.isdir(cdir):
+    steps = sorted(int(d) for d in os.listdir(cdir) if d.isdigit())
+    if not steps:
+      raise FileNotFoundError('no checkpoints under %s' % cdir)
+    path = os.path.join(cdir, str(steps[-1]))
+  with ocp.StandardCheckpointer() as ckptr:
+    return ckptr.restore(path)
+
+
+def fine_tune_restore(state, ckpt_path: str, var_map: str = '',
+                      restore_filters: List[str] = (),
+                      force_shape_compat: bool = True):
+  """Warm-start `state` from another run's checkpoint: params and
+  embedding tables restored by matching flattened names; optimizer slots
+  and step stay fresh."""
+  raw = load_raw_checkpoint(ckpt_path)
+  rename = _parse_var_map(var_map)
+  filters = [re.compile(p) for p in restore_filters]
+
+  def _restore_section(current, saved_section, section: str):
+    cur_flat = _flatten(current)
+    saved_flat = _flatten(saved_section) if saved_section is not None \
+        else {}
+    renamed = {}
+    for name, value in saved_flat.items():
+      renamed[rename.get(name, name)] = value
+    updates = {}
+    for name, cur in cur_flat.items():
+      if name not in renamed:
+        continue
+      if any(f.search(name) for f in filters):
+        logging.info('restore filter excluded %s/%s', section, name)
+        continue
+      fitted = _fit_shape(np.asarray(renamed[name]), cur.shape,
+                          '%s/%s' % (section, name), force_shape_compat)
+      if fitted is not None:
+        updates[name] = fitted.astype(np.asarray(cur).dtype)
+    if not updates:
+      return current, 0
+
+    def _replace(path, leaf):
+      keys = [str(p.key) for p in path if hasattr(p, 'key')]
+      name = '/'.join(keys)
+      if name in updates:
+        return jax.device_put(updates[name],
+                              jax.sharding.get_sharding_spec(leaf)
+                              if hasattr(jax.sharding,
+                                         'get_sharding_spec') else
+                              leaf.sharding)
+      return leaf
+
+    new = jax.tree_util.tree_map_with_path(_replace, current)
+    return new, len(updates)
+
+  new_params, n_params = _restore_section(state.params,
+                                          raw.get('params'), 'params')
+  new_tables, n_tables = _restore_section(state.tables,
+                                          raw.get('tables'), 'tables')
+  new_stats, n_stats = _restore_section(state.batch_stats,
+                                        raw.get('batch_stats'),
+                                        'batch_stats')
+  logging.info('fine-tune restore from %s: %d params, %d tables, '
+               '%d batch stats', ckpt_path, n_params, n_tables, n_stats)
+  return state.replace(params=new_params, tables=new_tables,
+                       batch_stats=new_stats)

@@ -238,12 +238,16 @@ class Trainer:
   def train_input(self, batch_size=None) -> InputPipeline:
     return InputPipeline(self.data_config, self.feature_configs,
                          self.pipeline_config.train_input_path,
-                         mode='train', batch_size=batch_size)
+                         mode='train', batch_size=batch_size,
+                         extra_fields=config_util.collect_extra_fields(
+                             self.pipeline_config))
 
   def eval_input(self, batch_size=None) -> InputPipeline:
     return InputPipeline(self.data_config, self.feature_configs,
                          self.pipeline_config.eval_input_path,
-                         mode='eval', batch_size=batch_size)
+                         mode='eval', batch_size=batch_size,
+                         extra_fields=config_util.collect_extra_fields(
+                             self.pipeline_config))
 
   # -- evaluation ----------------------------------------------------------
 
