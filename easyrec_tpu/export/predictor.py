@@ -76,6 +76,39 @@ class Predictor:
       self._predict_fn = self._build_predict_fn()
     return self._predict_fn
 
+  def consume_incremental(self, incr_dir: str) -> int:
+    """Apply pending incremental updates published by training
+    (IncrementSaveConfig fs channel; reference: the EAS processor
+    consuming kafka/fs deltas). Returns the number applied."""
+    import jax as _jax
+    import numpy as _np
+    from easyrec_tpu.train import incremental as incr_lib
+    if not hasattr(self, '_consumed'):
+      self._consumed = set()
+    pending = [u for u in incr_lib.list_updates(incr_dir)
+               if u not in self._consumed]
+    if not pending:
+      return 0
+    dense = {}
+    for path, leaf in _jax.tree_util.tree_leaves_with_path(
+        self.state['params']):
+      keys = '/'.join(str(p.key) for p in path if hasattr(p, 'key'))
+      dense[keys] = _np.asarray(leaf)
+    tables = {k: _np.array(v) for k, v in self.state['tables'].items()}
+    for u in pending:
+      incr_lib.apply_update(dense, tables, u)
+      self._consumed.add(u)
+
+    def _replace(path, leaf):
+      keys = '/'.join(str(p.key) for p in path if hasattr(p, 'key'))
+      return dense.get(keys, leaf)
+
+    self.state['params'] = _jax.tree_util.tree_map_with_path(
+        _replace, self.state['params'])
+    self.state['tables'] = tables
+    self._predict_fn = None          # rebuild the jitted fn on new weights
+    return len(pending)
+
   # -- feeding -------------------------------------------------------------
 
   def predict_columns(self, columns: Dict[str, np.ndarray]) -> Dict:

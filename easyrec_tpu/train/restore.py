@@ -85,6 +85,9 @@ def load_raw_checkpoint(ckpt_path: str):
     if not steps:
       raise FileNotFoundError('no checkpoints under %s' % cdir)
     path = os.path.join(cdir, str(steps[-1]))
+  # CheckpointManager saves the pytree under the 'default' item
+  if os.path.isdir(os.path.join(path, 'default')):
+    path = os.path.join(path, 'default')
   with ocp.StandardCheckpointer() as ckptr:
     return ckptr.restore(path)
 

@@ -146,6 +146,8 @@ class Trainer:
     l2_reg, emb_reg = self.l2_reg, self.emb_reg
     scratch = {k: layout.scratch_row(k) for k in layout.tables}
     seed = self.seed
+    import re as _re
+    freeze_res = [_re.compile(p) for p in self.train_config.freeze_gradient]
 
     def train_step(state: TrainState, batch):
       packs = emb_ops.pack_all_views(layout, batch)
@@ -179,6 +181,17 @@ class Trainer:
       grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
       (loss, (loss_dict, new_stats)), (g_params, g_pulled) = grad_fn(
           state.params, pulled)
+
+      if freeze_res:
+        # freeze_gradient regexes zero out matching dense grads
+        # (reference train.proto freeze_gradient,
+        # easy_rec_estimator.py:322-334)
+        def _mask(path, g):
+          keys = '/'.join(str(p.key) for p in path if hasattr(p, 'key'))
+          if any(r.search(keys) for r in freeze_res):
+            return jnp.zeros_like(g)
+          return g
+        g_params = jax.tree_util.tree_map_with_path(_mask, g_params)
 
       updates, new_opt_state = dense_tx.update(g_params, state.opt_state,
                                                state.params)
@@ -312,6 +325,7 @@ class Trainer:
     state = self.init_state(first)
 
     manager = None
+    restored = None
     if checkpoint and self.model_dir:
       manager = ckpt_lib.CheckpointManager(
           self.model_dir, max_to_keep=int(tc.keep_checkpoint_max) or 10)
@@ -320,6 +334,24 @@ class Trainer:
         state = restored
         logging.info('restored checkpoint at step %d',
                      int(np.asarray(state.step)))
+    if restored is None and tc.fine_tune_checkpoint:
+      from easyrec_tpu.train.restore import fine_tune_restore
+      state = fine_tune_restore(
+          state, tc.fine_tune_checkpoint,
+          var_map=tc.fine_tune_ckpt_var_map,
+          restore_filters=list(
+              self.pipeline_config.model_config.restore_filters),
+          force_shape_compat=tc.force_restore_shape_compatible)
+
+    publisher = None
+    incr_every = 0
+    if tc.HasField('incr_save_config') and self.model_dir:
+      from easyrec_tpu.train.incremental import IncrementalPublisher
+      ic = tc.incr_save_config
+      publisher = IncrementalPublisher(ic, self.model_dir)
+      incr_every = int(ic.sparse_save_steps or ic.dense_save_steps or
+                       save_every)
+      publisher.publish(state, int(np.asarray(state.step)))  # base snapshot
 
     stopper = EarlyStopper(self.pipeline_config.export_config) \
         if self.pipeline_config.HasField('export_config') else None
@@ -346,6 +378,8 @@ class Trainer:
         window_examples = 0
       if manager is not None and step % save_every == 0:
         manager.save(state, step)
+      if publisher is not None and step % incr_every == 0:
+        publisher.publish(state, step)
 
     run_batch(first)
     for batch in train_iter:
@@ -355,6 +389,8 @@ class Trainer:
 
     if manager is not None:
       manager.save(state, step, force=True)
+    if publisher is not None:
+      publisher.publish(state, step)
     result = {'state': state, 'global_step': step, 'history': history}
     if eval_at_end and self.pipeline_config.WhichOneof('eval_path'):
       metrics = self.evaluate(state)
