@@ -32,6 +32,9 @@ def _load(config: ConfigOrPath,
     config = clone
   if edit_config_json:
     config_util.edit_config(config, edit_config_json)
+  if config.fg_json_path:
+    from easyrec_tpu.utils.fg_util import load_fg_json_to_config
+    load_fg_json_to_config(config)
   return config
 
 

@@ -1,0 +1,130 @@
+"""Sharded brute-force MIPS / KNN over the device mesh.
+
+Replaces the reference's faiss index build (tools/faiss_index_pai.py:31)
+and GraphLearn KNN service (inference/vector_retrieve.py:25): on TPU the
+exact search is a single [B, D] x [D, N] matmul on the MXU — item rows are
+sharded across every device, each shard computes its local top-k, and one
+all-gather of k candidates per shard merges globally. For recsys corpus
+sizes (millions x 64..256 dims) exact search at full HBM bandwidth beats
+approximate CPU indexes while returning exact results.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _normalize(x):
+  return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-9)
+
+
+class KnnIndex:
+  """Exact top-k index: item embeddings row-sharded over all devices."""
+
+  def __init__(self, item_embeddings: np.ndarray,
+               item_ids: Optional[np.ndarray] = None,
+               metric: str = 'ip',
+               mesh: Optional[Mesh] = None):
+    n, d = item_embeddings.shape
+    self.metric = metric
+    if mesh is None:
+      devices = np.asarray(jax.devices())
+      mesh = Mesh(devices.reshape(-1), axis_names=('shard',))
+    elif len(mesh.axis_names) != 1:
+      # flatten an existing ('data','model') mesh into one shard axis
+      mesh = Mesh(mesh.devices.reshape(-1), axis_names=('shard',))
+    self.mesh = mesh
+    n_dev = mesh.devices.size
+    # pad rows so the shard split is even; padding scores -inf via 0-vectors
+    pad = (-n) % n_dev
+    emb = np.pad(item_embeddings.astype(np.float32), ((0, pad), (0, 0)))
+    if metric == 'cos':
+      norm = np.linalg.norm(emb, axis=1, keepdims=True)
+      emb = emb / np.maximum(norm, 1e-9)
+    self.num_items = n
+    self.ids = item_ids if item_ids is not None else np.arange(n)
+    self._valid = np.pad(np.ones(n, np.float32), (0, pad))
+    sharding = NamedSharding(mesh, P('shard', None))
+    self.embeddings = jax.device_put(emb, sharding)
+    self.valid = jax.device_put(self._valid, NamedSharding(mesh,
+                                                           P('shard')))
+    self._search = {}
+
+  def search(self, queries: np.ndarray,
+             k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (scores [B, k], row_indices [B, k]) — exact top-k."""
+    k = min(k, self.num_items)
+    if k not in self._search:
+      self._search[k] = self._build_search(k)
+    scores, idx = self._search[k](self.embeddings, self.valid,
+                                  jnp.asarray(queries, jnp.float32))
+    return np.asarray(scores), np.asarray(idx)
+
+  def search_ids(self, queries: np.ndarray, k: int):
+    scores, idx = self.search(queries, k)
+    return scores, self.ids[idx]
+
+  def _build_search(self, k: int):
+    mesh = self.mesh
+    metric = self.metric
+    rows_per_shard = self.embeddings.shape[0] // mesh.devices.size
+
+    def shard_topk(emb_shard, valid_shard, q):
+      # q replicated, emb_shard [n/s, D]: local scores + local top-k
+      if metric == 'cos':
+        q = _normalize(q)
+      if metric == 'l2':
+        # argmin ||q - e||^2 == argmax (2 q.e - ||e||^2)
+        sq = jnp.sum(jnp.square(emb_shard), axis=1)
+        scores = 2.0 * q @ emb_shard.T - sq[None, :]
+      else:
+        scores = q @ emb_shard.T                      # [B, n/s] on the MXU
+      scores = jnp.where(valid_shard[None, :] > 0, scores, -jnp.inf)
+      local_s, local_i = jax.lax.top_k(scores, k)     # [B, k]
+      shard_id = jax.lax.axis_index('shard')
+      global_i = local_i + shard_id * rows_per_shard
+      # merge: gather every shard's k candidates, re-topk
+      all_s = jax.lax.all_gather(local_s, 'shard', axis=1,
+                                 tiled=True)          # [B, s*k]
+      all_i = jax.lax.all_gather(global_i, 'shard', axis=1, tiled=True)
+      best_s, pos = jax.lax.top_k(all_s, k)
+      best_i = jnp.take_along_axis(all_i, pos, axis=1)
+      return best_s, best_i
+
+    mapped = jax.shard_map(
+        shard_topk, mesh=mesh,
+        in_specs=(P('shard', None), P('shard'), P()),
+        out_specs=(P(), P()),
+        # outputs are replicated by construction (all_gather + same
+        # top_k on every shard); skip the static varying-axes check
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+def topk_search(item_embeddings: np.ndarray, queries: np.ndarray, k: int,
+                metric: str = 'ip', item_ids=None):
+  """One-shot convenience wrapper around KnnIndex."""
+  index = KnnIndex(item_embeddings, item_ids=item_ids, metric=metric)
+  return index.search_ids(queries, k)
+
+
+def hitrate_at_k(index: KnnIndex, user_embeddings: np.ndarray,
+                 true_item_rows: np.ndarray, k: int,
+                 batch_size: int = 4096) -> dict:
+  """Distributed hitrate eval (reference utils/hit_rate_utils.py:11-97):
+  fraction of users whose ground-truth item appears in their top-k."""
+  hits, total = 0, 0
+  for lo in range(0, len(user_embeddings), batch_size):
+    q = user_embeddings[lo:lo + batch_size]
+    truth = true_item_rows[lo:lo + batch_size]
+    _, idx = index.search(q, k)
+    hits += int((idx == truth[:, None]).any(axis=1).sum())
+    total += len(q)
+  return {'hitrate@%d' % k: hits / max(total, 1), 'total': total,
+          'hits': hits}

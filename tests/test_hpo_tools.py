@@ -1,0 +1,63 @@
+"""HPO local tuner, add_boundaries, pre_check."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from easyrec_tpu.config import get_configs_from_pipeline_file
+from tests import fixtures
+
+
+def test_hpo_random_search(tmp_path):
+  from easyrec_tpu.hpo.tuner import LocalTuner
+  cfg = get_configs_from_pipeline_file(
+      fixtures.write_pipeline(tmp_path, num_steps=40))
+  space = [
+      {'name': 'train_config.optimizer_config[0].adam_optimizer.'
+               'learning_rate.constant_learning_rate.learning_rate',
+       'type': 'double', 'min': 1e-3, 'max': 1e-2, 'log_scale': True},
+      {'name': 'model_config.deepfm.dnn.hidden_units',
+       'type': 'categorical', 'candidates': [[16], [32, 16]]},
+  ]
+  tuner = LocalTuner(cfg, space, metric='auc', num_trials=2)
+  summary = tuner.run()
+  assert len(summary['trials']) == 2
+  assert summary['best'] is not None
+  assert summary['best']['auc'] > 0.6
+  assert os.path.exists(os.path.join(cfg.model_dir, 'hpo_result.json'))
+  # trial dirs are separate
+  assert os.path.isdir(os.path.join(cfg.model_dir, 'hpo_trial_0'))
+
+
+def test_add_boundaries(tmp_path):
+  from easyrec_tpu.tools.add_boundaries_to_config import add_boundaries
+  cfg = get_configs_from_pipeline_file(
+      fixtures.write_pipeline(tmp_path, num_steps=10))
+  n = add_boundaries(cfg, num_buckets=8)
+  assert n == 2  # d1, d2
+  fc = [f for f in cfg.feature_config.features
+        if f.input_names[0] == 'd1'][0]
+  assert 3 <= len(fc.boundaries) <= 7
+  assert list(fc.boundaries) == sorted(fc.boundaries)
+  # the bucketized config still trains
+  from easyrec_tpu.train.trainer import Trainer
+  cfg.train_config.num_steps = 10
+  result = Trainer(cfg).fit(checkpoint=False)
+  assert np.isfinite(result['eval_metrics']['loss'])
+
+
+def test_pre_check_catches_errors(tmp_path):
+  from easyrec_tpu.tools.pre_check import check_config, check_data
+  cfg = get_configs_from_pipeline_file(
+      fixtures.write_pipeline(tmp_path, num_steps=10))
+  assert check_config(cfg) == []
+  assert check_data(cfg) == []
+
+  # break it: feature reading a missing input + group with unknown feature
+  cfg.feature_config.features[0].input_names[0] = 'nope'
+  cfg.model_config.feature_groups[0].feature_names.append('ghost')
+  problems = check_config(cfg)
+  assert any('nope' in p for p in problems)
+  assert any('ghost' in p for p in problems)
