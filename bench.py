@@ -4,7 +4,11 @@ Model mirrors the reference headline config (examples/configs/
 deepfm_on_criteo.config): 13 raw + 26 categorical features, 1M hash buckets,
 16-dim embeddings, batch 4096, Adam. One full train step = fused embedding
 pull + DeepFM forward/backward + dense optax + row-sparse lazy-adam table
-updates.
+updates (26M-row fused table: the sparse update dominates — see PERF.md).
+
+Measurement: steady-state pipelined steps with a final device->host fetch
+of the loss to force a real sync (block_until_ready alone can return early
+through the axon tunnel).
 
 vs_baseline = TPU examples/s divided by the same jitted program's
 examples/s on one host CPU core (the reference runs on CPU PS clusters;
@@ -28,12 +32,12 @@ def _rate(trainer, batches, warmup, steps):
   for i in range(warmup):
     state, loss = trainer.train_step(state, sharded[i % len(sharded)])
   jax.block_until_ready((state, loss))
+  _ = float(loss['total_loss'])        # force a real device sync
   t0 = time.perf_counter()
   for i in range(steps):
     state, loss = trainer.train_step(state, sharded[i % len(sharded)])
-  # block on the FULL state: sparse table updates must have landed, not
-  # just the (early) loss scalar
   jax.block_until_ready((state, loss))
+  _ = float(loss['total_loss'])        # host fetch = honest end-of-window
   dt = time.perf_counter() - t0
   bs = batches[0]['sample_weight'].shape[0]
   return steps * bs / dt
@@ -47,7 +51,7 @@ def main():
 
   batch_size = int(os.environ.get('BENCH_BATCH_SIZE', 4096))
   hash_buckets = int(os.environ.get('BENCH_HASH_BUCKETS', 1000000))
-  steps = int(os.environ.get('BENCH_STEPS', 100))
+  steps = int(os.environ.get('BENCH_STEPS', 60))
 
   cfg = criteo_deepfm_config(batch_size=batch_size,
                              hash_bucket_size=hash_buckets)
@@ -62,7 +66,7 @@ def main():
   try:
     cpu_devices = jax.devices('cpu')
     cpu_trainer = Trainer(cfg, devices=cpu_devices[:1])
-    cpu_rate = _rate(cpu_trainer, batches[:2], warmup=1, steps=3)
+    cpu_rate = _rate(cpu_trainer, batches[:2], warmup=1, steps=2)
     vs_baseline = tpu_rate / cpu_rate
   except Exception as e:  # pragma: no cover
     print('cpu baseline failed: %s' % e, file=sys.stderr)

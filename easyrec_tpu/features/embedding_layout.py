@@ -137,6 +137,53 @@ class EmbeddingLayout:
       out[key] = arr
     return out
 
+  def init_tables_on_device(self, rng_seed: int = 0,
+                            pad_rows_to: int = 1,
+                            sharding=None) -> Dict[str, object]:
+    """Initialize fused tables ON DEVICE (jax.random.normal under jit,
+    output sharded in place).
+
+    Host numpy init + H2D of a 26M x 16 f32 table is ~1.7 GB over the
+    host link (175 s measured through the axon tunnel); generating on
+    device is a ~10 s compile + sub-second kernel. The per-row stddev is
+    one searchsorted gather over segment starts (27 slice-updates on a
+    26M-row array compile pathologically slowly).
+    """
+    import zlib
+
+    import jax
+    import jax.numpy as jnp
+
+    out = {}
+    for key, t in self.tables.items():
+      rows = _round_up(t.rows, pad_rows_to)
+      segments = tuple(sorted(
+          (off, off + t.member_rows[name], float(t.stddev[name]))
+          for name, off in t.offsets.items()))
+      seed = rng_seed ^ (zlib.crc32(key.encode()) & 0x7fffffff)
+
+      starts = jnp.asarray([s for s, _, _ in segments] + [rows], jnp.int32)
+      stds = jnp.asarray([sd for _, _, sd in segments] + [0.0], jnp.float32)
+      ends = jnp.asarray([e for _, e, _ in segments] + [rows], jnp.int32)
+
+      # seed passed as a real argument (an argument-less jit would retain
+      # its output in the executable cache)
+      def _init(seed_arr, rows=rows, dim=t.dim, starts=starts, stds=stds,
+                ends=ends):
+        arr = jax.random.normal(jax.random.PRNGKey(seed_arr[0]),
+                                (rows, dim), jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        seg = jnp.searchsorted(starts, row[:, 0], side='right') - 1
+        std = jnp.take(stds, seg)
+        # zero inter-segment padding (alignment gaps, scratch rows)
+        in_seg = row[:, 0] < jnp.take(ends, seg)
+        scale = jnp.where(in_seg, std, 0.0)[:, None]
+        return arr * scale
+
+      fn = jax.jit(_init, out_shardings=sharding)
+      out[key] = fn(jnp.asarray([seed], jnp.uint32))
+    return out
+
   def scratch_row(self, key: str) -> int:
     return self.tables[key].rows - SCRATCH_ROWS
 

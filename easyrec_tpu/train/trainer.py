@@ -111,15 +111,14 @@ class Trainer:
 
   def init_state(self, sample_batch: Dict[str, np.ndarray]) -> TrainState:
     rng = jax.random.PRNGKey(self.seed)
-    tables_np = self.layout.init_tables(
-        self.seed, pad_rows_to=self.rules.table_pad_rows())
-    tables = self.rules.shard_tables(tables_np)
-    batch = self.rules.shard_batch(sample_batch)
-    packs = emb_ops.pack_all_views(self.layout, batch)
-    pulled = emb_ops.pull_embeddings(tables, packs)
-    variables = self.module.init(
-        {'params': rng, 'dropout': rng, 'routing': rng, 'augment': rng},
-        batch, pulled, False)
+    tables = self.layout.init_tables_on_device(
+        self.seed, pad_rows_to=self.rules.table_pad_rows(),
+        sharding=self.rules.table)
+    # initialize dense params on CPU with a tiny batch: parameter shapes
+    # are batch-size independent, and tracing the forward on host avoids
+    # compiling a throwaway init program for the accelerator (the real
+    # train_step compile happens on first step anyway)
+    variables = self._init_variables_on_host(sample_batch, rng)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     opt_state = self.dense_opt.dense.init(params)
@@ -132,6 +131,39 @@ class Trainer:
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=batch_stats, opt_state=opt_state,
                       tables=tables, slots=slots)
+
+
+  def _init_variables_on_host(self, sample_batch, rng, rows: int = 8):
+    """module.init on the CPU backend with a `rows`-row batch slice and
+    zero pulled embeddings (values are irrelevant for shape inference)."""
+    small = {}
+    for k, v in sample_batch.items():
+      arr = np.asarray(v)
+      if k.startswith('hard_neg.'):
+        h = sample_batch.get('hard_neg_mask')
+        per_row = arr.shape[0] // (h.shape[0] if h is not None else 1)
+        small[k] = arr[:rows * per_row]
+      elif k == 'hard_neg_mask' or not k.startswith('neg.'):
+        small[k] = arr[:rows]
+      else:
+        small[k] = arr           # sampled negatives keep their full N
+    cpu = jax.devices('cpu')[0]
+    with jax.default_device(cpu):
+      packs = emb_ops.pack_all_views(self.layout, small)
+      pulled = {key: jnp.zeros(p.shape + (self._table_dim(key),),
+                               jnp.float32)
+                for key, p in packs.items()}
+      variables = self.module.init(
+          {'params': rng, 'dropout': rng, 'routing': rng, 'augment': rng},
+          small, pulled, False)
+    return jax.device_get(variables)
+
+  def _table_dim(self, pack_key: str) -> int:
+    base = pack_key
+    for pfx in ('neg.', 'hard_neg.'):
+      if pack_key.startswith(pfx):
+        base = pack_key[len(pfx):]
+    return self.layout.tables[base].dim
 
   # -- train step ----------------------------------------------------------
 
