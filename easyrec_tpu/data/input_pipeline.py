@@ -154,6 +154,181 @@ class ParquetReader(BaseReader):
         yield {name: table.column(name) for name in cols}
 
 
+@INPUTS.register('TFRecordInput')
+@INPUTS.register('BatchTFRecordInput')
+class TFRecordReader(BaseReader):
+  """tf.Example TFRecord files, parsed WITHOUT TensorFlow (wire-compatible
+  reader in data/tfrecord.py). Reference: input/tfrecord_input.py."""
+
+  def chunks(self, chunk_rows: int) -> Iterator[Dict[str, object]]:
+    from easyrec_tpu.data import tfrecord
+    paths = config_util.expand_input_paths(self.input_path)
+    if not paths:
+      raise FileNotFoundError('no input files match %s' % self.input_path)
+    if self.data_config.file_shard and self.shard_num > 1:
+      paths = paths[self.shard_index::self.shard_num]
+    types = {f.input_name: f.input_type
+             for f in self.data_config.input_fields}
+    row = 0
+    for path in paths:
+      buf = []
+      for payload in tfrecord.read_records(path):
+        if (not self.data_config.file_shard) and self.shard_num > 1 and \
+            row % self.shard_num != self.shard_index:
+          row += 1
+          continue
+        row += 1
+        buf.append(payload)
+        if len(buf) >= chunk_rows:
+          yield self._to_columns(buf, types)
+          buf = []
+      if buf:
+        yield self._to_columns(buf, types)
+
+  def _to_columns(self, payloads, types):
+    from easyrec_tpu.data import tfrecord
+    cols = tfrecord.example_to_columns(payloads, self.field_names, types)
+    out = {}
+    for name, vals in cols.items():
+      ftype = types.get(name, FieldType.STRING)
+      if ftype == FieldType.STRING:
+        out[name] = np.asarray(
+            ['|'.join(map(str, v)) if isinstance(v, list) else str(v)
+             for v in vals], dtype=object)
+      else:
+        dt = _field_numpy_dtype(ftype)
+        out[name] = np.asarray(
+            [v[0] if isinstance(v, list) and len(v) == 1 else
+             (v if not isinstance(v, list) else v[0] if v else 0)
+             for v in vals], dtype=dt)
+    return out
+
+
+@INPUTS.register('RTPInput')
+@INPUTS.register('RTPInputV2')
+@INPUTS.register('OdpsRTPInput')
+@INPUTS.register('OdpsRTPInputV2')
+class RTPReader(BaseReader):
+  """RTP sample format: label fields + one '\\002'-joined feature column
+  (reference input/rtp_input.py). Lines: lbl;lbl;...;feat1\\002feat2..."""
+
+  def chunks(self, chunk_rows: int) -> Iterator[Dict[str, object]]:
+    dc = self.data_config
+    rtp_sep = dc.rtp_separator or ';'
+    feat_sep = dc.separator or '\002'
+    labels = list(dc.label_fields)
+    feature_fields = [n for n in self.field_names if n not in labels]
+    paths = config_util.expand_input_paths(self.input_path)
+    if dc.file_shard and self.shard_num > 1:
+      paths = paths[self.shard_index::self.shard_num]
+    row = 0
+    buf = {n: [] for n in self.field_names}
+
+    def _flush():
+      out = {}
+      for n in labels:
+        out[n] = np.asarray(buf[n], np.float32)
+      for n in feature_fields:
+        out[n] = np.asarray(buf[n], object)
+      for n in self.field_names:
+        buf[n] = []
+      return out
+
+    for path in paths:
+      with open(path) as f:
+        for line in f:
+          line = line.rstrip('\n')
+          if not line:
+            continue
+          if (not dc.file_shard) and self.shard_num > 1 and \
+              row % self.shard_num != self.shard_index:
+            row += 1
+            continue
+          row += 1
+          parts = line.split(rtp_sep)
+          feats = parts[-1].split(feat_sep)
+          for i, n in enumerate(labels):
+            buf[n].append(float(parts[i]) if i < len(parts) - 1 else 0.0)
+          for i, n in enumerate(feature_fields):
+            buf[n].append(feats[i] if i < len(feats) else '')
+          if len(buf[self.field_names[0]]) >= chunk_rows:
+            yield _flush()
+    if buf[self.field_names[0]]:
+      yield _flush()
+
+
+@INPUTS.register('CriteoInput')
+class CriteoBinaryReader(BaseReader):
+  """Packed binary Criteo terabyte format: each record is 40 little-endian
+  int32s (label, 13 dense, 26 categorical) — reference
+  input/criteo_binary_reader.py's layout."""
+
+  RECORD_INTS = 40
+
+  def chunks(self, chunk_rows: int) -> Iterator[Dict[str, object]]:
+    paths = config_util.expand_input_paths(self.input_path)
+    if self.data_config.file_shard and self.shard_num > 1:
+      paths = paths[self.shard_index::self.shard_num]
+    names = self.field_names
+    for path in paths:
+      data = np.fromfile(path, dtype=np.int32)
+      n = data.size // self.RECORD_INTS
+      recs = data[:n * self.RECORD_INTS].reshape(n, self.RECORD_INTS)
+      if (not self.data_config.file_shard) and self.shard_num > 1:
+        recs = recs[self.shard_index::self.shard_num]
+      for lo in range(0, len(recs), chunk_rows):
+        part = recs[lo:lo + chunk_rows]
+        out = {}
+        for i, name in enumerate(names[:self.RECORD_INTS]):
+          col = part[:, i]
+          if i == 0:
+            out[name] = col.astype(np.float32)            # label
+          elif 1 <= i <= 13:
+            out[name] = col.astype(np.float32)            # dense
+          else:
+            out[name] = col.astype(np.int64)              # categorical ids
+        yield out
+
+
+@INPUTS.register('KafkaInput')
+class KafkaReader(BaseReader):
+  """Kafka streaming input (reference input/kafka_input.py:33): consumes
+  CSV-formatted messages. Requires the kafka-python client; raises a
+  clear error when it (or the broker) is unavailable."""
+
+  def chunks(self, chunk_rows: int) -> Iterator[Dict[str, object]]:
+    try:
+      from kafka import KafkaConsumer  # noqa: F401
+    except ImportError as e:
+      raise ImportError(
+          'KafkaInput needs the kafka-python package, which is not '
+          'available in this environment; use a file-based input or '
+          'install kafka-python') from e
+    kafka = self.data_config.kafka_train_input \
+        if hasattr(self.data_config, 'kafka_train_input') else None
+    raise NotImplementedError(
+        'KafkaInput requires broker connectivity (server=%s)' %
+        (kafka.server if kafka else '?'))
+
+
+@INPUTS.register('DataHubInput')
+@INPUTS.register('HiveInput')
+@INPUTS.register('HiveRTPInput')
+@INPUTS.register('OdpsInput')
+@INPUTS.register('OdpsInputV2')
+@INPUTS.register('OdpsInputV3')
+class ExternalServiceReader(BaseReader):
+  """Aliyun DataHub / Hive / MaxCompute sources need platform
+  connectivity that does not exist here; declared for config parity with
+  a clear error (reference gates these behind env credentials too)."""
+
+  def chunks(self, chunk_rows: int) -> Iterator[Dict[str, object]]:
+    raise NotImplementedError(
+        '%s requires external platform connectivity; export the table to '
+        'CSV/Parquet/TFRecord and use the file-based inputs' %
+        DatasetConfig.InputType.Name(self.data_config.input_type))
+
+
 @INPUTS.register('DummyInput')
 class DummyReader(BaseReader):
   """Synthetic constant chunks for input-bottleneck perf testing
@@ -200,7 +375,8 @@ class InputPipeline:
                shard_index: int = 0,
                shard_num: int = 1,
                drop_remainder: Optional[bool] = None,
-               extra_fields: Optional[List[str]] = None):
+               extra_fields: Optional[List[str]] = None,
+               skip_rows: int = 0):
     self.data_config = data_config
     self.mode = mode
     if batch_size is None:
@@ -224,6 +400,9 @@ class InputPipeline:
     self.num_epochs = data_config.num_epochs if mode == 'train' else 1
     self.shuffle = data_config.shuffle and mode == 'train'
     self._seed = 17
+    # data-offset resume (reference DATA_OFFSET variable,
+    # easy_rec_estimator.py:75-107): raw rows to drop before yielding
+    self._skip_rows = int(skip_rows)
     # pass-through fields emitted as numeric 'field.<name>' columns
     # (metric uid/session ids, KD teacher preds — config_util
     # .collect_extra_fields); strings are hashed so they can live on device
@@ -249,9 +428,18 @@ class InputPipeline:
   def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
     epoch = 0
     carry: Optional[Dict[str, np.ndarray]] = None
+    to_skip = int(self._skip_rows)
     while True:
       epoch += 1
       for columns in self.reader.chunks(self._chunk_rows()):
+        if to_skip > 0:
+          # data-offset resume: drop raw rows BEFORE transforms
+          n = len(next(iter(columns.values())))
+          if n <= to_skip:
+            to_skip -= n
+            continue
+          columns = {k: v[to_skip:] for k, v in columns.items()}
+          to_skip = 0
         batch_arrays = self._process_chunk(columns, epoch)
         carry = self._concat(carry, batch_arrays)
         n = carry['sample_weight'].shape[0]

@@ -59,6 +59,8 @@ class Predictor:
     batch_stats = self.state.get('batch_stats') or {}
     tables = self.state['tables']
 
+    wanted = self.meta.get('outputs') if self.meta.get('tower') else None
+
     def fn(batch):
       packs = emb_ops.pack_ids(layout, batch)
       pulled = emb_ops.pull_embeddings(tables, packs)
@@ -66,7 +68,10 @@ class Predictor:
       if batch_stats:
         variables['batch_stats'] = batch_stats
       outputs = module.apply(variables, batch, pulled, False)
-      return model.export_outputs(outputs)
+      exported = model.export_outputs(outputs)
+      if wanted:   # split-tower export: only this tower's outputs
+        exported = {k: v for k, v in exported.items() if k in wanted}
+      return exported
 
     return jax.jit(fn)
 
@@ -112,8 +117,15 @@ class Predictor:
   # -- feeding -------------------------------------------------------------
 
   def predict_columns(self, columns: Dict[str, np.ndarray]) -> Dict:
-    """Raw input columns (one value per sample) -> output dict."""
+    """Raw input columns (one value per sample) -> output dict.
+
+    Missing input columns are filled with defaults so a split-tower
+    export (tools/split_model.py) can be fed only its own features."""
     n = len(next(iter(columns.values())))
+    for name in self.input_names:
+      if name not in columns:
+        columns = dict(columns)
+        columns[name] = np.array([''] * n, dtype=object)
     packed = tr.apply_transforms(self.transforms, columns)
     packed['sample_weight'] = np.ones(n, np.float32)
     # pad to the static batch size

@@ -171,14 +171,45 @@ class InputLayer:
       if spec.kind == 'dense':
         outs.append(self.dense_feature(batch, fname, prefix))
       elif spec.kind == 'sequence':
-        # sequences used in a flat group are mean-pooled over valid steps
         seq, mask = self.sequence_embedding(pulled, batch, fname)
-        denom = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
-        outs.append(seq.sum(axis=1) / denom)
+        outs.append(self._combine_sequence(spec, seq, mask, fname))
       else:
         outs.append(self.feature_embedding(pulled, batch, fname, role,
                                            prefix))
     return outs
+
+  def _combine_sequence(self, spec, seq, mask, fname):
+    """Sequence -> vector for flat groups, honoring the feature's
+    SequenceCombiner (protos/data.proto: attention / multi-head
+    attention / TextCNN; reference feature_config.proto SequenceCombiner
+    + feature_column.py sequence combiners). Default: masked mean."""
+    import flax.linen as nn
+    cfg = spec.config
+    which = None
+    if cfg is not None and cfg.HasField('sequence_combiner'):
+      which = cfg.sequence_combiner.WhichOneof('combiner')
+    if which == 'attention':
+      scores = nn.Dense(1, name='seqcomb_%s_att' % fname)(seq)[..., 0]
+      scores = jnp.where(mask > 0, scores, -1e9)
+      w = jax.nn.softmax(scores, axis=-1)
+      w = w * (mask.sum(axis=1, keepdims=True) > 0)
+      return jnp.einsum('bl,bld->bd', w, seq)
+    if which == 'multi_head_attention':
+      from easyrec_tpu.layers.attention import MultiHeadSelfAttention
+      out = MultiHeadSelfAttention(
+          num_heads=4, head_size=max(seq.shape[-1] // 4, 1),
+          name='seqcomb_%s_mha' % fname)(seq, mask)
+      denom = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
+      return (out * mask[:, :, None]).sum(axis=1) / denom
+    if which == 'text_cnn':
+      from easyrec_tpu.layers.blocks import TextCNN
+      tc = cfg.sequence_combiner.text_cnn
+      return TextCNN(
+          filter_sizes=tuple(tc.filter_sizes) or (2, 3),
+          num_filters=tuple(tc.num_filters) or (8, 8),
+          name='seqcomb_%s_cnn' % fname)([seq, mask])
+    denom = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
+    return seq.sum(axis=1) / denom
 
   def group_concat(self, pulled, batch, feature_names,
                    role: str = 'deep', prefix: str = '') -> jnp.ndarray:

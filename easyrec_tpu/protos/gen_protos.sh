@@ -5,6 +5,7 @@ set -e
 cd "$(dirname "$0")/../.."
 protoc --python_out=. \
   easyrec_tpu/protos/common.proto \
+  easyrec_tpu/protos/example.proto \
   easyrec_tpu/protos/data.proto \
   easyrec_tpu/protos/layers.proto \
   easyrec_tpu/protos/models.proto \

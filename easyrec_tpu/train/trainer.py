@@ -280,12 +280,13 @@ class Trainer:
 
   # -- pipelines -----------------------------------------------------------
 
-  def train_input(self, batch_size=None) -> InputPipeline:
+  def train_input(self, batch_size=None, skip_rows=0) -> InputPipeline:
     return InputPipeline(self.data_config, self.feature_configs,
                          self.pipeline_config.train_input_path,
                          mode='train', batch_size=batch_size,
                          extra_fields=config_util.collect_extra_fields(
-                             self.pipeline_config))
+                             self.pipeline_config),
+                         skip_rows=skip_rows)
 
   def eval_input(self, batch_size=None) -> InputPipeline:
     return InputPipeline(self.data_config, self.feature_configs,
@@ -364,8 +365,15 @@ class Trainer:
       restored = manager.restore_latest(state)
       if restored is not None:
         state = restored
-        logging.info('restored checkpoint at step %d',
-                     int(np.asarray(state.step)))
+        restored_step = int(np.asarray(state.step))
+        logging.info('restored checkpoint at step %d', restored_step)
+        if restored_step > 0:
+          # deterministic data-offset resume: skip the rows this run
+          # already consumed (reference Kafka/DataHub offset restore,
+          # easy_rec_estimator.py:75-107 — file inputs resume by row)
+          batch_rows = first['sample_weight'].shape[0]
+          train_iter = iter(self.train_input(
+              skip_rows=restored_step * batch_rows))
     if restored is None and tc.fine_tune_checkpoint:
       from easyrec_tpu.train.restore import fine_tune_restore
       state = fine_tune_restore(
@@ -410,6 +418,16 @@ class Trainer:
         window_examples = 0
       if manager is not None and step % save_every == 0:
         manager.save(state, step)
+        if self.eval_config.eval_online and \
+            self.pipeline_config.WhichOneof('eval_path'):
+          # in-train eval (reference eval_online + OnlineEvaluationHook,
+          # estimator_utils.py:803-833)
+          online = self.evaluate(state, max_batches=20)
+          logging.info('online eval @%d: %s', step, online)
+          with open(os.path.join(self.model_dir,
+                                 'online_eval_result.txt-%d' % step),
+                    'w') as f:
+            json.dump({k: float(v) for k, v in online.items()}, f)
       if publisher is not None and step % incr_every == 0:
         publisher.publish(state, step)
 
