@@ -352,8 +352,10 @@ class ExprTransform(BaseTransform):
     variables = {
         name: _to_float(columns[name]) for name in config.input_names
     }
+    raw = {name: _to_numpy_str(columns[name])
+           for name in config.input_names}
     vals = np.asarray(
-        expr_util.evaluate(config.expression, variables),
+        expr_util.evaluate(config.expression, variables, raw),
         dtype=np.float32)
     if vals.ndim == 1:
       vals = vals[:, None]

@@ -57,14 +57,35 @@ def _prepare_model_dir(config, continue_train: bool) -> None:
 def train_and_evaluate(pipeline_config: ConfigOrPath,
                        continue_train: bool = False,
                        edit_config_json: Optional[dict] = None,
+                       fit_on_eval: bool = False,
+                       fit_on_eval_steps: int = 0,
                        devices=None) -> Dict:
   """Train + final eval + export per export_config (reference main.py:273).
+
+  fit_on_eval: after training completes, continue training on the EVAL
+  data (reference main.py:377-398) — used to squeeze the freshest data in
+  before export.
   """
   from easyrec_tpu.train.trainer import Trainer
   config = _load(pipeline_config, edit_config_json)
   _prepare_model_dir(config, continue_train)
   trainer = Trainer(config, devices=devices)
   result = trainer.fit()
+
+  if fit_on_eval and config.WhichOneof('eval_path'):
+    state = result['state']
+    steps = 0
+    logging.info('fit_on_eval: continuing training on eval data')
+    for batch in trainer.eval_input(
+        batch_size=config.data_config.batch_size):
+      sharded = trainer.rules.shard_batch(batch)
+      state, _ = trainer.train_step(state, sharded)
+      steps += 1
+      if fit_on_eval_steps and steps >= fit_on_eval_steps:
+        break
+    result['state'] = state
+    result['global_step'] += steps
+    logging.info('fit_on_eval: %d extra steps', steps)
 
   exporter_type = config.export_config.exporter_type or 'final'
   if exporter_type != 'none' and config.model_dir:

@@ -63,6 +63,22 @@ def _load_native():
         ctypes.POINTER(ctypes.c_int64),   # ids [n*max_k]
         ctypes.POINTER(ctypes.c_int32),   # counts [n]
     ]
+    if hasattr(lib, 'text_normalize_inplace'):
+      lib.text_normalize_inplace.restype = None
+      lib.text_normalize_inplace.argtypes = [
+          ctypes.POINTER(ctypes.c_char), ctypes.c_int64]
+      lib.edit_distance_batch.restype = None
+      lib.edit_distance_batch.argtypes = [
+          ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+          ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+          ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
+      lib.term_overlap_batch.restype = None
+      lib.term_overlap_batch.argtypes = [
+          ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+          ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+          ctypes.c_int64, ctypes.c_char,
+          ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+          ctypes.POINTER(ctypes.c_int32)]
     _NATIVE = lib
   except Exception as e:  # pragma: no cover - depends on toolchain
     logging.info('native hash unavailable (%s); using pandas backend', e)

@@ -108,3 +108,99 @@ void split_hash_strings(const char* buf, const int64_t* offsets, int64_t n,
 }
 
 }  // extern "C"
+
+// --------------------------------------------------------------------------
+// Text feature ops — TPU-era equivalents of the reference's prebuilt
+// libcustom_ops.so (my_edit_distance, overlap_fg_op, text_normalize_op):
+// host-side C++ over arrow offset buffers, exposed via ctypes.
+// --------------------------------------------------------------------------
+
+extern "C" {
+
+// In-place ASCII normalization: lowercase; punctuation -> space.
+void text_normalize_inplace(char* buf, int64_t n_bytes) {
+  for (int64_t i = 0; i < n_bytes; ++i) {
+    unsigned char c = static_cast<unsigned char>(buf[i]);
+    if (c >= 'A' && c <= 'Z') {
+      buf[i] = static_cast<char>(c - 'A' + 'a');
+    } else if (c < 0x80 && !((c >= 'a' && c <= 'z') ||
+                             (c >= '0' && c <= '9'))) {
+      buf[i] = ' ';
+    }
+  }
+}
+
+// Levenshtein distance per row pair (strings up to 256 bytes; longer
+// strings are truncated — edit distances beyond that are meaningless as
+// ranking features anyway).
+void edit_distance_batch(const char* buf_a, const int64_t* off_a,
+                         const char* buf_b, const int64_t* off_b,
+                         int64_t n, int32_t* out) {
+  int32_t dp[257];
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t la = off_a[i + 1] - off_a[i];
+    int64_t lb = off_b[i + 1] - off_b[i];
+    if (la > 256) la = 256;
+    if (lb > 256) lb = 256;
+    const char* a = buf_a + off_a[i];
+    const char* b = buf_b + off_b[i];
+    for (int64_t j = 0; j <= lb; ++j) dp[j] = static_cast<int32_t>(j);
+    for (int64_t ia = 1; ia <= la; ++ia) {
+      int32_t prev = dp[0];
+      dp[0] = static_cast<int32_t>(ia);
+      for (int64_t jb = 1; jb <= lb; ++jb) {
+        int32_t cur = dp[jb];
+        int32_t cost = (a[ia - 1] == b[jb - 1]) ? 0 : 1;
+        int32_t best = prev + cost;
+        if (dp[jb] + 1 < best) best = dp[jb] + 1;
+        if (dp[jb - 1] + 1 < best) best = dp[jb - 1] + 1;
+        dp[jb] = best;
+        prev = cur;
+      }
+    }
+    out[i] = dp[lb];
+  }
+}
+
+// Term overlap between two sep-delimited term lists per row:
+// writes common term count, |a| and |b| (for ratio / is_contain modes).
+void term_overlap_batch(const char* buf_a, const int64_t* off_a,
+                        const char* buf_b, const int64_t* off_b,
+                        int64_t n, char sep,
+                        int32_t* common, int32_t* na, int32_t* nb) {
+  constexpr int kMaxTerms = 64;
+  uint64_t hashes_a[kMaxTerms];
+  for (int64_t i = 0; i < n; ++i) {
+    const char* p = buf_a + off_a[i];
+    const char* lim = buf_a + off_a[i + 1];
+    int ca = 0;
+    while (p < lim && ca < kMaxTerms) {
+      const char* q = static_cast<const char*>(
+          std::memchr(p, sep, static_cast<size_t>(lim - p)));
+      const char* e = q ? q : lim;
+      if (e > p) hashes_a[ca++] = murmur64a(p, e - p, kSeed);
+      p = q ? q + 1 : lim;
+    }
+    int cb = 0, hit = 0;
+    p = buf_b + off_b[i];
+    lim = buf_b + off_b[i + 1];
+    while (p < lim) {
+      const char* q = static_cast<const char*>(
+          std::memchr(p, sep, static_cast<size_t>(lim - p)));
+      const char* e = q ? q : lim;
+      if (e > p) {
+        ++cb;
+        uint64_t h = murmur64a(p, e - p, kSeed);
+        for (int t = 0; t < ca; ++t) {
+          if (hashes_a[t] == h) { ++hit; break; }
+        }
+      }
+      p = q ? q + 1 : lim;
+    }
+    common[i] = hit;
+    na[i] = ca;
+    nb[i] = cb;
+  }
+}
+
+}  // extern "C"

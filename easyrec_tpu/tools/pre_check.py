@@ -59,6 +59,18 @@ def check_config(pipeline_config) -> List[str]:
       if fname not in feature_names:
         problems.append('feature group %r references unknown feature %r' %
                         (g.group_name, fname))
+  if not problems:
+    # the embedding layout enforces group-level constraints (e.g. a deep
+    # feature must have an embedding_dim) — build it to surface them
+    try:
+      from easyrec_tpu.models import base as model_base
+      specs = {}
+      for fc in feature_configs:
+        spec = fs.build_feature_spec(fc)
+        specs[spec.name] = spec
+      model_base.build_context(pipeline_config, specs)
+    except Exception as e:
+      problems.append('model/feature layout invalid: %s' % e)
   return problems
 
 

@@ -24,6 +24,9 @@ def get_parser() -> argparse.ArgumentParser:
                       help='warm-start checkpoint path')
   parser.add_argument('--num_steps', type=int, default=None,
                       help='override train_config.num_steps')
+  parser.add_argument('--fit_on_eval', action='store_true', default=False,
+                      help='continue training on eval data after training')
+  parser.add_argument('--fit_on_eval_steps', type=int, default=0)
   return parser
 
 
@@ -44,7 +47,9 @@ def main(argv=None):
   result = driver.train_and_evaluate(
       args.pipeline_config_path,
       continue_train=args.continue_train,
-      edit_config_json=edits or None)
+      edit_config_json=edits or None,
+      fit_on_eval=args.fit_on_eval,
+      fit_on_eval_steps=args.fit_on_eval_steps)
   metrics = result.get('eval_metrics', {})
   logging.info('done: step=%s metrics=%s', result['global_step'], metrics)
   return 0
