@@ -393,16 +393,36 @@ class Trainer:
                        save_every)
       publisher.publish(state, int(np.asarray(state.step)))  # base snapshot
 
-    stopper = EarlyStopper(self.pipeline_config.export_config) \
+    from easyrec_tpu.train.hooks import (BestExporter, DeadlineStopper,
+                                         StopSignalFile)
+    ec = self.pipeline_config.export_config
+    has_eval = bool(self.pipeline_config.WhichOneof('eval_path'))
+    stopper = EarlyStopper(ec) \
         if self.pipeline_config.HasField('export_config') else None
+    best_exporter = None
+    if has_eval and self.model_dir and (ec.exporter_type == 'best' or
+                                        ec.HasField('best_exporter_metric')):
+      best_exporter = BestExporter(
+          self.model_dir, metric=ec.best_exporter_metric or 'auc',
+          bigger=ec.metric_bigger)
+    deadline = DeadlineStopper(tc.dead_line) if tc.dead_line else None
+    stop_signal = StopSignalFile(self.model_dir,
+                                 enabled=tc.enable_oss_stop_signal) \
+        if self.model_dir else None
+    # periodic in-train eval feeds eval_online files, early stopping and
+    # the best exporter (the reference evaluator/exporter loop)
+    want_periodic_eval = has_eval and (
+        self.eval_config.eval_online or best_exporter is not None or
+        (stopper is not None and stopper.enabled))
 
     step = int(np.asarray(state.step))
     t0 = time.time()
     window_examples = 0
     history = []
+    stop_training = False
 
     def run_batch(batch):
-      nonlocal state, step, window_examples, t0
+      nonlocal state, step, window_examples, t0, stop_training
       sharded = self.rules.shard_batch(batch)
       state, loss_dict = self.train_step(state, sharded)
       step += 1
@@ -416,24 +436,38 @@ class Trainer:
                         'examples_per_sec': rate})
         t0 = time.time()
         window_examples = 0
+        if deadline is not None and deadline.should_stop():
+          logging.warning('dead_line reached; stopping training')
+          stop_training = True
+        if stop_signal is not None and stop_signal.should_stop():
+          logging.warning('stop-signal file found; stopping training')
+          stop_training = True
       if manager is not None and step % save_every == 0:
         manager.save(state, step)
-        if self.eval_config.eval_online and \
-            self.pipeline_config.WhichOneof('eval_path'):
-          # in-train eval (reference eval_online + OnlineEvaluationHook,
-          # estimator_utils.py:803-833)
+        if want_periodic_eval:
           online = self.evaluate(state, max_batches=20)
           logging.info('online eval @%d: %s', step, online)
-          with open(os.path.join(self.model_dir,
-                                 'online_eval_result.txt-%d' % step),
-                    'w') as f:
-            json.dump({k: float(v) for k, v in online.items()}, f)
+          if self.eval_config.eval_online:
+            with open(os.path.join(self.model_dir,
+                                   'online_eval_result.txt-%d' % step),
+                      'w') as f:
+              json.dump({k: float(v) for k, v in online.items()}, f)
+          if best_exporter is not None:
+            from easyrec_tpu.export.saved_model import export_saved_model
+            best_exporter.maybe_export(
+                step, online,
+                lambda d: export_saved_model(self, state, d))
+          if stopper is not None and stopper.should_stop(step, online):
+            logging.info('early stopping at step %d (no %s improvement '
+                         'for %d steps)', step, stopper.metric,
+                         stopper.max_check_steps)
+            stop_training = True
       if publisher is not None and step % incr_every == 0:
         publisher.publish(state, step)
 
     run_batch(first)
     for batch in train_iter:
-      if num_steps and step >= num_steps:
+      if stop_training or (num_steps and step >= num_steps):
         break
       run_batch(batch)
 

@@ -1,0 +1,68 @@
+"""Early stopping, best exporter, stop-signal wiring in the train loop."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from easyrec_tpu.config import get_configs_from_pipeline_file
+from easyrec_tpu.train.trainer import Trainer
+from tests import fixtures
+
+
+def test_best_exporter_and_early_stop(tmp_path):
+  cfg_path = fixtures.write_pipeline(tmp_path, num_steps=200)
+  cfg = get_configs_from_pipeline_file(cfg_path)
+  cfg.train_config.save_checkpoints_steps = 40
+  cfg.export_config.exporter_type = 'best'
+  cfg.export_config.best_exporter_metric = 'auc'
+  cfg.export_config.enable_early_stop = True
+  cfg.export_config.max_check_steps = 40     # stop fast on plateau
+  trainer = Trainer(cfg)
+  result = trainer.fit()
+
+  # best export exists and carries a serving bundle
+  best = glob.glob(os.path.join(cfg.model_dir, 'best_export', '*'))
+  assert best, 'no best export written'
+  assert os.path.exists(os.path.join(best[0], 'export_meta.json'))
+  # early stop may or may not trigger on this data; the loop must finish
+  assert result['global_step'] <= 200
+  from easyrec_tpu.export.predictor import Predictor
+  pred = Predictor(best[0])
+  out = pred.predict_columns({
+      'd1': np.asarray([0.1, 0.9]), 'd2': np.asarray([0.5, 0.5]),
+      'c1': np.asarray(['u1', 'u2'], object),
+      'c2': np.asarray(['v1', 'v2'], object),
+      'c3': np.asarray(['w1', 'w2'], object)})
+  assert out['probs'].shape == (2,)
+
+
+def test_stop_signal_file(tmp_path):
+  cfg_path = fixtures.write_pipeline(tmp_path, num_steps=5000)
+  cfg = get_configs_from_pipeline_file(cfg_path)
+  cfg.train_config.enable_oss_stop_signal = True
+  os.makedirs(cfg.model_dir, exist_ok=True)
+  # drop the signal before training: must stop at the first log interval
+  with open(os.path.join(cfg.model_dir, 'OSS_STOP_SIGNAL'), 'w') as f:
+    f.write('stop')
+  trainer = Trainer(cfg)
+  result = trainer.fit()
+  assert result['global_step'] < 100, result['global_step']
+
+
+def test_gauc_session_auc_end_to_end(tmp_path):
+  """GAUC / session AUC flow from config -> field.* columns -> results."""
+  cfg_path = fixtures.write_pipeline(tmp_path, num_steps=40)
+  cfg = get_configs_from_pipeline_file(cfg_path)
+  m = cfg.eval_config.metrics_set.add()
+  m.gauc.uid_field = 'c1'
+  m2 = cfg.eval_config.metrics_set.add()
+  m2.session_auc.session_id_field = 'c2'
+  trainer = Trainer(cfg)
+  result = trainer.fit()
+  metrics = result['eval_metrics']
+  assert 'gauc' in metrics and 'session_auc' in metrics, metrics
+  assert 0.4 < metrics['gauc'] <= 1.0
+  assert 0.4 < metrics['session_auc'] <= 1.0
