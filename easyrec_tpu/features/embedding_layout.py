@@ -18,7 +18,7 @@ the reference (feature_column.py:596-623), so they fuse the same way.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 import numpy as np
 

@@ -17,7 +17,7 @@ zero weights for padding, and combiners become masked reductions on device.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 from easyrec_tpu.protos import data_pb2
 

@@ -18,7 +18,7 @@ holds 1/(D*M) of each fused table while the batch stays sharded over 'data'.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

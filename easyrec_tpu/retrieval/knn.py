@@ -11,7 +11,6 @@ approximate CPU indexes while returning exact results.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

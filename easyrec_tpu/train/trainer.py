@@ -262,6 +262,9 @@ class Trainer:
       new_states = metrics.update_states(
           metric_states, mi['labels'], mi['probs'], mi['preds'],
           mi['weights'], extra=mi)
+      if hasattr(model, 'metric_inputs_per_task'):
+        mi = dict(mi)
+        mi['per_task'] = model.metric_inputs_per_task(outputs, batch)
       return new_states, loss, mi
 
     return jax.jit(eval_step)
@@ -281,12 +284,16 @@ class Trainer:
   # -- pipelines -----------------------------------------------------------
 
   def train_input(self, batch_size=None, skip_rows=0) -> InputPipeline:
+    # multi-host: every process feeds its own data shard (the reference's
+    # worker sharding, input/input.py _safe_shard); single host = 1 shard
     return InputPipeline(self.data_config, self.feature_configs,
                          self.pipeline_config.train_input_path,
                          mode='train', batch_size=batch_size,
                          extra_fields=config_util.collect_extra_fields(
                              self.pipeline_config),
-                         skip_rows=skip_rows)
+                         skip_rows=skip_rows,
+                         shard_index=jax.process_index(),
+                         shard_num=jax.process_count())
 
   def eval_input(self, batch_size=None) -> InputPipeline:
     return InputPipeline(self.data_config, self.feature_configs,
@@ -306,6 +313,7 @@ class Trainer:
     host_needed = bool(self.metrics.host_fields)
     buffers = {'labels': [], 'probs': []} if host_needed else None
     field_buffers = {f: [] for f in self.metrics.host_fields}
+    task_buffers = {}
     losses, n = [], 0
     for batch in eval_iter:
       host_fields = {f: batch.pop('field.%s' % f)
@@ -315,6 +323,11 @@ class Trainer:
       metric_states, loss, mi = self.eval_step(state, sharded,
                                                metric_states)
       losses.append(float(loss))
+      for tname, tmi in (mi.get('per_task') or {}).items():
+        buf = task_buffers.setdefault(tname, {'labels': [], 'probs': []})
+        w = np.asarray(tmi['weights']) > 0
+        buf['labels'].append(np.asarray(tmi['labels'])[w])
+        buf['probs'].append(np.asarray(tmi['probs'])[w])
       if host_needed:
         w = np.asarray(mi['weights']) > 0
         buffers['labels'].append(np.asarray(mi['labels'])[w])
@@ -324,6 +337,18 @@ class Trainer:
       n += 1
       if max_batches and n >= max_batches:
         break
+    if task_buffers:
+      # per-task AUC with _tower-suffixed names (reference
+      # multi_task_model.py:124-158)
+      from easyrec_tpu.metrics.metrics import numpy_auc
+      per_task_results = {}
+      for tname, buf in task_buffers.items():
+        labels = np.concatenate(buf['labels'])
+        probs = np.concatenate(buf['probs'])
+        if probs.ndim == 1:
+          per_task_results['auc_%s' % tname] = numpy_auc(labels, probs)
+    else:
+      per_task_results = {}
     host_buffers = None
     if host_needed and buffers['labels']:
       host_buffers = {
@@ -334,6 +359,7 @@ class Trainer:
         if chunks:
           host_buffers['field.%s' % f] = np.concatenate(chunks)
     results = self.metrics.results(metric_states, host_buffers)
+    results.update(per_task_results)
     if losses:
       results['loss'] = float(np.mean(losses))
     return results
@@ -420,9 +446,17 @@ class Trainer:
     window_examples = 0
     history = []
     stop_training = False
+    profile_dir = None
+    if tc.is_profiling and self.model_dir:
+      # reference is_profiling -> ProfilerHook timelines; here: one jax
+      # profiler trace over the first logging window, xplane into
+      # model_dir/profile (view with tensorboard / xprof)
+      profile_dir = os.path.join(self.model_dir, 'profile')
+      jax.profiler.start_trace(profile_dir)
 
     def run_batch(batch):
-      nonlocal state, step, window_examples, t0, stop_training
+      nonlocal state, step, window_examples, t0, stop_training, \
+          profile_dir
       sharded = self.rules.shard_batch(batch)
       state, loss_dict = self.train_step(state, sharded)
       step += 1
@@ -436,6 +470,10 @@ class Trainer:
                         'examples_per_sec': rate})
         t0 = time.time()
         window_examples = 0
+        if profile_dir is not None:
+          jax.profiler.stop_trace()
+          logging.info('profiler trace written to %s', profile_dir)
+          profile_dir = None
         if deadline is not None and deadline.should_stop():
           logging.warning('dead_line reached; stopping training')
           stop_training = True

@@ -36,6 +36,15 @@ def main(argv=None):
       format='[%(levelname)s] %(asctime)s %(filename)s:%(lineno)d : '
              '%(message)s')
   args = get_parser().parse_args(argv)
+  import os
+  if os.environ.get('JAX_COORDINATOR_ADDRESS') or \
+      os.environ.get('EASYREC_DISTRIBUTED') == '1':
+    # multi-host pod slice: one process per host joins the global mesh
+    # (replaces the reference's TF_CONFIG cluster bootstrap)
+    import jax
+    jax.distributed.initialize()
+    logging.info('distributed: process %d/%d', jax.process_index(),
+                 jax.process_count())
   from easyrec_tpu import main as driver
   edits = json.loads(args.edit_config_json) if args.edit_config_json else {}
   if args.model_dir:

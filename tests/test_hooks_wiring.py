@@ -66,3 +66,19 @@ def test_gauc_session_auc_end_to_end(tmp_path):
   assert 'gauc' in metrics and 'session_auc' in metrics, metrics
   assert 0.4 < metrics['gauc'] <= 1.0
   assert 0.4 < metrics['session_auc'] <= 1.0
+
+
+def test_per_task_metrics(tmp_path):
+  """Multi-task eval reports auc_<tower> metrics."""
+  from easyrec_tpu.config import get_configs_from_pipeline_str
+  from easyrec_tpu.utils.synthetic import synthetic_batch
+  import tests.test_models_zoo as zoo
+  text = zoo.DATA_SECTION + \
+      'model_config {\n  model_class: "MMoE"\n%s}\n' % \
+      zoo.MODEL_CONFIGS['MMoE']
+  cfg = get_configs_from_pipeline_str(text)
+  trainer = Trainer(cfg)
+  batch = synthetic_batch(trainer.specs, ['clk', 'buy'], 32, seed=3)
+  state = trainer.init_state(batch)
+  metrics = trainer.evaluate(state, eval_iter=[batch], max_batches=1)
+  assert 'auc_ctr' in metrics and 'auc_cvr' in metrics, metrics

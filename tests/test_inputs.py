@@ -146,3 +146,26 @@ def test_external_sources_gated(tmp_path):
                        mode='eval')
   with pytest.raises(NotImplementedError, match='connectivity'):
     next(iter(pipe))
+
+
+def test_multihost_row_sharding(tmp_path):
+  """Two shards partition the rows disjointly and completely (the
+  multi-host feeding path: every process reads its own shard)."""
+  path = os.path.join(str(tmp_path), 'd.csv')
+  with open(path, 'w') as f:
+    for i in range(100):
+      f.write('%d,%.1f,c%d\n' % (i % 2, float(i), i % 5))
+  cfg = get_configs_from_pipeline_str(
+      _data_config('CSVInput').format(path=path))
+  feats = config_util.get_feature_configs(cfg)
+  seen = []
+  for idx in (0, 1):
+    pipe = InputPipeline(cfg.data_config, feats, path, mode='eval',
+                         shard_index=idx, shard_num=2)
+    vals = []
+    for b in pipe:
+      valid = b['sample_weight'] > 0
+      vals.extend(np.asarray(b['feat.num.dense'])[valid, 0].tolist())
+    seen.append(set(vals))
+  assert seen[0] & seen[1] == set()
+  assert seen[0] | seen[1] == set(float(i) for i in range(100))
