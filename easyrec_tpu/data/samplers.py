@@ -223,7 +223,9 @@ def build(data_config, mode: str = 'train'):
   """Dispatch on DatasetConfig.sampler oneof (reference sampler.build:746).
   Returns None when no sampler is configured."""
   which = data_config.WhichOneof('sampler')
-  if which is None:
+  if which is None or mode == 'predict':
+    # sampled negatives are a train/eval construct; serving batches must
+    # stay sampler-free (the exported forward never sees 'neg.*' views)
     return None
   config = getattr(data_config, which)
   num = int(config.num_sample)

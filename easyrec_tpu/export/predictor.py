@@ -164,7 +164,7 @@ class Predictor:
     output CSV; returns row count (reference csv_predictor)."""
     pipeline = InputPipeline(
         self.config.data_config, self.feature_configs, input_path,
-        mode='eval', batch_size=self.batch_size,
+        mode='predict', batch_size=self.batch_size,
         shard_index=shard_index, shard_num=shard_num)
     n_total = 0
     with open(output_path, 'w', newline='') as f:

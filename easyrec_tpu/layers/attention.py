@@ -30,20 +30,21 @@ class DinAttention(nn.Module):
 
   @nn.compact
   def __call__(self, query, keys, mask, training: bool = False):
-    L = keys.shape[1]
-    q = jnp.repeat(query[:, None, :], L, axis=1)
+    # query [..., D], keys [..., L, D], mask [..., L] — extra leading
+    # dims (e.g. per-sampled-negative queries [B, N, D]) broadcast through
+    q = jnp.broadcast_to(query[..., None, :], keys.shape)
     att_in = jnp.concatenate([q, keys, q - keys, q * keys], axis=-1)
     scores = DNN(hidden_units=tuple(self.attention_dims) + (1,),
                  activation='sigmoid', use_bn=False,
                  use_final_activation=False,
-                 name='att_dnn')(att_in, training)[..., 0]   # [B, L]
+                 name='att_dnn')(att_in, training)[..., 0]   # [..., L]
     if self.attention_normalizer == 'softmax':
       scores = jnp.where(mask > 0, scores, _NEG_INF)
       weights = nn.softmax(scores, axis=-1)
-      weights = weights * (mask.sum(axis=1, keepdims=True) > 0)
+      weights = weights * (mask.sum(axis=-1, keepdims=True) > 0)
     else:  # sigmoid
       weights = nn.sigmoid(scores) * mask
-    return jnp.einsum('bl,bld->bd', weights, keys)
+    return jnp.einsum('...l,...ld->...d', weights, keys)
 
 
 class MultiHeadSelfAttention(nn.Module):

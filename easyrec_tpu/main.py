@@ -172,11 +172,10 @@ def predict(pipeline_config: ConfigOrPath,
   config = _load(pipeline_config, edit_config_json)
   trainer = Trainer(config, devices=devices)
   input_path = input_path or config.eval_input_path
-  pipe = trainer.eval_input()
-  if input_path != config.eval_input_path:
-    from easyrec_tpu.data.input_pipeline import InputPipeline
-    pipe = InputPipeline(config.data_config, trainer.feature_configs,
-                         input_path, mode='eval')
+  # predict mode: never splice sampled negatives into serving batches
+  from easyrec_tpu.data.input_pipeline import InputPipeline
+  pipe = InputPipeline(config.data_config, trainer.feature_configs,
+                       input_path, mode='predict')
   first = next(iter(pipe))
   state = trainer.init_state(first)
   mgr = ckpt_lib.CheckpointManager(config.model_dir)

@@ -88,6 +88,28 @@ class MatchModel(BaseModel):
     _list_wise_sim with hard-negative scatter)."""
     user_emb, item_emb = self._tower_embs(outputs)
     u = self._maybe_norm(user_emb)
+    neg = outputs.get('neg_item_tower_emb')
+    neg_user = outputs.get('neg_user_tower_emb')
+    if neg_user is not None and neg is not None:
+      # negative-sampler target attention (reference
+      # samples/model_config dssm + seq_att, sequence_feature_layer.py
+      # negative_sampler re-query): each sampled item re-queries the
+      # user history, so every candidate has its OWN user tower output.
+      # Candidates are [positive | sampled negatives] -> [B, 1 + N];
+      # in-batch items are not scored (B x B per-pair user towers would
+      # be quadratic in towers, and the reference also drops them here).
+      pos = jnp.sum(u * self._maybe_norm(item_emb), axis=1)   # [B]
+      nu = self._maybe_norm(neg_user)                         # [B, N, D]
+      nl = jnp.einsum('bnd,nd->bn', nu, self._maybe_norm(neg))
+      cols = [pos[:, None], nl]
+      hard = outputs.get('hard_neg_item_tower_emb')
+      if hard is not None and 'hard_neg_mask' in batch:
+        mask = batch['hard_neg_mask']                         # [B, H]
+        h = mask.shape[1]
+        hard = self._maybe_norm(hard).reshape(u.shape[0], h, -1)
+        hl = jnp.einsum('bd,bhd->bh', u, hard)
+        cols.append(jnp.where(mask > 0, hl, -1e9))
+      return jnp.concatenate(cols, axis=1) / self.temperature
     cols = []
     logits = u @ self._maybe_norm(item_emb).T          # [B, B]
     b = logits.shape[0]
@@ -96,7 +118,6 @@ class MatchModel(BaseModel):
       off_diag = collide & ~jnp.eye(b, dtype=bool)
       logits = jnp.where(off_diag, -1e9, logits)
     cols.append(logits)
-    neg = outputs.get('neg_item_tower_emb')
     if neg is not None:
       cols.append(u @ self._maybe_norm(neg).T)         # [B, N]
     hard = outputs.get('hard_neg_item_tower_emb')
@@ -115,7 +136,10 @@ class MatchModel(BaseModel):
     if self.is_listwise:
       logits = self._full_logits(outputs, batch)
       logp = jax.nn.log_softmax(logits, axis=1)
-      per = -jnp.diagonal(logp[:, :logits.shape[0]])
+      if outputs.get('neg_user_tower_emb') is not None:
+        per = -logp[:, 0]        # positive is column 0 ([pos | negs])
+      else:
+        per = -jnp.diagonal(logp[:, :logits.shape[0]])
       w = weights * labels
       loss = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-9)
       return loss, {'softmax_cross_entropy': loss}
@@ -128,6 +152,11 @@ class MatchModel(BaseModel):
     weights = self.sample_weights(batch)
     if self.is_listwise:
       logits = self._full_logits(outputs, batch)
+      if outputs.get('neg_user_tower_emb') is not None:
+        pos = logits[:, 0]
+        return {'labels': labels, 'probs': jax.nn.sigmoid(pos),
+                'preds': pos, 'weights': weights,
+                'neg_sam_logits': logits}   # already [pos | negs]
       b = logits.shape[0]
       pos = jnp.diagonal(logits[:, :b])
       mi = {'labels': labels, 'probs': jax.nn.sigmoid(pos), 'preds': pos,
@@ -178,6 +207,29 @@ class _TwoTowerModule(nn.Module):
                                compute_dtype=ctx.compute_dtype)
     item_dnn = DNN.from_config(self.item_dnn_cfg, name='item_dnn',
                                compute_dtype=ctx.compute_dtype)
+
+    # DIN target attention on the user tower when seq_att_groups are
+    # declared: the attention query is the (candidate) item
+    # (reference seq_att groups + negative_sampler_target_attention,
+    # layers/sequence_feature_layer.py:42-190)
+    att_maps = []
+    for g in ctx.seq_att_groups.values():
+      att_maps.extend(g.seq_att_map)
+    atts = []
+    if att_maps:
+      from easyrec_tpu.layers.attention import DinAttention
+      for i, m in enumerate(att_maps):
+        keys_emb, mask = il.sequence_embedding(pulled, batch,
+                                               m.hist_seq[0])
+        query = il.feature_embedding(pulled, batch, m.key[0])
+        att = DinAttention(name='seq_att_%d' % i)
+        atts.append((att, keys_emb, mask, m.key[0]))
+      pos_att = [att(query=il.feature_embedding(pulled, batch, kname),
+                     keys=keys_emb, mask=mask, training=training)
+                 for att, keys_emb, mask, kname in atts]
+      user_base = user_in
+      user_in = jnp.concatenate([user_in] + pos_att, axis=-1)
+
     user_emb = user_dnn(user_in, training)
     item_emb = item_dnn(item_in, training)
     out = {'user_tower_emb': user_emb, 'item_tower_emb': item_emb}
@@ -189,6 +241,26 @@ class _TwoTowerModule(nn.Module):
       if any(k.startswith(pfx + 'feat.') for k in batch):
         neg_in = il.group_concat(pulled, batch, item_names, prefix=pfx)
         out[key] = item_dnn(neg_in, training)
+        if atts and pfx == 'neg.':
+          # negative-sampler target attention: per-NEGATIVE user towers
+          # (each sampled item re-queries the user's history)
+          n = neg_in.shape[0]
+          b = user_in.shape[0]
+          neg_att = []
+          for att, keys_emb, mask, kname in atts:
+            q = il.feature_embedding(pulled, batch, kname,
+                                     prefix='neg.')          # [N, D]
+            qb = jnp.broadcast_to(q[None], (b,) + q.shape)   # [B, N, D]
+            keys_n = jnp.broadcast_to(
+                keys_emb[:, None], (b, n) + keys_emb.shape[1:])
+            mask_n = jnp.broadcast_to(mask[:, None],
+                                      (b, n) + mask.shape[1:])
+            neg_att.append(att(query=qb, keys=keys_n, mask=mask_n,
+                               training=training))           # [B, N, D]
+          base = jnp.broadcast_to(user_base[:, None],
+                                  (b, n, user_base.shape[-1]))
+          user_in_neg = jnp.concatenate([base] + neg_att, axis=-1)
+          out['neg_user_tower_emb'] = user_dnn(user_in_neg, training)
     model = self.model
     if not model.is_listwise:
       if model.simi_func == Similarity.COSINE:

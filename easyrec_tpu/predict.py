@@ -13,12 +13,33 @@ import sys
 def main(argv=None):
   logging.basicConfig(level=logging.INFO)
   parser = argparse.ArgumentParser(description='easyrec_tpu predict')
-  parser.add_argument('--pipeline_config_path', required=True)
+  parser.add_argument('--pipeline_config_path', default=None)
+  parser.add_argument('--saved_model_dir', default=None,
+                      help='predict from an export bundle instead of the '
+                           'latest checkpoint')
   parser.add_argument('--input_path', default=None)
   parser.add_argument('--output_path', default=None)
   parser.add_argument('--model_dir', default=None)
+  parser.add_argument('--shard_index', type=int, default=0)
+  parser.add_argument('--shard_num', type=int, default=1)
   parser.add_argument('--edit_config_json', default=None)
   args = parser.parse_args(argv)
+
+  if args.saved_model_dir:
+    # export-based prediction (reference inference/predictor.py path)
+    from easyrec_tpu.export.predictor import Predictor
+    if not args.input_path or not args.output_path:
+      parser.error('--saved_model_dir needs --input_path and '
+                   '--output_path')
+    predictor = Predictor(args.saved_model_dir)
+    n = predictor.predict_csv(args.input_path, args.output_path,
+                              shard_index=args.shard_index,
+                              shard_num=args.shard_num)
+    logging.info('predicted %d rows -> %s', n, args.output_path)
+    return 0
+
+  if not args.pipeline_config_path:
+    parser.error('need --pipeline_config_path or --saved_model_dir')
   from easyrec_tpu import main as driver
   edits = json.loads(args.edit_config_json) if args.edit_config_json else {}
   if args.model_dir:

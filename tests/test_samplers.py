@@ -175,6 +175,115 @@ def test_dssm_with_negatives_learns(tmp_path):
   assert result['eval_metrics']['recall@5'] > 0.55, result['eval_metrics']
 
 
+SEQ_ATT_CONFIG = """
+train_input_path: "{train}"
+eval_input_path: "{eval}"
+model_dir: "{model_dir}"
+train_config {{
+  optimizer_config {{
+    adam_optimizer {{
+      learning_rate {{ constant_learning_rate {{ learning_rate: 0.01 }} }}
+    }}
+  }}
+  num_steps: 150
+  save_checkpoints_steps: 1000
+}}
+eval_config {{
+  metrics_set {{ recall_at_topk {{ topk: 5 }} }}
+}}
+data_config {{
+  batch_size: 64
+  label_fields: "label"
+  input_fields {{ input_name: "label" input_type: FLOAT }}
+  input_fields {{ input_name: "uid" input_type: STRING }}
+  input_fields {{ input_name: "iid" input_type: STRING }}
+  input_fields {{ input_name: "cate" input_type: STRING }}
+  input_fields {{ input_name: "seq_cate" input_type: STRING }}
+  input_type: CSVInput
+  negative_sampler {{
+    input_path: "{items}"
+    num_sample: 16
+    attr_fields: "iid"
+    attr_fields: "cate"
+    item_id_field: "iid"
+  }}
+}}
+feature_config {{
+  features {{ input_names: "uid" feature_type: IdFeature
+              embedding_dim: 16 hash_bucket_size: 100 }}
+  features {{ input_names: "iid" feature_type: IdFeature
+              embedding_dim: 16 hash_bucket_size: 200 }}
+  features {{ input_names: "cate" feature_type: IdFeature
+              embedding_dim: 16 hash_bucket_size: 20 }}
+  features {{ input_names: "seq_cate" feature_type: SequenceFeature
+              embedding_dim: 16 hash_bucket_size: 20 max_seq_len: 5 }}
+}}
+model_config {{
+  model_class: "DSSM"
+  feature_groups {{
+    group_name: "user" feature_names: "uid" wide_deep: DEEP
+  }}
+  feature_groups {{
+    group_name: "item" feature_names: "iid" feature_names: "cate"
+    wide_deep: DEEP
+  }}
+  seq_att_groups {{
+    group_name: "din"
+    seq_att_map {{ key: "cate" hist_seq: "seq_cate" }}
+  }}
+  dssm {{
+    user_tower {{ id: "uid" dnn {{ hidden_units: 16 use_bn: false }} }}
+    item_tower {{ id: "iid" dnn {{ hidden_units: 16 use_bn: false }} }}
+    simi_func: INNER_PRODUCT
+    temperature: 0.2
+    item_id: "iid"
+  }}
+  loss_type: SOFTMAX_CROSS_ENTROPY
+}}
+"""
+
+
+def _write_seq_interactions(path, n, seed):
+  """Like _write_interactions but with a history column of the user's
+  preferred cate (the DIN signal)."""
+  rng = np.random.default_rng(seed)
+  with open(path, 'w') as f:
+    for _ in range(n):
+      u = rng.integers(0, 40)
+      cate = u % N_CATES
+      matching = [i for i in range(N_ITEMS) if i % N_CATES == cate]
+      item = matching[rng.integers(0, len(matching))]
+      hist = '|'.join('c%d' % cate for _ in range(rng.integers(2, 6)))
+      f.write('1,u%d,i%d,c%d,%s\n' % (u, item, item % N_CATES, hist))
+
+
+def test_dssm_negative_sampler_target_attention(tmp_path):
+  """seq_att_groups on a two-tower model: DIN target attention queried by
+  the positive item AND by every sampled negative (per-candidate user
+  towers, reference sequence_feature_layer negative-sampler re-query)."""
+  items = os.path.join(str(tmp_path), 'items.txt')
+  train = os.path.join(str(tmp_path), 'train.csv')
+  evalp = os.path.join(str(tmp_path), 'eval.csv')
+  _write_items(items)
+  _write_seq_interactions(train, 4096, seed=1)
+  _write_seq_interactions(evalp, 512, seed=2)
+  path = os.path.join(str(tmp_path), 'pipeline.config')
+  with open(path, 'w') as f:
+    f.write(SEQ_ATT_CONFIG.format(
+        train=train, eval=evalp,
+        model_dir=os.path.join(str(tmp_path), 'ckpt'), items=items))
+  cfg = get_configs_from_pipeline_file(path)
+  trainer = Trainer(cfg)
+  result = trainer.fit()
+  # the attention module exists and is shared between pos/neg queries
+  params = result['state'].params
+  assert 'seq_att_0' in params, sorted(params)
+  hist = result['history']
+  assert hist[-1]['loss'] < hist[0]['loss']
+  # positive is col 0 of [pos | 16 negs]: recall@5 must beat 5/17 random
+  assert result['eval_metrics']['recall@5'] > 0.55, result['eval_metrics']
+
+
 def test_hard_negative_sampler(tmp_path):
   edges = os.path.join(str(tmp_path), 'hard_edges.txt')
   with open(edges, 'w') as f:
