@@ -309,6 +309,11 @@ class Trainer:
                max_batches: Optional[int] = None) -> Dict[str, float]:
     if eval_iter is None:
       eval_iter = self.eval_input()
+      if max_batches is None and self.data_config.input_type == \
+          self.data_config.InputType.Value('DummyInput'):
+        # DummyInput streams forever (perf-testing input, reference
+        # input/dummy_input.py); an unbounded eval would never end
+        max_batches = 50
     metric_states = self.metrics.init_states()
     host_needed = bool(self.metrics.host_fields)
     buffers = {'labels': [], 'probs': []} if host_needed else None
@@ -445,6 +450,11 @@ class Trainer:
     t0 = time.time()
     window_examples = 0
     history = []
+    summary = None
+    if self.model_dir:
+      # TensorBoard scalars, TF-free (reference estimator summaries)
+      from easyrec_tpu.utils.summary_writer import SummaryWriter
+      summary = SummaryWriter(self.model_dir)
     stop_training = False
     profile_dir = None
     if tc.is_profiling and self.model_dir:
@@ -468,6 +478,11 @@ class Trainer:
         logging.info('step %d: loss=%.5f (%.1f ex/s)', step, loss_val, rate)
         history.append({'step': step, 'loss': loss_val,
                         'examples_per_sec': rate})
+        if summary is not None:
+          scalars = {'loss/%s' % k: float(v) for k, v in loss_dict.items()}
+          scalars['global_step/examples_per_sec'] = rate
+          summary.add_scalars(scalars, step)
+          summary.flush()
         t0 = time.time()
         window_examples = 0
         if profile_dir is not None:
@@ -485,6 +500,10 @@ class Trainer:
         if want_periodic_eval:
           online = self.evaluate(state, max_batches=20)
           logging.info('online eval @%d: %s', step, online)
+          if summary is not None:
+            summary.add_scalars(
+                {'eval/%s' % k: float(v) for k, v in online.items()}, step)
+            summary.flush()
           if self.eval_config.eval_online:
             with open(os.path.join(self.model_dir,
                                    'online_eval_result.txt-%d' % step),
@@ -523,4 +542,12 @@ class Trainer:
         with open(os.path.join(self.model_dir, 'eval_result.txt'),
                   'w') as f:
           json.dump({k: float(v) for k, v in metrics.items()}, f)
+        # final eval scalars into a separate run dir, like estimator's
+        # eval_val subdir (reference eval spec naming)
+        from easyrec_tpu.utils.summary_writer import SummaryWriter
+        with SummaryWriter(os.path.join(self.model_dir, 'eval_val')) as sw:
+          sw.add_scalars(
+              {k: float(v) for k, v in metrics.items()}, step)
+    if summary is not None:
+      summary.close()
     return result
