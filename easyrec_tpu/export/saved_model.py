@@ -38,10 +38,17 @@ def export_saved_model(trainer, state, export_base_dir: str,
   config_util.save_pipeline_config(trainer.pipeline_config, export_dir,
                                    CONFIG_FILE)
 
+  tables = jax.device_get(state.tables)
+  if getattr(trainer, 'pack_metas', None):
+    # exports always carry the LOGICAL [rows, dim] layout so serving and
+    # incremental updates are independent of the training-side packing
+    from easyrec_tpu.ops import packed_table as pt
+    tables = {k: pt.unpack_host(np.asarray(v), trainer.pack_metas[k])
+              for k, v in tables.items()}
   serving_state = {
       'params': jax.device_get(state.params),
       'batch_stats': jax.device_get(state.batch_stats),
-      'tables': jax.device_get(state.tables),
+      'tables': tables,
       'step': np.asarray(state.step),
   }
   ckptr = ocp.StandardCheckpointer()
@@ -78,7 +85,8 @@ def _output_names(trainer) -> list:
   state = trainer.init_state(batch)
   sharded = trainer.rules.shard_batch(batch)
   packs = emb_ops.pack_ids(trainer.layout, sharded)
-  pulled = emb_ops.pull_embeddings(state.tables, packs)
+  pulled = emb_ops.pull_embeddings(state.tables, packs,
+                                   getattr(trainer, 'pack_metas', None))
   variables = {'params': state.params}
   if state.batch_stats:
     variables['batch_stats'] = state.batch_stats

@@ -187,6 +187,62 @@ class EmbeddingLayout:
   def scratch_row(self, key: str) -> int:
     return self.tables[key].rows - SCRATCH_ROWS
 
+  # -- packed layout (TPU Mosaic update path, ops/packed_table.py) ---------
+
+  def pack_metas(self, pad_rows_to: int = 1):
+    """PackMeta per fused table (packed mode's own scratch group replaces
+    the trailing scratch row)."""
+    from easyrec_tpu.ops.packed_table import PackMeta
+    return {key: PackMeta(_round_up(t.rows, pad_rows_to), t.dim)
+            for key, t in self.tables.items()}
+
+  def packed_supported(self) -> bool:
+    from easyrec_tpu.ops import packed_table as pt
+    return all(pt.supported(t.dim) for t in self.tables.values())
+
+  def init_packed_tables_on_device(self, rng_seed: int = 0,
+                                   pad_rows_to: int = 1,
+                                   sharding=None) -> Dict[str, object]:
+    """Initialize fused tables ON DEVICE directly in the packed [G*8, W]
+    geometry: each (phys_row, col) maps back to its logical row for the
+    per-member-table stddev (searchsorted), padding/scratch zeroed."""
+    import zlib
+
+    import jax
+    import jax.numpy as jnp
+
+    metas = self.pack_metas(pad_rows_to)
+    out = {}
+    for key, t in self.tables.items():
+      meta = metas[key]
+      segments = tuple(sorted(
+          (off, off + t.member_rows[name], float(t.stddev[name]))
+          for name, off in t.offsets.items()))
+      seed = rng_seed ^ (zlib.crc32(key.encode()) & 0x7fffffff)
+      starts = jnp.asarray([s for s, _, _ in segments] + [meta.rows_padded],
+                           jnp.int32)
+      stds = jnp.asarray([sd for _, _, sd in segments] + [0.0], jnp.float32)
+      ends = jnp.asarray([e for _, e, _ in segments] + [meta.rows_padded],
+                         jnp.int32)
+
+      def _init(seed_arr, meta=meta, starts=starts, stds=stds, ends=ends):
+        arr = jax.random.normal(jax.random.PRNGKey(seed_arr[0]),
+                                (meta.phys_rows, meta.width), jnp.float32)
+        prow = jax.lax.broadcasted_iota(
+            jnp.int32, (meta.phys_rows, meta.width), 0)
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (meta.phys_rows, meta.width), 1)
+        logical = ((prow // 8) * meta.group_rows +
+                   (prow % 8) * meta.pack + col // meta.dim)
+        seg = jnp.searchsorted(starts, logical, side='right') - 1
+        std = jnp.take(stds, seg)
+        in_seg = logical < jnp.take(ends, seg)
+        return arr * jnp.where(in_seg, std, 0.0)
+
+      fn = jax.jit(_init, out_shardings=sharding)
+      out[key] = fn(jnp.asarray([seed], jnp.uint32))
+    return out
+
 
 def _init_stddev(spec: FeatureSpec, dim: int) -> float:
   config = spec.config

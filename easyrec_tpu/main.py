@@ -190,7 +190,8 @@ def predict(pipeline_config: ConfigOrPath,
   @jax.jit
   def predict_fn(state, batch):
     packs = emb_ops.pack_ids(layout, batch)
-    pulled = emb_ops.pull_embeddings(state.tables, packs)
+    pulled = emb_ops.pull_embeddings(state.tables, packs,
+                                     trainer.pack_metas)
     variables = {'params': state.params}
     if state.batch_stats:
       variables['batch_stats'] = state.batch_stats

@@ -40,11 +40,24 @@ def dedup_sum(ids: jnp.ndarray, grads: jnp.ndarray,
 
 @dataclasses.dataclass(frozen=True)
 class SparseOptimizer:
-  """A row-sparse optimizer: init table-shaped slots, update touched rows."""
+  """A row-sparse optimizer: init table-shaped slots, update touched rows.
+
+  Optimizers also expose a BLOCKWISE form for the packed-table Mosaic
+  kernel (ops/packed_table.py): `slot_names` orders the slot arrays,
+  `hypers(lr, step)` collects the traced scalars, and
+  `block_math(olds, g, hyp)` computes new blocks from old f32 blocks
+  ([c*8, W], weights first), the summed gradient block, and a scalar
+  accessor hyp(k). Static hyperparameters are baked into the closure;
+  updates are masked afterwards to touched rows only, matching the
+  row-granular lazy semantics of `update_rows`.
+  """
   name: str
   init: Callable        # (table) -> state pytree (dict of table-shaped slots)
   update_rows: Callable  # (table, state, uids, ugrads, lr, step) ->
   #                        (new_table, new_state)
+  slot_names: Tuple[str, ...] = ()
+  hypers: Callable = None       # (lr, step) -> jnp [K] f32
+  block_math: Callable = None   # (olds, g, hyp) -> news
 
 
 def sparse_sgd() -> SparseOptimizer:
@@ -54,7 +67,12 @@ def sparse_sgd() -> SparseOptimizer:
   def update(table, state, uids, ug, lr, step):
     return table.at[uids].add((-lr * ug).astype(table.dtype)), state
 
-  return SparseOptimizer('sgd', init, update)
+  def block(olds, g, hyp):
+    return [olds[0] - hyp(0) * g]
+
+  return SparseOptimizer('sgd', init, update, slot_names=(),
+                         hypers=lambda lr, step: jnp.stack([lr]),
+                         block_math=block)
 
 
 def sparse_momentum(momentum: float = 0.9) -> SparseOptimizer:
@@ -67,7 +85,14 @@ def sparse_momentum(momentum: float = 0.9) -> SparseOptimizer:
     table = table.at[uids].add((-lr * m_rows).astype(table.dtype))
     return table, {'m': m}
 
-  return SparseOptimizer('momentum', init, update)
+  def block(olds, g, hyp):
+    w, m = olds
+    m_new = momentum * m + g
+    return [w - hyp(0) * m_new, m_new]
+
+  return SparseOptimizer('momentum', init, update, slot_names=('m',),
+                         hypers=lambda lr, step: jnp.stack([lr]),
+                         block_math=block)
 
 
 def sparse_adagrad(initial_accumulator: float = 0.1,
@@ -81,7 +106,14 @@ def sparse_adagrad(initial_accumulator: float = 0.1,
     upd = -lr * ug * jax.lax.rsqrt(acc_rows + eps)
     return table.at[uids].add(upd.astype(table.dtype)), {'accum': accum}
 
-  return SparseOptimizer('adagrad', init, update)
+  def block(olds, g, hyp):
+    w, acc = olds
+    acc_new = acc + jnp.square(g)
+    return [w - hyp(0) * g * jax.lax.rsqrt(acc_new + eps), acc_new]
+
+  return SparseOptimizer('adagrad', init, update, slot_names=('accum',),
+                         hypers=lambda lr, step: jnp.stack([lr]),
+                         block_math=block)
 
 
 def sparse_adam(b1: float = 0.9, b2: float = 0.999,
@@ -107,7 +139,25 @@ def sparse_adam(b1: float = 0.9, b2: float = 0.999,
       upd = upd - lr * weight_decay * jnp.take(table, uids, axis=0)
     return table.at[uids].add(upd.astype(table.dtype)), {'m': m, 'v': v}
 
-  return SparseOptimizer('adam', init, update)
+  def hypers(lr, step):
+    # bias corrections precomputed so the kernel stays transcendental-free
+    t = (step + 1).astype(jnp.float32)
+    return jnp.stack([lr,
+                      1.0 / (1 - jnp.power(b1, t)),
+                      1.0 / (1 - jnp.power(b2, t))])
+
+  def block(olds, g, hyp):
+    w, m, v = olds
+    lr, c1, c2 = hyp(0), hyp(1), hyp(2)
+    m_new = b1 * m + (1 - b1) * g
+    v_new = b2 * v + (1 - b2) * jnp.square(g)
+    upd = -lr * (m_new * c1) / (jnp.sqrt(v_new * c2) + eps)
+    if weight_decay:
+      upd = upd - lr * weight_decay * w
+    return [w + upd, m_new, v_new]
+
+  return SparseOptimizer('adam', init, update, slot_names=('m', 'v'),
+                         hypers=hypers, block_math=block)
 
 
 def sparse_ftrl(learning_rate_power: float = -0.5,
@@ -134,7 +184,23 @@ def sparse_ftrl(learning_rate_power: float = -0.5,
     return table.at[uids].set(w_new.astype(table.dtype)), \
         {'accum': accum, 'z': z}
 
-  return SparseOptimizer('ftrl', init, update)
+  def block(olds, g, hyp):
+    w, acc, z = olds
+    lr = hyp(0)
+    acc_new = acc + jnp.square(g)
+    p = -learning_rate_power
+    sigma = (jnp.power(acc_new, p) - jnp.power(acc, p)) / lr
+    z_new = z + g - sigma * w
+    w_new = jnp.where(
+        jnp.abs(z_new) <= l1,
+        0.0,
+        -(z_new - jnp.sign(z_new) * l1) /
+        (jnp.power(acc_new, p) / lr + 2 * l2))
+    return [w_new, acc_new, z_new]
+
+  return SparseOptimizer('ftrl', init, update, slot_names=('accum', 'z'),
+                         hypers=lambda lr, step: jnp.stack([lr]),
+                         block_math=block)
 
 
 def apply_sparse_updates(tables: Dict[str, jnp.ndarray],
@@ -171,3 +237,40 @@ def apply_sparse_updates(tables: Dict[str, jnp.ndarray],
 def init_sparse_states(tables: Dict[str, jnp.ndarray],
                        optimizer: SparseOptimizer) -> Dict[str, dict]:
   return {key: optimizer.init(t) for key, t in tables.items()}
+
+
+def apply_sparse_updates_packed(tables: Dict[str, jnp.ndarray],
+                                states: Dict[str, dict],
+                                packs: Dict[str, jnp.ndarray],
+                                pulled_grads: Dict[str, jnp.ndarray],
+                                optimizer: SparseOptimizer,
+                                lr: jnp.ndarray,
+                                step: jnp.ndarray,
+                                pack_metas: Dict[str, object],
+                                use_pallas: bool,
+                                interpret: bool = False):
+  """Packed-layout twin of apply_sparse_updates: group-level dedup +
+  one Mosaic RMW kernel per fused table (ops/packed_table.py) instead of
+  per-slot XLA scatters (the 4 GB/s wall, PERF.md)."""
+  from easyrec_tpu.ops import packed_table as pt
+
+  new_tables, new_states = {}, {}
+  for key, table in tables.items():
+    meta = pack_metas[key]
+    id_parts, g_parts = [], []
+    for view in (key, 'neg.' + key, 'hard_neg.' + key):
+      if view in packs:
+        id_parts.append(packs[view].reshape(-1))
+        g_parts.append(pulled_grads[view].reshape(
+            -1, meta.dim).astype(jnp.float32))
+    ids = jnp.concatenate(id_parts) if len(id_parts) > 1 else id_parts[0]
+    g = jnp.concatenate(g_parts) if len(g_parts) > 1 else g_parts[0]
+    uids, ug = dedup_sum(ids, g, meta.scratch)
+    ugids, gg = pt.group_prep(uids, ug, meta)
+    arrays = [table] + [states[key][n] for n in optimizer.slot_names]
+    outs = pt.apply_packed_update(
+        arrays, ugids, gg, optimizer.hypers(lr, step),
+        optimizer.block_math, meta, use_pallas, interpret=interpret)
+    new_tables[key] = outs[0]
+    new_states[key] = dict(zip(optimizer.slot_names, outs[1:]))
+  return new_tables, new_states

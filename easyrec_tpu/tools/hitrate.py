@@ -42,7 +42,8 @@ def compute_hitrate(pipeline_config, top_k: int = 10,
   def forward(batch):
     sharded = trainer.rules.shard_batch(batch)
     packs = emb_ops.pack_all_views(trainer.layout, sharded)
-    pulled = emb_ops.pull_embeddings(state.tables, packs)
+    pulled = emb_ops.pull_embeddings(state.tables, packs,
+                                     trainer.pack_metas)
     variables = {'params': state.params}
     if state.batch_stats:
       variables['batch_stats'] = state.batch_stats

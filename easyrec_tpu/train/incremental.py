@@ -36,8 +36,11 @@ def _flatten_params(tree) -> Dict[str, np.ndarray]:
 class IncrementalPublisher:
   """Publishes dense deltas + touched sparse rows after checkpoint saves."""
 
-  def __init__(self, incr_save_config, model_dir: str):
+  def __init__(self, incr_save_config, model_dir: str, pack_metas=None):
     self.config = incr_save_config
+    # packed training still publishes LOGICAL [rows, dim] deltas so the
+    # serving side stays layout-independent
+    self.pack_metas = pack_metas
     which = incr_save_config.WhichOneof('incr_update')
     if which in ('kafka', 'datahub'):
       raise NotImplementedError(
@@ -55,6 +58,10 @@ class IncrementalPublisher:
     """Write one update file; returns its path (None on first snapshot)."""
     dense = _flatten_params(state.params)
     tables = {k: np.asarray(v) for k, v in state.tables.items()}
+    if self.pack_metas:
+      from easyrec_tpu.ops import packed_table as pt
+      tables = {k: pt.unpack_host(v, self.pack_metas[k])
+                for k, v in tables.items()}
     first = self._last_dense is None
     payload = {}
     meta = {'step': int(step), 'version': self._version,

@@ -94,13 +94,32 @@ def load_raw_checkpoint(ckpt_path: str):
 
 def fine_tune_restore(state, ckpt_path: str, var_map: str = '',
                       restore_filters: List[str] = (),
-                      force_shape_compat: bool = True):
+                      force_shape_compat: bool = True,
+                      pack_metas=None):
   """Warm-start `state` from another run's checkpoint: params and
   embedding tables restored by matching flattened names; optimizer slots
-  and step stay fresh."""
+  and step stay fresh.
+
+  pack_metas: set when `state` holds PACKED tables (ops/packed_table.py);
+  checkpointed tables in either layout are converted on host so plain
+  checkpoints warm-start packed runs and vice versa."""
   raw = load_raw_checkpoint(ckpt_path)
   rename = _parse_var_map(var_map)
   filters = [re.compile(p) for p in restore_filters]
+
+  if pack_metas and raw.get('tables'):
+    from easyrec_tpu.ops import packed_table as pt
+    fixed = {}
+    for name, arr in raw['tables'].items():
+      arr = np.asarray(arr)
+      meta = pack_metas.get(name)
+      if meta is not None and arr.ndim == 2 and \
+          arr.shape[1] == meta.dim and arr.shape != \
+          (meta.phys_rows, meta.width):
+        arr = pt.pack_host(arr, meta)   # plain ckpt -> packed state
+      fixed[name] = arr
+    raw = dict(raw)
+    raw['tables'] = fixed
 
   def _restore_section(current, saved_section, section: str):
     cur_flat = _flatten(current)

@@ -107,13 +107,49 @@ class Trainer:
         self.eval_config.metrics_set,
         label_name=self.model.label_name if self.ctx.label_fields else None)
 
+    # packed-table mode: tables + optimizer slots in the [G*8, W] Mosaic
+    # geometry; sparse updates via the group-DMA RMW kernel instead of
+    # XLA scatters (ops/packed_table.py — the 4 GB/s scatter wall).
+    self.packed_mode = self._decide_packed_mode()
+    self.pack_metas = self.layout.pack_metas(self.rules.table_pad_rows()) \
+        if self.packed_mode else None
+    self._packed_pallas = self._mesh_on_tpu()
+
+  def _mesh_on_tpu(self) -> bool:
+    # the mesh's own devices, NOT jax.default_backend(): a CPU-device
+    # trainer in a TPU process (e.g. bench baselines) must not pick the
+    # Mosaic kernel path
+    return all(d.platform == 'tpu'
+               for d in self.mesh.devices.flatten())
+
+  def _decide_packed_mode(self) -> bool:
+    env = os.environ.get('EASYREC_PACKED_TABLES', 'auto')
+    if env == '0':
+      return False
+    ok = (self.layout.packed_supported() and self.layout.tables and
+          self.embed_opt.sparse.block_math is not None)
+    if env == '1':
+      return bool(ok)
+    # auto: OFF until the combined (weights|slots interleaved) layout
+    # lands — the separate-array kernel pays 2 DMAs per group per array
+    # (~100 ns issue cost each) and measured BELOW the plain scatter
+    # path on the flagship bench (43.9k vs 48.3k ex/s). Opt in with
+    # EASYREC_PACKED_TABLES=1. Multi-device packed additionally needs a
+    # shard_map wrapper for the Mosaic kernel (follow-up).
+    return False
+
   # -- state init ----------------------------------------------------------
 
   def init_state(self, sample_batch: Dict[str, np.ndarray]) -> TrainState:
     rng = jax.random.PRNGKey(self.seed)
-    tables = self.layout.init_tables_on_device(
-        self.seed, pad_rows_to=self.rules.table_pad_rows(),
-        sharding=self.rules.table)
+    if self.packed_mode:
+      tables = self.layout.init_packed_tables_on_device(
+          self.seed, pad_rows_to=self.rules.table_pad_rows(),
+          sharding=self.rules.table)
+    else:
+      tables = self.layout.init_tables_on_device(
+          self.seed, pad_rows_to=self.rules.table_pad_rows(),
+          sharding=self.rules.table)
     # initialize dense params on CPU with a tiny batch: parameter shapes
     # are batch-size independent, and tracing the forward on host avoids
     # compiling a throwaway init program for the accelerator (the real
@@ -178,12 +214,14 @@ class Trainer:
     l2_reg, emb_reg = self.l2_reg, self.emb_reg
     scratch = {k: layout.scratch_row(k) for k in layout.tables}
     seed = self.seed
+    pack_metas = self.pack_metas
+    packed_pallas = self._packed_pallas
     import re as _re
     freeze_res = [_re.compile(p) for p in self.train_config.freeze_gradient]
 
     def train_step(state: TrainState, batch):
       packs = emb_ops.pack_all_views(layout, batch)
-      pulled = emb_ops.pull_embeddings(state.tables, packs)
+      pulled = emb_ops.pull_embeddings(state.tables, packs, pack_metas)
       dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
 
       def loss_fn(params, pulled):
@@ -230,9 +268,14 @@ class Trainer:
       new_params = optax.apply_updates(state.params, updates)
 
       emb_lr = embed_schedule(state.step) * embed_mult
-      new_tables, new_slots = sparse_lib.apply_sparse_updates(
-          state.tables, state.slots, packs, g_pulled, sparse_opt,
-          emb_lr, state.step, scratch)
+      if pack_metas is not None:
+        new_tables, new_slots = sparse_lib.apply_sparse_updates_packed(
+            state.tables, state.slots, packs, g_pulled, sparse_opt,
+            emb_lr, state.step, pack_metas, use_pallas=packed_pallas)
+      else:
+        new_tables, new_slots = sparse_lib.apply_sparse_updates(
+            state.tables, state.slots, packs, g_pulled, sparse_opt,
+            emb_lr, state.step, scratch)
 
       new_state = TrainState(
           step=state.step + 1, params=new_params,
@@ -250,9 +293,11 @@ class Trainer:
     layout = self.layout
     metrics = self.metrics
 
+    pack_metas = self.pack_metas
+
     def eval_step(state: TrainState, batch, metric_states):
       packs = emb_ops.pack_all_views(layout, batch)
-      pulled = emb_ops.pull_embeddings(state.tables, packs)
+      pulled = emb_ops.pull_embeddings(state.tables, packs, pack_metas)
       variables = {'params': state.params}
       if state.batch_stats:
         variables['batch_stats'] = state.batch_stats
@@ -412,14 +457,16 @@ class Trainer:
           var_map=tc.fine_tune_ckpt_var_map,
           restore_filters=list(
               self.pipeline_config.model_config.restore_filters),
-          force_shape_compat=tc.force_restore_shape_compatible)
+          force_shape_compat=tc.force_restore_shape_compatible,
+          pack_metas=self.pack_metas)
 
     publisher = None
     incr_every = 0
     if tc.HasField('incr_save_config') and self.model_dir:
       from easyrec_tpu.train.incremental import IncrementalPublisher
       ic = tc.incr_save_config
-      publisher = IncrementalPublisher(ic, self.model_dir)
+      publisher = IncrementalPublisher(ic, self.model_dir,
+                                       pack_metas=self.pack_metas)
       incr_every = int(ic.sparse_save_steps or ic.dense_save_steps or
                        save_every)
       publisher.publish(state, int(np.asarray(state.step)))  # base snapshot

@@ -1,0 +1,139 @@
+"""Packed-table layout (ops/packed_table.py): host pack/unpack roundtrip,
+forward-pull parity, packed sparse-update parity vs the plain row update
+(XLA fallback + interpret-mode Mosaic kernel), and an end-to-end packed
+DeepFM run (EASYREC_PACKED_TABLES=1, CPU fallback path)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from easyrec_tpu.ops import packed_table as pt
+from easyrec_tpu.optim import sparse as sparse_lib
+
+
+@pytest.mark.parametrize('dim', [1, 4, 16, 48])
+def test_pack_unpack_roundtrip(dim):
+  rows = 1000
+  meta = pt.PackMeta(rows, dim)
+  table = np.random.RandomState(0).randn(rows, dim).astype(np.float32)
+  packed = pt.pack_host(table, meta)
+  assert packed.shape == (meta.phys_rows, meta.width)
+  np.testing.assert_array_equal(pt.unpack_host(packed, meta), table)
+
+
+@pytest.mark.parametrize('dim', [1, 16])
+def test_pull_parity(dim):
+  rows = 777
+  meta = pt.PackMeta(rows, dim)
+  rng = np.random.RandomState(1)
+  table = rng.randn(rows, dim).astype(np.float32)
+  packed = jnp.asarray(pt.pack_host(table, meta))
+  ids = jnp.asarray(rng.randint(0, rows, (4, 9)).astype(np.int32))
+  out = pt.pull(packed, ids, meta)
+  assert out.shape == (4, 9, dim)
+  np.testing.assert_array_equal(np.asarray(out), table[np.asarray(ids)])
+
+
+def _run_both(optimizer, dim=16, rows=500, n_ids=137, steps=3,
+              interpret=False):
+  """Plain update_rows vs packed apply over a few steps; exact match."""
+  meta = pt.PackMeta(rows, dim)
+  rng = np.random.RandomState(2)
+  w0 = rng.randn(rows, dim).astype(np.float32) * 0.1
+
+  plain_w = jnp.asarray(w0)
+  plain_s = optimizer.init(plain_w)
+  pack_w = jnp.asarray(pt.pack_host(w0, meta))
+  pack_s = optimizer.init(pack_w)
+
+  for step in range(steps):
+    ids_np = rng.randint(0, rows, n_ids).astype(np.int32)
+    ids_np[:20] = ids_np[20:40]          # duplicates
+    g_np = rng.randn(n_ids, dim).astype(np.float32)
+    ids, grads = jnp.asarray(ids_np), jnp.asarray(g_np)
+    lr, st = jnp.float32(0.05), jnp.int32(step)
+
+    uids, ug = sparse_lib.dedup_sum(ids, grads, rows - 1)
+    plain_w, plain_s = optimizer.update_rows(plain_w, plain_s, uids, ug,
+                                             lr, st)
+
+    uids2, ug2 = sparse_lib.dedup_sum(ids, grads, meta.scratch)
+    ugids, gg = pt.group_prep(uids2, ug2, meta)
+    arrays = [pack_w] + [pack_s[n] for n in optimizer.slot_names]
+    outs = pt.apply_packed_update(arrays, ugids, gg,
+                                  optimizer.hypers(lr, st),
+                                  optimizer.block_math, meta,
+                                  use_pallas=False, interpret=interpret)
+    pack_w = outs[0]
+    pack_s = dict(zip(optimizer.slot_names, outs[1:]))
+
+  got_w = pt.unpack_host(np.asarray(pack_w), meta, rows)
+  np.testing.assert_allclose(got_w[:rows - 1],
+                             np.asarray(plain_w)[:rows - 1],
+                             rtol=0, atol=1e-6)
+  for name in optimizer.slot_names:
+    got = pt.unpack_host(np.asarray(pack_s[name]), meta, rows)
+    np.testing.assert_allclose(got[:rows - 1],
+                               np.asarray(plain_s[name])[:rows - 1],
+                               rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize('make_opt', [
+    sparse_lib.sparse_sgd,
+    sparse_lib.sparse_momentum,
+    sparse_lib.sparse_adagrad,
+    sparse_lib.sparse_adam,
+    sparse_lib.sparse_ftrl,
+], ids=['sgd', 'momentum', 'adagrad', 'adam', 'ftrl'])
+def test_packed_update_parity_xla(make_opt):
+  _run_both(make_opt())
+
+
+@pytest.mark.parametrize('dim', [1, 16])
+def test_packed_update_parity_interpret_kernel(dim):
+  """The Mosaic kernel logic itself (interpret mode on CPU)."""
+  _run_both(sparse_lib.sparse_adam(), dim=dim, steps=2, interpret=True)
+
+
+def test_wide_dim_gating():
+  assert pt.supported(16) and pt.supported(1) and pt.supported(48)
+  assert not pt.supported(129)          # lcm(129,128) way past MAX_WIDTH
+
+
+def test_packed_trainer_end_to_end(tmp_path, monkeypatch):
+  """DeepFM trains in packed mode (XLA fallback on CPU) and learns;
+  export carries LOGICAL tables; predict parity vs in-train eval."""
+  monkeypatch.setenv('EASYREC_PACKED_TABLES', '1')
+  from easyrec_tpu.config import get_configs_from_pipeline_file
+  from easyrec_tpu.train.trainer import Trainer
+  from tests import fixtures
+  cfg_path = fixtures.write_pipeline(tmp_path, num_steps=120)
+  cfg = get_configs_from_pipeline_file(cfg_path)
+  trainer = Trainer(cfg)
+  assert trainer.packed_mode, 'packed mode should engage when forced'
+  result = trainer.fit()
+  auc = result['eval_metrics']['auc']
+  assert auc > 0.75, 'packed DeepFM failed to learn: auc=%s' % auc
+
+  # export writes logical [rows, dim] tables
+  from easyrec_tpu.export.saved_model import (export_saved_model,
+                                              load_serving_state)
+  export_dir = export_saved_model(trainer, result['state'],
+                                  str(tmp_path / 'export'))
+  _, serving = load_serving_state(export_dir)
+  for key, t in trainer.layout.tables.items():
+    assert serving['tables'][key].shape[1] == t.dim
+
+  # serving parity through the Predictor
+  from easyrec_tpu.export.predictor import Predictor
+  pred = Predictor(export_dir)
+  n = pred.predict_csv(str(tmp_path / 'eval.csv'),
+                       str(tmp_path / 'pred_out.csv'))
+  assert n == 1024
+  import csv
+  with open(tmp_path / 'pred_out.csv') as f:
+    rows = list(csv.DictReader(f))
+  probs = np.asarray([float(r['probs']) for r in rows], np.float64)
+  assert len(probs) == 1024 and np.all((probs >= 0) & (probs <= 1))
