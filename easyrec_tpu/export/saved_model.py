@@ -40,10 +40,11 @@ def export_saved_model(trainer, state, export_base_dir: str,
 
   tables = jax.device_get(state.tables)
   if getattr(trainer, 'pack_metas', None):
-    # exports always carry the LOGICAL [rows, dim] layout so serving and
+    # exports always carry the LOGICAL [rows, dim] weights so serving and
     # incremental updates are independent of the training-side packing
+    # (optimizer slots are not exported, like the reference SavedModel)
     from easyrec_tpu.ops import packed_table as pt
-    tables = {k: pt.unpack_host(np.asarray(v), trainer.pack_metas[k])
+    tables = {k: pt.unpack_host(np.asarray(v), trainer.pack_metas[k])[0]
               for k, v in tables.items()}
   serving_state = {
       'params': jax.device_get(state.params),

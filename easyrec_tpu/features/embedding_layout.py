@@ -189,29 +189,36 @@ class EmbeddingLayout:
 
   # -- packed layout (TPU Mosaic update path, ops/packed_table.py) ---------
 
-  def pack_metas(self, pad_rows_to: int = 1):
-    """PackMeta per fused table (packed mode's own scratch group replaces
-    the trailing scratch row)."""
+  def pack_metas(self, n_parts: int = 1, pad_rows_to: int = 1):
+    """PackMeta per fused table. n_parts = 1 + optimizer slot count:
+    weights and slots live interleaved in one combined array; packed
+    mode's own scratch group replaces the trailing scratch row."""
     from easyrec_tpu.ops.packed_table import PackMeta
-    return {key: PackMeta(_round_up(t.rows, pad_rows_to), t.dim)
+    return {key: PackMeta(_round_up(t.rows, pad_rows_to), t.dim, n_parts)
             for key, t in self.tables.items()}
 
-  def packed_supported(self) -> bool:
+  def packed_supported(self, n_parts: int = 1) -> bool:
     from easyrec_tpu.ops import packed_table as pt
-    return all(pt.supported(t.dim) for t in self.tables.values())
+    return all(pt.supported(t.dim, n_parts)
+               for t in self.tables.values())
 
   def init_packed_tables_on_device(self, rng_seed: int = 0,
+                                   n_parts: int = 1,
+                                   slot_init=(),
                                    pad_rows_to: int = 1,
                                    sharding=None) -> Dict[str, object]:
-    """Initialize fused tables ON DEVICE directly in the packed [G*8, W]
-    geometry: each (phys_row, col) maps back to its logical row for the
-    per-member-table stddev (searchsorted), padding/scratch zeroed."""
+    """Initialize combined packed tables ON DEVICE: each (phys_row, col)
+    maps back to its logical row + part; part 0 (weights) draws from the
+    per-member-table stddev (searchsorted), slot parts fill with the
+    optimizer's slot_init constants, padding/scratch zeroed."""
     import zlib
 
     import jax
     import jax.numpy as jnp
 
-    metas = self.pack_metas(pad_rows_to)
+    metas = self.pack_metas(n_parts, pad_rows_to)
+    slot_vals = [0.0] + list(slot_init) + \
+        [0.0] * (n_parts - 1 - len(slot_init))
     out = {}
     for key, t in self.tables.items():
       meta = metas[key]
@@ -224,8 +231,10 @@ class EmbeddingLayout:
       stds = jnp.asarray([sd for _, _, sd in segments] + [0.0], jnp.float32)
       ends = jnp.asarray([e for _, e, _ in segments] + [meta.rows_padded],
                          jnp.int32)
+      svals = jnp.asarray(slot_vals, jnp.float32)
 
-      def _init(seed_arr, meta=meta, starts=starts, stds=stds, ends=ends):
+      def _init(seed_arr, meta=meta, starts=starts, stds=stds, ends=ends,
+                svals=svals):
         arr = jax.random.normal(jax.random.PRNGKey(seed_arr[0]),
                                 (meta.phys_rows, meta.width), jnp.float32)
         prow = jax.lax.broadcasted_iota(
@@ -233,11 +242,14 @@ class EmbeddingLayout:
         col = jax.lax.broadcasted_iota(
             jnp.int32, (meta.phys_rows, meta.width), 1)
         logical = ((prow // 8) * meta.group_rows +
-                   (prow % 8) * meta.pack + col // meta.dim)
+                   (prow % 8) * meta.pack + col // meta.cc)
+        part = (col % meta.cc) // meta.dim
         seg = jnp.searchsorted(starts, logical, side='right') - 1
         std = jnp.take(stds, seg)
         in_seg = logical < jnp.take(ends, seg)
-        return arr * jnp.where(in_seg, std, 0.0)
+        weights = arr * jnp.where(in_seg, std, 0.0)
+        slot_fill = jnp.where(in_seg, jnp.take(svals, part), 0.0)
+        return jnp.where(part == 0, weights, slot_fill)
 
       fn = jax.jit(_init, out_shardings=sharding)
       out[key] = fn(jnp.asarray([seed], jnp.uint32))

@@ -1,38 +1,54 @@
-"""Packed embedding-table layout + Mosaic RMW update kernel.
+"""Packed embedding-table layout + Mosaic group-RMW sparse update.
 
-The XLA TPU scatter serializes per updated row (~108 ns/row, ~4 GB/s
-effective write BW — PERF.md): the three Adam scatters on the flagship
-bench cost 44 ms of an 85 ms step. This module stores each table-shaped
-array (weights and every optimizer slot) in a PACKED geometry where the
-sparse update becomes per-GROUP aligned DMAs inside one Pallas kernel:
+The XLA TPU scatter serializes per updated row: measured IN-STEP on the
+flagship bench (benchmarks/bench_step_ablation.py), the three Adam
+scatters on the [26M, 16] deep table cost ~51 ms and the [26M, 1] wide
+table another ~16 ms of an 83 ms step. This module replaces them with
+per-GROUP aligned DMAs inside one Pallas kernel.
 
-  logical [rows, dim]  ->  packed [G*8, W],  W = lcm(dim, 128)
-  row r lives at physical row  (r // group_rows) * 8 + (r % group_rows)
-  // pack, lane columns [l*dim, (l+1)*dim) with l = r % pack,
-  pack = W // dim, group_rows = 8 * pack.
+Layout (v3, "combined interleaved"): the weights AND every optimizer
+slot of a logical row live side by side in ONE physical row —
 
-One GROUP = 8 consecutive physical rows = group_rows logical rows =
-the smallest slice Mosaic DMA accepts (lane-aligned width % 128 == 0 AND
-sublane-aligned start/size % 8 == 0 — PERF.md "Mosaic alignment").
+  combined cols  cc = n_parts * dim          (w | slot1 | slot2 ...)
+  width          W  = lcm(cc, 128)
+  pack           = W // cc   logical rows per physical row
+  group          = 8 physical rows = 8*pack logical rows
+  part p of logical row r  ->  physical row
+      (r // group_rows) * 8 + (r % group_rows) // pack,
+      cols  (r % pack) * cc + p*dim + [0, dim)
+
+One group is the smallest slice Mosaic DMA accepts (lane-aligned width
+% 128 == 0 AND sublane-aligned start/size % 8 == 0), and combining the
+parts means ONE pull + ONE push per touched group: the kernel is
+DMA-ISSUE-bound (~40-50 ns per copy, benchmarks/bench_dma_issue.py), so
+per-array copies (v2) tripled the cost and lost to the scatters.
 
 Forward gather stays in XLA: a plain physical-row take (dynamic MAJOR
-offsets lower fast; dynamic MINOR offsets are the 180-1000x trap) + a
-one-hot lane mask + a static 0/1 matmul back to [N, dim]. Measured
-FASTER than the plain-layout take (3.9 ms vs 5.2 ms at bench shapes).
+offsets lower fast; dynamic MINOR offsets lower 180-1000x slow) + a
+one-hot part-0 mask + a static 0/1 matmul back to [N, dim] — measured
+FASTER than the plain-layout take at bench shapes (3.9 vs 5.2 ms).
 
-Sparse update: sorted-dedup (optim/sparse.py) -> group-level dedup with
-lane expansion (everything 128-lane aligned; narrow [., pack, dim]
-reshapes tile-pad catastrophically) -> ONE pallas kernel that, per grid
-chunk, DMA-pulls the touched groups of EVERY array (weights + slots),
-runs the optimizer math on the VPU with a touched-row mask, and
-DMA-pushes them back (~240 GB/s vs the scatter's 4 GB/s). XLA's
-[8, W]-slice gather was measured at 145 ms per array at bench shapes —
-group pulls MUST live inside the kernel.
+Update pipeline (all scatter-free except one 1-D id set):
+  sort ids -> group-level segments -> lane-expand sorted grads COMPACT
+  -> ONE sorted segment-sum to [cap, 8, part_width] grad blocks (cap =
+  min(n_ids, groups): small tables truncate) -> kernel: per chunk,
+  DMA-pull touched groups; since part p of a row sits exactly p*dim
+  lanes right of its weights, pltpu.roll(old, -p*dim) aligns every part
+  to the part-0 columns and the optimizer's blockwise math
+  (optim/sparse.py block_math) runs on full-width vectors unchanged —
+  no per-part extract/reassemble MXU matmuls (HIGHEST-precision f32
+  matmuls run at ~1/6 MXU rate and measured ~30 ms/step here); mask
+  untouched rows (one bf16 block-diagonal matmul, exact for 0/1 sums);
+  DMA-push back.
 
-Reference parity: this replaces the IndexedSlices sparse-apply path of
+Measured on the flagship bench (v5e single chip, batch 4096): full
+train step 83.3 ms (plain scatters) -> 40.9 ms packed = 100.1k
+examples/s/chip, 2.07x.
+
+Reference parity: replaces the IndexedSlices sparse-apply path of
 easy_rec/python/compat/optimizers.py:294-316 (lazy/async optimizers);
-numerics are bit-exact vs the plain-layout row update (validated in
-benchmarks/bench_packed_v2.py and tests/test_packed_table.py).
+numerics are exact vs the plain-layout row update up to f32 summation
+order (tests/test_packed_table.py).
 """
 
 from __future__ import annotations
@@ -45,90 +61,104 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Widest physical row the kernel will handle: bounds VMEM use
-# (chunk * 8 * W * 4 bytes per buffered array) and covers every
-# power-of-two dim plus dims like 24/48/96 (W=384). Odd dims whose
-# lcm(dim, 128) exceeds this fall back to the plain layout.
+# Widest physical row the kernel handles: bounds VMEM (chunk*8*W*4 per
+# buffered block). Every power-of-two dim with up to 3 parts lands on
+# W <= 384; odd dims whose lcm exceeds this fall back to plain layout.
 MAX_WIDTH = 512
-_LANE = 64          # SMEM id-block lane count
+_LANE = 64          # SMEM id-page lane count
+_PAGE = 8 * _LANE   # id slots per SMEM page (fixed (1, 8, 64) block)
+_UNROLL = 4         # DMA issue-loop unrolling (bench_dma_issue: -15%)
 
 
 class PackMeta:
-  """Static geometry of one packed table."""
+  """Static geometry of one packed table (n_parts = 1 + optimizer
+  slots)."""
 
-  def __init__(self, rows: int, dim: int):
+  def __init__(self, rows: int, dim: int, n_parts: int = 1):
     self.rows = int(rows)
     self.dim = int(dim)
-    self.pack = 128 // math.gcd(dim, 128)
-    self.width = self.pack * dim                  # lcm(dim, 128)
+    self.n_parts = int(n_parts)
+    self.cc = self.n_parts * self.dim             # combined cols / row
+    self.width = self.cc * (128 // math.gcd(self.cc, 128))  # lcm(cc,128)
+    self.pack = self.width // self.cc
     self.group_rows = 8 * self.pack
-    # +1 group so the scratch row never shares a group with real rows,
-    # +rounding; scratch group absorbs dedup padding writes
+    # +1 whole sacrificial group at the end absorbs dedup padding
     self.groups = rows // self.group_rows + 2
     self.rows_padded = self.groups * self.group_rows
     self.scratch = self.rows_padded - self.group_rows
     self.scratch_gid = self.groups - 1
     self.phys_rows = self.groups * 8
+    # compact per-part view width (128-padded for clean MXU shapes)
+    self.part_width = max(128, ((self.pack * self.dim + 127) // 128) * 128)
 
   def __repr__(self):
-    return ('PackMeta(rows=%d, dim=%d, pack=%d, width=%d, groups=%d)'
-            % (self.rows, self.dim, self.pack, self.width, self.groups))
+    return ('PackMeta(rows=%d, dim=%d, parts=%d, width=%d, groups=%d)'
+            % (self.rows, self.dim, self.n_parts, self.width,
+               self.groups))
 
 
-def supported(dim: int) -> bool:
-  return (128 // math.gcd(dim, 128)) * dim <= MAX_WIDTH
+def supported(dim: int, n_parts: int = 1) -> bool:
+  cc = dim * n_parts
+  return cc * (128 // math.gcd(cc, 128)) <= MAX_WIDTH
 
 
 # ------------------------------------------------------------------ host
 
-def pack_host(table: np.ndarray, meta: PackMeta) -> np.ndarray:
-  """[rows, dim] -> [G*8, W] on host (free of TPU relayout traps)."""
-  full = np.zeros((meta.rows_padded, meta.dim), table.dtype)
-  full[:table.shape[0]] = table
-  v = full.reshape(meta.groups, 8, meta.pack, meta.dim)
+def pack_host(weights: np.ndarray, slots: Sequence[np.ndarray],
+              meta: PackMeta) -> np.ndarray:
+  """(w [rows, dim], slot arrays [rows, dim]...) -> combined [G*8, W]."""
+  parts = [weights] + list(slots)
+  assert len(parts) == meta.n_parts, (len(parts), meta.n_parts)
+  full = np.zeros((meta.rows_padded, meta.cc), weights.dtype)
+  for p, arr in enumerate(parts):
+    full[:arr.shape[0], p * meta.dim:(p + 1) * meta.dim] = arr
+  v = full.reshape(meta.groups, 8, meta.pack, meta.cc)
   return np.ascontiguousarray(v.reshape(meta.phys_rows, meta.width))
 
 
 def unpack_host(packed: np.ndarray, meta: PackMeta,
-                rows: int = None) -> np.ndarray:
-  """[G*8, W] -> [rows, dim] on host."""
-  v = packed.reshape(meta.groups, 8, meta.pack, meta.dim)
-  flat = v.reshape(meta.rows_padded, meta.dim)
-  return np.ascontiguousarray(flat[:rows if rows is not None
-                                   else meta.rows])
+                rows: int = None) -> Tuple[np.ndarray, list]:
+  """combined [G*8, W] -> (weights [rows, dim], [slot arrays...])."""
+  rows = meta.rows if rows is None else rows
+  v = packed.reshape(meta.groups, 8, meta.pack, meta.cc)
+  flat = v.reshape(meta.rows_padded, meta.cc)[:rows]
+  parts = [np.ascontiguousarray(flat[:, p * meta.dim:(p + 1) * meta.dim])
+           for p in range(meta.n_parts)]
+  return parts[0], parts[1:]
 
 
 # --------------------------------------------------------------- forward
 
 def phys_index(ids: jnp.ndarray, meta: PackMeta):
-  """logical id -> (physical row, lane)."""
+  """logical id -> (physical row, lane in [0, pack))."""
   g = ids // meta.group_rows
   within = ids % meta.group_rows
   return g * 8 + within // meta.pack, within % meta.pack
 
 
 @functools.lru_cache(maxsize=None)
-def _lane_sum_matrix(width: int, dim: int):
+def _part0_sum_matrix(width: int, cc: int, dim: int):
+  """W x dim 0/1: column j contributes to output d iff j % cc == d < dim."""
   t = np.zeros((width, dim), np.float32)
   for j in range(width):
-    t[j, j % dim] = 1.0
+    if j % cc < dim:
+      t[j, j % cc] = 1.0
   return t
 
 
 def pull(packed: jnp.ndarray, ids: jnp.ndarray,
          meta: PackMeta) -> jnp.ndarray:
-  """Gather logical rows [..., dim] from the packed array (pure XLA).
-
-  Physical-row take + one-hot lane mask + static 0/1 matmul; the matmul
-  must run at HIGHEST precision to keep f32 mantissas (TPU matmuls
-  default to bf16)."""
+  """Gather logical WEIGHT rows [..., dim] (pure XLA: phys-row take +
+  lane mask + static 0/1 matmul at HIGHEST precision — TPU matmuls
+  otherwise truncate f32 to bf16)."""
   shape = ids.shape
   flat = ids.reshape(-1)
   prow, lane = phys_index(flat, meta)
   r = jnp.take(packed, prow, axis=0)                      # [N, W]
-  col_lane = jnp.arange(meta.width, dtype=jnp.int32) // meta.dim
-  mask = (col_lane[None, :] == lane[:, None]).astype(r.dtype)
-  tmat = jnp.asarray(_lane_sum_matrix(meta.width, meta.dim)).astype(r.dtype)
+  col = jnp.arange(meta.width, dtype=jnp.int32)
+  mask = ((col // meta.cc)[None, :] == lane[:, None]).astype(r.dtype)
+  tmat = jnp.asarray(_part0_sum_matrix(meta.width, meta.cc,
+                                       meta.dim)).astype(r.dtype)
   out = jax.lax.dot(r * mask, tmat,
                     precision=jax.lax.Precision.HIGHEST)  # [N, dim]
   return out.reshape(shape + (meta.dim,))
@@ -136,205 +166,301 @@ def pull(packed: jnp.ndarray, ids: jnp.ndarray,
 
 # ----------------------------------------------------------- update prep
 
-def group_prep(uids: jnp.ndarray, ug: jnp.ndarray, meta: PackMeta):
-  """Sorted deduped logical ids + summed grads [n, dim] -> unique group
-  ids [n] and dense per-physical-row grad blocks [n, 8, W].
+def group_prep(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta):
+  """Raw (duplicated) ids + grads [N, dim] -> (ugids [cap], gg
+  [cap, 8, part_width]) — fused sort + group dedup + lane expansion +
+  ONE sorted segment-sum (replaces dedup_sum + per-row scatters of the
+  plain path).
 
-  Padding slots target the scratch group with zero gradients (same
-  contract as optim/sparse.dedup_sum). Every intermediate keeps a
-  128-multiple lane axis — narrow [*, dim] reshapes tile-pad on TPU."""
-  n = uids.shape[0]
-  gids = uids // meta.group_rows
-  within = uids % meta.group_rows
+  gg is COMPACT: gg[k, s, lane*dim + d] is the summed gradient for the
+  logical row at (group k, sublane s, lane); the kernel expands it to
+  combined part-0 positions with one static matmul. Padding slots target
+  the scratch group with zero gradients. cap = min(N, groups) truncates
+  small tables (the wide [26M, 1] table has only ~25k groups for ~106k
+  id slots)."""
+  n = ids.shape[0]
+  order = jnp.argsort(ids)
+  sids = jnp.take(ids, order)
+  sgrads = jnp.take(grads, order, axis=0).astype(jnp.float32)
+  gids = sids // meta.group_rows
+  within = sids % meta.group_rows
   sub = within // meta.pack
   lane = within % meta.pack
   first = jnp.concatenate([jnp.ones((1,), bool), gids[1:] != gids[:-1]])
-  gseg = jnp.cumsum(first) - 1
-  ugids = jnp.full((n,), meta.scratch_gid,
-                   gids.dtype).at[gseg].set(gids)
-  tiled = jnp.tile(ug.astype(jnp.float32), (1, meta.pack))   # [n, W]
-  col = jnp.arange(meta.width) // meta.dim
-  expanded = jnp.where(col[None, :] == lane[:, None], tiled, 0.0)
-  # uids sorted => (gseg, sub) sorted => flat sorted; same-(group,sub)
-  # collisions sum exactly (disjoint lane slots after dedup)
+  gseg = jnp.cumsum(first) - 1                 # group-level segment ids
+  cap = min(n, meta.groups)
+  ugids = jnp.full((cap,), meta.scratch_gid,
+                   gids.dtype).at[gseg].set(gids, mode='drop')
+  # compact lane expansion: tiled[:, q] = sgrads[:, q % dim], masked to
+  # this row's lane block q // dim == lane; zero-pad up to part_width
+  pw = meta.part_width
+  live = meta.pack * meta.dim
+  tiled = jnp.tile(sgrads, (1, live // meta.dim))
+  q = jnp.arange(live, dtype=jnp.int32)
+  sel = (q // meta.dim)[None, :] == lane[:, None]
+  expanded = jnp.where(sel, tiled, 0.0)
+  if pw != live:
+    expanded = jnp.concatenate(
+        [expanded, jnp.zeros((n, pw - live), jnp.float32)], axis=1)
+  # sids sorted => (gseg, sub) sorted => flat sorted; duplicates and
+  # same-physical-row collisions sum in one pass
   flat = gseg * 8 + sub
-  gg = jax.ops.segment_sum(expanded, flat, num_segments=n * 8,
+  gg = jax.ops.segment_sum(expanded, flat, num_segments=cap * 8,
                            indices_are_sorted=True)
-  return ugids, gg.reshape(n, 8, meta.width)
+  return ugids, gg.reshape(cap, 8, pw)
+
+
+# ---------------------------------------------------- static matrices
+
+@functools.lru_cache(maxsize=None)
+def _touch_matrix(width: int, cc: int):
+  """kron(I_pack, ones(cc, cc)): row-level touched mask from per-element
+  nonzeros without narrow reshapes."""
+  pack = width // cc
+  return np.kron(np.eye(pack, dtype=np.float32),
+                 np.ones((cc, cc), np.float32))
 
 
 @functools.lru_cache(maxsize=None)
-def _touch_matrix(width: int, dim: int):
-  """Block-diagonal kron(I_pack, ones(dim,dim)): row-level touched mask
-  from per-element nonzeros without narrow reshapes."""
-  pack = width // dim
-  return np.kron(np.eye(pack, dtype=np.float32),
-                 np.ones((dim, dim), np.float32))
+def _extract_matrix(width: int, cc: int, dim: int, part: int,
+                    part_width: int):
+  """W x part_width 0/1: combined row -> compact part-p view
+  (lane l, element d) at compact col l*dim + d."""
+  pack = width // cc
+  e = np.zeros((width, part_width), np.float32)
+  for lane in range(pack):
+    for d in range(dim):
+      e[lane * cc + part * dim + d, lane * dim + d] = 1.0
+  return e
 
 
 # --------------------------------------------------------------- kernel
 
-def _rmw_pallas(arrays: Tuple[jnp.ndarray, ...],
+def _math_and_mask(old_blk, gc_blk, hyp, math_fn, meta: PackMeta,
+                   touch_m, e0t, roll):
+  """Shared by the Mosaic kernel and the XLA fallback: combined blocks
+  [rows, W] + compact grads [rows, part_width] -> updated combined
+  blocks. Untouched rows keep their bytes.
+
+  The slot parts of a logical row sit exactly p*dim lanes right of its
+  weights, so roll(old, -p*dim) aligns every part to the part-0 columns
+  and the optimizer's block_math runs on full-width vectors unchanged —
+  no per-part extract/reassemble matmuls (HIGHEST-precision f32 matmuls
+  measured ~30 ms/step at bench shapes). The only matmuls left: the
+  compact->part-0 gradient expansion (HIGHEST, one small 0/1 matrix)
+  and the touched-row mask (bf16 — exact for 0/1 sums up to cc)."""
+  hi = jax.lax.Precision.HIGHEST
+  col = jax.lax.broadcasted_iota(jnp.int32, old_blk.shape, 1)
+  if meta.n_parts == 1 and meta.part_width == meta.width:
+    gfull = gc_blk
+  elif meta.pack <= 8:
+    # compact -> part-0 expansion as `pack` static rolls + masks: pure
+    # lane movement, EXACT, and off the MXU (the HIGHEST-precision
+    # selector matmul here measured ~6 ms/step at bench shapes)
+    pad_w = meta.width - meta.part_width
+    gcp = gc_blk if not pad_w else jnp.concatenate(
+        [gc_blk, jnp.zeros((gc_blk.shape[0], pad_w), gc_blk.dtype)],
+        axis=1)
+    gfull = jnp.zeros_like(gcp)
+    for lane in range(meta.pack):
+      m = ((col // meta.cc) == lane) & ((col % meta.cc) < meta.dim)
+      gfull = jnp.where(m, roll(gcp, lane * (meta.cc - meta.dim)),
+                        gfull)
+  else:
+    # few-group tables (e.g. the wide [26M, 1]: pack=128): one selector
+    # matmul; HIGHEST keeps the f32 mantissa
+    gfull = jax.lax.dot(gc_blk, e0t, precision=hi)       # [rows, W]
+  nz = (gfull != 0.0).astype(jnp.bfloat16)
+  # bf16 inputs + f32 accumulator = the native full-speed MXU mode
+  touched = jax.lax.dot(nz, touch_m,
+                        preferred_element_type=jnp.float32) > 0.5
+  olds = [old_blk] + [roll(old_blk, -p * meta.dim)
+                      for p in range(1, meta.n_parts)]
+  news = math_fn(olds, gfull, hyp)
+  part = (col % meta.cc) // meta.dim
+  new = old_blk
+  for p in range(meta.n_parts):
+    cand = news[p] if p == 0 else roll(news[p], p * meta.dim)
+    new = jnp.where((part == p) & touched, cand, new)
+  return new
+
+
+def _rmw_pallas(table: jnp.ndarray,
                 ugids: jnp.ndarray,
                 gg: jnp.ndarray,
                 hypers: jnp.ndarray,
                 math_fn: Callable,
                 meta: PackMeta,
                 interpret: bool = False):
-  """One grid pass: pull touched groups of every array, run math_fn on
-  the VPU, push them back. arrays are input/output-aliased (donate the
-  callers' buffers for true in-place RMW)."""
+  """Per grid chunk: pull touched groups (one DMA each), run the
+  optimizer math on compact part views, push back. The table is
+  input/output-aliased — donate the caller's buffer for in-place RMW."""
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
 
   n = ugids.shape[0]
-  n_arr = len(arrays)
   w = meta.width
-  # VMEM: n_arr scratch bufs + double-buffered gg block + ~3 block-sized
-  # math temporaries (nz/touched/news), all chunk*8*W*4, within the 16 MB
-  # scoped-vmem stack (measured 16.8 MB at chunk=512/n_arr=3 — keep
-  # headroom)
+  # VMEM: buf + double-buffered gg block, plus ~12 sub-tile-sized math
+  # temporaries (the math runs over SUB-group slices of the buffer so
+  # big DMA chunks don't blow the 16 MB scoped-vmem stack)
   per_chunk = 8 * w * 4
-  chunk = max(_LANE, min(512, (12 << 20) // ((n_arr + 5) * per_chunk)
+  chunk = max(_LANE, min(_PAGE, (12 << 20) // (3 * per_chunk)
                          // _LANE * _LANE))
+  sub = min(chunk, max(32, (4 << 20) // (12 * per_chunk) // 32 * 32))
+  while chunk % sub:
+    sub -= 32
+  pw = meta.part_width
   pad = (-n) % chunk
   if pad:
     ugids = jnp.concatenate(
         [ugids, jnp.full((pad,), meta.scratch_gid, ugids.dtype)])
-    gg = jnp.concatenate(
-        [gg, jnp.zeros((pad, 8, w), gg.dtype)])
+    gg = jnp.concatenate([gg, jnp.zeros((pad, 8, pw), gg.dtype)])
   n_pad = ugids.shape[0]
-  # ids live in SMEM as one fixed (8, 64)-slot page per grid step (SMEM
-  # blocks must keep 8/128-divisible trailing dims); only the first
-  # `chunk` slots of a page are used
+  # ids in SMEM as one fixed (8, 64)-slot page per grid step (SMEM
+  # blocks need 8/128-divisible trailing dims); first `chunk` slots used
   nc = n_pad // chunk
-  gid_page = jnp.full((nc, 8 * _LANE), meta.scratch_gid, jnp.int32)
+  gid_page = jnp.full((nc, _PAGE), meta.scratch_gid, jnp.int32)
   gid_page = gid_page.at[:, :chunk].set(
       ugids.astype(jnp.int32).reshape(nc, chunk))
   gid3 = gid_page.reshape(nc, 8, _LANE)
-  arrays3 = [a.reshape(meta.groups, 8, w) for a in arrays]
-  touch_m = jnp.asarray(_touch_matrix(w, meta.dim))
+  table3 = table.reshape(meta.groups, 8, w)
+  touch_m = jnp.asarray(_touch_matrix(w, meta.cc)).astype(jnp.bfloat16)
+  e0t = jnp.asarray(
+      _extract_matrix(w, meta.cc, meta.dim, 0, pw)).T  # [pw, W]
 
   def kernel(*refs):
-    gid_ref, gg_ref, hyp_ref, tm_ref = refs[:4]
-    in_tbls = refs[4:4 + n_arr]
-    out_tbls = refs[4 + n_arr:4 + 2 * n_arr]
-    bufs = refs[4 + 2 * n_arr:4 + 3 * n_arr]
-    sem_in, sem_out = refs[-2:]
-    del in_tbls  # aliased with out_tbls; all access goes through out
-    hyp = lambda k: hyp_ref[0, k]   # SMEM scalar reads  # noqa: E731
+    (gid_ref, gg_ref, hyp_ref, tm_ref, e0t_ref, _in_tbl, out_ref,
+     buf, sem_in, sem_out) = refs
+    hyp = lambda k: hyp_ref[0, k]   # noqa: E731
 
-    def dma(i, buf, k, out=False):
-      rid = gid_ref[0, i // _LANE, i % _LANE]
-      if out:
-        return pltpu.make_async_copy(buf.at[i], out_tbls[k].at[rid],
-                                     sem_out)
-      return pltpu.make_async_copy(out_tbls[k].at[rid], buf.at[i],
-                                   sem_in)
+    def gid(i):
+      return gid_ref[0, i // _LANE, i % _LANE]
 
-    for k, buf in enumerate(bufs):
-      jax.lax.fori_loop(0, chunk,
-                        lambda i, _, b=buf, k=k: (dma(i, b, k).start(), 0)[1],
-                        0)
-    for k, buf in enumerate(bufs):
-      jax.lax.fori_loop(0, chunk,
-                        lambda i, _, b=buf, k=k: (dma(i, b, k).wait(), 0)[1],
-                        0)
+    def pull(j, _):
+      for u in range(_UNROLL):
+        i = j * _UNROLL + u
+        pltpu.make_async_copy(out_ref.at[gid(i)], buf.at[i],
+                              sem_in).start()
+      return 0
 
-    g = gg_ref[:].reshape(chunk * 8, w)
-    nz = (g != 0.0).astype(jnp.float32)
-    touched = jax.lax.dot(nz, tm_ref[:],
-                          precision=jax.lax.Precision.HIGHEST) > 0.0
-    olds = [b[:].reshape(chunk * 8, w).astype(jnp.float32) for b in bufs]
-    news = math_fn(olds, g, hyp)
-    for k, buf in enumerate(bufs):
-      merged = jnp.where(touched, news[k], olds[k])
-      buf[:] = merged.reshape(chunk, 8, w).astype(buf.dtype)
+    def pull_wait(j, _):
+      for u in range(_UNROLL):
+        i = j * _UNROLL + u
+        pltpu.make_async_copy(out_ref.at[gid(i)], buf.at[i],
+                              sem_in).wait()
+      return 0
 
-    for k, buf in enumerate(bufs):
-      jax.lax.fori_loop(
-          0, chunk,
-          lambda i, _, b=buf, k=k: (dma(i, b, k, out=True).start(), 0)[1],
-          0)
-    for k, buf in enumerate(bufs):
-      jax.lax.fori_loop(
-          0, chunk,
-          lambda i, _, b=buf, k=k: (dma(i, b, k, out=True).wait(), 0)[1],
-          0)
+    jax.lax.fori_loop(0, chunk // _UNROLL, pull, 0)
+    jax.lax.fori_loop(0, chunk // _UNROLL, pull_wait, 0)
 
-  grid = (n_pad // chunk,)
+    tm = tm_ref[:]
+    e0t_m = e0t_ref[:]
+
+    def kroll(x, s):
+      # pltpu.roll wants non-negative shifts; rolls are cyclic so
+      # shifting by s % w is equivalent
+      return pltpu.roll(x, shift=s % w, axis=1)
+
+    # sequential fori_loop (not an unrolled python loop): each sub-tile's
+    # block temporaries must REUSE the scoped-vmem stack, or big chunks
+    # exceed the 16 MB limit
+    def math_tile(s, _):
+      sl = pl.ds(s * sub, sub)
+      old = buf[sl].reshape(sub * 8, w).astype(jnp.float32)
+      gc = gg_ref[sl].reshape(sub * 8, pw)
+      new = _math_and_mask(old, gc, hyp, math_fn, meta, tm, e0t_m,
+                           kroll)
+      buf[sl] = new.reshape(sub, 8, w).astype(buf.dtype)
+      return 0
+
+    jax.lax.fori_loop(0, chunk // sub, math_tile, 0)
+
+    def push(j, _):
+      for u in range(_UNROLL):
+        i = j * _UNROLL + u
+        pltpu.make_async_copy(buf.at[i], out_ref.at[gid(i)],
+                              sem_out).start()
+      return 0
+
+    def push_wait(j, _):
+      for u in range(_UNROLL):
+        i = j * _UNROLL + u
+        pltpu.make_async_copy(buf.at[i], out_ref.at[gid(i)],
+                              sem_out).wait()
+      return 0
+
+    jax.lax.fori_loop(0, chunk // _UNROLL, push, 0)
+    jax.lax.fori_loop(0, chunk // _UNROLL, push_wait, 0)
+
   fn = pl.pallas_call(
       kernel,
-      grid=grid,
+      grid=(nc,),
       in_specs=(
           [pl.BlockSpec((1, 8, _LANE), lambda i: (i, 0, 0),
                         memory_space=pltpu.SMEM),
-           pl.BlockSpec((chunk, 8, w), lambda i: (i, 0, 0),
+           pl.BlockSpec((chunk, 8, pw), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM),
            pl.BlockSpec((8, _LANE), lambda i: (0, 0),
                         memory_space=pltpu.SMEM),
            pl.BlockSpec((w, w), lambda i: (0, 0),
-                        memory_space=pltpu.VMEM)] +
-          [pl.BlockSpec(memory_space=pl.ANY)] * n_arr),
-      out_specs=tuple(
-          pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_arr)),
-      out_shape=tuple(
-          jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays3),
-      scratch_shapes=(
-          [pltpu.VMEM((chunk, 8, w), jnp.float32)
-           for _ in range(n_arr)] +
-          [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]),
-      input_output_aliases={4 + k: k for k in range(n_arr)},
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((pw, w), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec(memory_space=pl.ANY)]),
+      out_specs=pl.BlockSpec(memory_space=pl.ANY),
+      out_shape=jax.ShapeDtypeStruct(table3.shape, table3.dtype),
+      scratch_shapes=[pltpu.VMEM((chunk, 8, w), jnp.float32),
+                      pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
+      input_output_aliases={5: 0},
       compiler_params=pltpu.CompilerParams(has_side_effects=True),
       interpret=interpret,
   )
-  outs = fn(gid3, gg, hypers, touch_m, *arrays3)
-  return tuple(o.reshape(meta.phys_rows, w) for o in outs)
+  hyp_page = jnp.zeros((8, _LANE), jnp.float32)
+  hyp_page = hyp_page.at[0, :hypers.shape[0]].set(
+      hypers.astype(jnp.float32))
+  out = fn(gid3, gg, hyp_page, touch_m, e0t, table3)
+  return out.reshape(meta.phys_rows, w)
 
 
-def _rmw_xla(arrays, ugids, gg, hypers, math_fn, meta):
-  """Reference/fallback path (CPU tests, unsupported backends): XLA
-  group gather + math + group .set. Numerics identical to the kernel."""
-  dnums = jax.lax.GatherDimensionNumbers(
-      offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
+def _rmw_xla(table, ugids, gg, hypers, math_fn, meta: PackMeta):
+  """Fallback (CPU tests, unsupported backends): XLA group gather +
+  shared math + group .set. Numerics identical to the kernel."""
   n = ugids.shape[0]
   w = meta.width
-  olds = [jax.lax.gather(a, (ugids * 8)[:, None], dnums, (8, w),
-                         mode='clip').astype(jnp.float32)
-          .reshape(n * 8, w) for a in arrays]
-  g = gg.reshape(n * 8, w)
-  nz = (g != 0.0).astype(jnp.float32)
-  touched = jax.lax.dot(nz, jnp.asarray(_touch_matrix(w, meta.dim)),
-                        precision=jax.lax.Precision.HIGHEST) > 0.0
-  hvec = hypers.reshape(-1)
-  news = math_fn(olds, g, lambda k: hvec[k])
-  outs = []
-  for a, old, new in zip(arrays, olds, news):
-    merged = jnp.where(touched, new, old).reshape(n, 8, w)
-    a3 = a.reshape(meta.groups, 8, w)
-    outs.append(a3.at[ugids].set(merged.astype(a.dtype))
-                .reshape(meta.phys_rows, w))
-  return tuple(outs)
+  dnums = jax.lax.GatherDimensionNumbers(
+      offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
+  old = jax.lax.gather(table, (ugids * 8)[:, None], dnums, (8, w),
+                       mode='clip').astype(jnp.float32).reshape(n * 8, w)
+  hvec = jnp.zeros((_LANE,), jnp.float32).at[:hypers.shape[0]].set(
+      hypers.astype(jnp.float32))
+  e0t = jnp.asarray(
+      _extract_matrix(w, meta.cc, meta.dim, 0, meta.part_width)).T
+  tm = jnp.asarray(_touch_matrix(w, meta.cc)).astype(jnp.bfloat16)
+  new = _math_and_mask(old, gg.reshape(n * 8, meta.part_width),
+                       lambda k: hvec[k], math_fn, meta, tm, e0t,
+                       lambda x, s: jnp.roll(x, s, axis=1))
+  t3 = table.reshape(meta.groups, 8, w)
+  out = t3.at[ugids].set(new.reshape(n, 8, w).astype(table.dtype))
+  return out.reshape(meta.phys_rows, w)
 
 
-def apply_packed_update(arrays: Sequence[jnp.ndarray],
-                        ugids: jnp.ndarray,
-                        gg: jnp.ndarray,
+def apply_packed_update(table: jnp.ndarray,
+                        ids: jnp.ndarray,
+                        grads: jnp.ndarray,
                         hypers: jnp.ndarray,
                         math_fn: Callable,
                         meta: PackMeta,
                         use_pallas: bool,
-                        interpret: bool = False):
-  """Read-modify-write the touched groups of every array.
+                        interpret: bool = False) -> jnp.ndarray:
+  """Sparse-update one combined packed table from raw (duplicated) ids
+  [N] and their gradients [N, dim].
 
-  arrays: packed [G*8, W] buffers (weights first, then optimizer slots).
-  ugids/gg: from group_prep. hypers: [K] f32 scalars for math_fn.
-  math_fn(old_blocks, g_block, hyp) -> new_blocks, all [c*8, W] f32;
-  hyp is a callable k -> scalar (SMEM read in the kernel).
+  hypers: [K] f32 traced scalars for math_fn (static hyperparameters are
+  baked into the optimizer closure). math_fn = SparseOptimizer.block_math
+  operating on compact per-part f32 views; hyp is a callable k->scalar.
   """
-  hyp = jnp.zeros((8, _LANE), jnp.float32)
-  hyp = hyp.at[0, :hypers.shape[0]].set(hypers.astype(jnp.float32))
+  ugids, gg = group_prep(ids, grads, meta)
   if use_pallas or interpret:
-    return _rmw_pallas(tuple(arrays), ugids, gg, hyp, math_fn, meta,
+    return _rmw_pallas(table, ugids, gg, hypers, math_fn, meta,
                        interpret=interpret)
-  return _rmw_xla(tuple(arrays), ugids, gg, hyp, math_fn, meta)
+  return _rmw_xla(table, ugids, gg, hypers, math_fn, meta)

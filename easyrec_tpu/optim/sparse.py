@@ -58,6 +58,7 @@ class SparseOptimizer:
   slot_names: Tuple[str, ...] = ()
   hypers: Callable = None       # (lr, step) -> jnp [K] f32
   block_math: Callable = None   # (olds, g, hyp) -> news
+  slot_init: Tuple[float, ...] = ()  # initial fill value per slot
 
 
 def sparse_sgd() -> SparseOptimizer:
@@ -72,7 +73,7 @@ def sparse_sgd() -> SparseOptimizer:
 
   return SparseOptimizer('sgd', init, update, slot_names=(),
                          hypers=lambda lr, step: jnp.stack([lr]),
-                         block_math=block)
+                         block_math=block, slot_init=())
 
 
 def sparse_momentum(momentum: float = 0.9) -> SparseOptimizer:
@@ -92,7 +93,7 @@ def sparse_momentum(momentum: float = 0.9) -> SparseOptimizer:
 
   return SparseOptimizer('momentum', init, update, slot_names=('m',),
                          hypers=lambda lr, step: jnp.stack([lr]),
-                         block_math=block)
+                         block_math=block, slot_init=(0.0,))
 
 
 def sparse_adagrad(initial_accumulator: float = 0.1,
@@ -113,7 +114,8 @@ def sparse_adagrad(initial_accumulator: float = 0.1,
 
   return SparseOptimizer('adagrad', init, update, slot_names=('accum',),
                          hypers=lambda lr, step: jnp.stack([lr]),
-                         block_math=block)
+                         block_math=block,
+                         slot_init=(initial_accumulator,))
 
 
 def sparse_adam(b1: float = 0.9, b2: float = 0.999,
@@ -157,7 +159,8 @@ def sparse_adam(b1: float = 0.9, b2: float = 0.999,
     return [w + upd, m_new, v_new]
 
   return SparseOptimizer('adam', init, update, slot_names=('m', 'v'),
-                         hypers=hypers, block_math=block)
+                         hypers=hypers, block_math=block,
+                         slot_init=(0.0, 0.0))
 
 
 def sparse_ftrl(learning_rate_power: float = -0.5,
@@ -200,7 +203,8 @@ def sparse_ftrl(learning_rate_power: float = -0.5,
 
   return SparseOptimizer('ftrl', init, update, slot_names=('accum', 'z'),
                          hypers=lambda lr, step: jnp.stack([lr]),
-                         block_math=block)
+                         block_math=block,
+                         slot_init=(initial_accumulator, 0.0))
 
 
 def apply_sparse_updates(tables: Dict[str, jnp.ndarray],
@@ -240,7 +244,6 @@ def init_sparse_states(tables: Dict[str, jnp.ndarray],
 
 
 def apply_sparse_updates_packed(tables: Dict[str, jnp.ndarray],
-                                states: Dict[str, dict],
                                 packs: Dict[str, jnp.ndarray],
                                 pulled_grads: Dict[str, jnp.ndarray],
                                 optimizer: SparseOptimizer,
@@ -249,12 +252,15 @@ def apply_sparse_updates_packed(tables: Dict[str, jnp.ndarray],
                                 pack_metas: Dict[str, object],
                                 use_pallas: bool,
                                 interpret: bool = False):
-  """Packed-layout twin of apply_sparse_updates: group-level dedup +
-  one Mosaic RMW kernel per fused table (ops/packed_table.py) instead of
-  per-slot XLA scatters (the 4 GB/s wall, PERF.md)."""
+  """Packed-layout twin of apply_sparse_updates: weights + optimizer
+  slots live interleaved in ONE combined array per fused table; the
+  update is one fused sort/segment-sum prep + one Mosaic group-RMW
+  kernel per table (ops/packed_table.py) instead of per-slot XLA
+  scatters (the in-step scatter wall, benchmarks/bench_step_ablation).
+  """
   from easyrec_tpu.ops import packed_table as pt
 
-  new_tables, new_states = {}, {}
+  new_tables = {}
   for key, table in tables.items():
     meta = pack_metas[key]
     id_parts, g_parts = [], []
@@ -265,12 +271,7 @@ def apply_sparse_updates_packed(tables: Dict[str, jnp.ndarray],
             -1, meta.dim).astype(jnp.float32))
     ids = jnp.concatenate(id_parts) if len(id_parts) > 1 else id_parts[0]
     g = jnp.concatenate(g_parts) if len(g_parts) > 1 else g_parts[0]
-    uids, ug = dedup_sum(ids, g, meta.scratch)
-    ugids, gg = pt.group_prep(uids, ug, meta)
-    arrays = [table] + [states[key][n] for n in optimizer.slot_names]
-    outs = pt.apply_packed_update(
-        arrays, ugids, gg, optimizer.hypers(lr, step),
+    new_tables[key] = pt.apply_packed_update(
+        table, ids, g, optimizer.hypers(lr, step),
         optimizer.block_math, meta, use_pallas, interpret=interpret)
-    new_tables[key] = outs[0]
-    new_states[key] = dict(zip(optimizer.slot_names, outs[1:]))
-  return new_tables, new_states
+  return new_tables

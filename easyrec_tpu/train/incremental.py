@@ -60,7 +60,7 @@ class IncrementalPublisher:
     tables = {k: np.asarray(v) for k, v in state.tables.items()}
     if self.pack_metas:
       from easyrec_tpu.ops import packed_table as pt
-      tables = {k: pt.unpack_host(v, self.pack_metas[k])
+      tables = {k: pt.unpack_host(v, self.pack_metas[k])[0]
                 for k, v in tables.items()}
     first = self._last_dense is None
     payload = {}

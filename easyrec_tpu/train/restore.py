@@ -108,15 +108,22 @@ def fine_tune_restore(state, ckpt_path: str, var_map: str = '',
   filters = [re.compile(p) for p in restore_filters]
 
   if pack_metas and raw.get('tables'):
+    # warm-start a PACKED run from a plain (or exported) checkpoint:
+    # splice the checkpointed weights into the current combined arrays,
+    # keeping the state's freshly-initialized optimizer slot parts
     from easyrec_tpu.ops import packed_table as pt
+    cur_tables = jax.device_get(state.tables)
     fixed = {}
     for name, arr in raw['tables'].items():
       arr = np.asarray(arr)
       meta = pack_metas.get(name)
-      if meta is not None and arr.ndim == 2 and \
-          arr.shape[1] == meta.dim and arr.shape != \
-          (meta.phys_rows, meta.width):
-        arr = pt.pack_host(arr, meta)   # plain ckpt -> packed state
+      cur = cur_tables.get(name)
+      if meta is not None and cur is not None and arr.ndim == 2 and \
+          arr.shape[1] == meta.dim and arr.shape != cur.shape:
+        _, cur_slots = pt.unpack_host(np.asarray(cur), meta)
+        w = np.zeros((meta.rows, meta.dim), arr.dtype)
+        w[:min(meta.rows, arr.shape[0])] = arr[:meta.rows]
+        arr = pt.pack_host(w, cur_slots, meta)
       fixed[name] = arr
     raw = dict(raw)
     raw['tables'] = fixed

@@ -107,11 +107,14 @@ class Trainer:
         self.eval_config.metrics_set,
         label_name=self.model.label_name if self.ctx.label_fields else None)
 
-    # packed-table mode: tables + optimizer slots in the [G*8, W] Mosaic
-    # geometry; sparse updates via the group-DMA RMW kernel instead of
-    # XLA scatters (ops/packed_table.py — the 4 GB/s scatter wall).
+    # packed-table mode: weights + optimizer slots interleaved in ONE
+    # combined [G*8, W] array per fused table; sparse updates via the
+    # group-DMA RMW kernel instead of XLA scatters (ops/packed_table.py
+    # — the in-step scatter wall, ~51+16 ms of an 83 ms flagship step).
+    self._n_parts = 1 + len(self.embed_opt.sparse.slot_names)
     self.packed_mode = self._decide_packed_mode()
-    self.pack_metas = self.layout.pack_metas(self.rules.table_pad_rows()) \
+    self.pack_metas = self.layout.pack_metas(
+        self._n_parts, self.rules.table_pad_rows()) \
         if self.packed_mode else None
     self._packed_pallas = self._mesh_on_tpu()
 
@@ -126,17 +129,16 @@ class Trainer:
     env = os.environ.get('EASYREC_PACKED_TABLES', 'auto')
     if env == '0':
       return False
-    ok = (self.layout.packed_supported() and self.layout.tables and
+    ok = (self.layout.packed_supported(self._n_parts) and
+          self.layout.tables and
           self.embed_opt.sparse.block_math is not None)
     if env == '1':
       return bool(ok)
-    # auto: OFF until the combined (weights|slots interleaved) layout
-    # lands — the separate-array kernel pays 2 DMAs per group per array
-    # (~100 ns issue cost each) and measured BELOW the plain scatter
-    # path on the flagship bench (43.9k vs 48.3k ex/s). Opt in with
-    # EASYREC_PACKED_TABLES=1. Multi-device packed additionally needs a
-    # shard_map wrapper for the Mosaic kernel (follow-up).
-    return False
+    # auto: single-TPU-device runs (multi-device packed needs a
+    # shard_map wrapper for the Mosaic kernel — planned follow-up;
+    # the plain layout keeps XLA's auto-partitioned scatter path)
+    return bool(ok and self._mesh_on_tpu() and
+                len(self.mesh.devices.flatten()) == 1)
 
   # -- state init ----------------------------------------------------------
 
@@ -144,7 +146,9 @@ class Trainer:
     rng = jax.random.PRNGKey(self.seed)
     if self.packed_mode:
       tables = self.layout.init_packed_tables_on_device(
-          self.seed, pad_rows_to=self.rules.table_pad_rows(),
+          self.seed, n_parts=self._n_parts,
+          slot_init=self.embed_opt.sparse.slot_init,
+          pad_rows_to=self.rules.table_pad_rows(),
           sharding=self.rules.table)
     else:
       tables = self.layout.init_tables_on_device(
@@ -158,7 +162,9 @@ class Trainer:
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     opt_state = self.dense_opt.dense.init(params)
-    slots = sparse_lib.init_sparse_states(tables, self.embed_opt.sparse)
+    # packed mode interleaves optimizer slots INSIDE the combined tables
+    slots = {k: {} for k in tables} if self.packed_mode else \
+        sparse_lib.init_sparse_states(tables, self.embed_opt.sparse)
     # replicate dense params / shard slots like their tables
     params = jax.device_put(params, self.rules.replicated)
     batch_stats = jax.device_put(batch_stats, self.rules.replicated)
@@ -269,9 +275,10 @@ class Trainer:
 
       emb_lr = embed_schedule(state.step) * embed_mult
       if pack_metas is not None:
-        new_tables, new_slots = sparse_lib.apply_sparse_updates_packed(
-            state.tables, state.slots, packs, g_pulled, sparse_opt,
+        new_tables = sparse_lib.apply_sparse_updates_packed(
+            state.tables, packs, g_pulled, sparse_opt,
             emb_lr, state.step, pack_metas, use_pallas=packed_pallas)
+        new_slots = state.slots
       else:
         new_tables, new_slots = sparse_lib.apply_sparse_updates(
             state.tables, state.slots, packs, g_pulled, sparse_opt,

@@ -1,7 +1,7 @@
-"""Packed-table layout (ops/packed_table.py): host pack/unpack roundtrip,
-forward-pull parity, packed sparse-update parity vs the plain row update
-(XLA fallback + interpret-mode Mosaic kernel), and an end-to-end packed
-DeepFM run (EASYREC_PACKED_TABLES=1, CPU fallback path)."""
+"""Packed combined-table layout (ops/packed_table.py): host pack/unpack
+roundtrip, forward-pull parity, packed sparse-update parity vs the plain
+row update (XLA fallback + interpret-mode Mosaic kernel), and an
+end-to-end packed DeepFM run (EASYREC_PACKED_TABLES=1, CPU fallback)."""
 
 import numpy as np
 import pytest
@@ -13,23 +13,31 @@ from easyrec_tpu.ops import packed_table as pt
 from easyrec_tpu.optim import sparse as sparse_lib
 
 
-@pytest.mark.parametrize('dim', [1, 4, 16, 48])
-def test_pack_unpack_roundtrip(dim):
+@pytest.mark.parametrize('dim,n_parts', [(1, 3), (4, 2), (16, 3),
+                                         (16, 1), (48, 1), (128, 3)])
+def test_pack_unpack_roundtrip(dim, n_parts):
   rows = 1000
-  meta = pt.PackMeta(rows, dim)
-  table = np.random.RandomState(0).randn(rows, dim).astype(np.float32)
-  packed = pt.pack_host(table, meta)
+  meta = pt.PackMeta(rows, dim, n_parts)
+  rng = np.random.RandomState(0)
+  w = rng.randn(rows, dim).astype(np.float32)
+  slots = [rng.randn(rows, dim).astype(np.float32)
+           for _ in range(n_parts - 1)]
+  packed = pt.pack_host(w, slots, meta)
   assert packed.shape == (meta.phys_rows, meta.width)
-  np.testing.assert_array_equal(pt.unpack_host(packed, meta), table)
+  w2, slots2 = pt.unpack_host(packed, meta)
+  np.testing.assert_array_equal(w2, w)
+  for a, b in zip(slots2, slots):
+    np.testing.assert_array_equal(a, b)
 
 
-@pytest.mark.parametrize('dim', [1, 16])
-def test_pull_parity(dim):
+@pytest.mark.parametrize('dim,n_parts', [(1, 3), (16, 3), (16, 1)])
+def test_pull_parity(dim, n_parts):
   rows = 777
-  meta = pt.PackMeta(rows, dim)
+  meta = pt.PackMeta(rows, dim, n_parts)
   rng = np.random.RandomState(1)
   table = rng.randn(rows, dim).astype(np.float32)
-  packed = jnp.asarray(pt.pack_host(table, meta))
+  slots = [np.full((rows, dim), 9.9, np.float32)] * (n_parts - 1)
+  packed = jnp.asarray(pt.pack_host(table, slots, meta))
   ids = jnp.asarray(rng.randint(0, rows, (4, 9)).astype(np.int32))
   out = pt.pull(packed, ids, meta)
   assert out.shape == (4, 9, dim)
@@ -38,15 +46,17 @@ def test_pull_parity(dim):
 
 def _run_both(optimizer, dim=16, rows=500, n_ids=137, steps=3,
               interpret=False):
-  """Plain update_rows vs packed apply over a few steps; exact match."""
-  meta = pt.PackMeta(rows, dim)
+  """Plain update_rows vs packed combined apply over a few steps."""
+  n_parts = 1 + len(optimizer.slot_names)
+  meta = pt.PackMeta(rows, dim, n_parts)
   rng = np.random.RandomState(2)
   w0 = rng.randn(rows, dim).astype(np.float32) * 0.1
 
   plain_w = jnp.asarray(w0)
   plain_s = optimizer.init(plain_w)
-  pack_w = jnp.asarray(pt.pack_host(w0, meta))
-  pack_s = optimizer.init(pack_w)
+  slots0 = [np.full((rows, dim), optimizer.slot_init[i], np.float32)
+            for i in range(n_parts - 1)]
+  packed = jnp.asarray(pt.pack_host(w0, slots0, meta))
 
   for step in range(steps):
     ids_np = rng.randint(0, rows, n_ids).astype(np.int32)
@@ -58,26 +68,19 @@ def _run_both(optimizer, dim=16, rows=500, n_ids=137, steps=3,
     uids, ug = sparse_lib.dedup_sum(ids, grads, rows - 1)
     plain_w, plain_s = optimizer.update_rows(plain_w, plain_s, uids, ug,
                                              lr, st)
+    packed = pt.apply_packed_update(
+        packed, ids, grads, optimizer.hypers(lr, st),
+        optimizer.block_math, meta, use_pallas=False,
+        interpret=interpret)
 
-    uids2, ug2 = sparse_lib.dedup_sum(ids, grads, meta.scratch)
-    ugids, gg = pt.group_prep(uids2, ug2, meta)
-    arrays = [pack_w] + [pack_s[n] for n in optimizer.slot_names]
-    outs = pt.apply_packed_update(arrays, ugids, gg,
-                                  optimizer.hypers(lr, st),
-                                  optimizer.block_math, meta,
-                                  use_pallas=False, interpret=interpret)
-    pack_w = outs[0]
-    pack_s = dict(zip(optimizer.slot_names, outs[1:]))
-
-  got_w = pt.unpack_host(np.asarray(pack_w), meta, rows)
+  got_w, got_slots = pt.unpack_host(np.asarray(packed), meta, rows)
   np.testing.assert_allclose(got_w[:rows - 1],
                              np.asarray(plain_w)[:rows - 1],
-                             rtol=0, atol=1e-6)
-  for name in optimizer.slot_names:
-    got = pt.unpack_host(np.asarray(pack_s[name]), meta, rows)
+                             rtol=0, atol=1e-5)
+  for name, got in zip(optimizer.slot_names, got_slots):
     np.testing.assert_allclose(got[:rows - 1],
                                np.asarray(plain_s[name])[:rows - 1],
-                               rtol=0, atol=1e-6)
+                               rtol=0, atol=1e-5)
 
 
 @pytest.mark.parametrize('make_opt', [
@@ -97,14 +100,28 @@ def test_packed_update_parity_interpret_kernel(dim):
   _run_both(sparse_lib.sparse_adam(), dim=dim, steps=2, interpret=True)
 
 
+def test_group_prep_truncates_small_tables():
+  """cap = min(n_ids, groups): the wide [rows, 1] table sees far fewer
+  groups than id slots."""
+  meta = pt.PackMeta(4096, 1, 3)        # group_rows large for dim 1
+  ids = jnp.asarray(np.random.RandomState(0).randint(0, 4096, 10000)
+                    .astype(np.int32))
+  grads = jnp.ones((10000, 1), jnp.float32)
+  ugids, gg = pt.group_prep(ids, grads, meta)
+  assert ugids.shape[0] == min(10000, meta.groups)
+  assert gg.shape == (ugids.shape[0], 8, meta.part_width)
+
+
 def test_wide_dim_gating():
-  assert pt.supported(16) and pt.supported(1) and pt.supported(48)
-  assert not pt.supported(129)          # lcm(129,128) way past MAX_WIDTH
+  assert pt.supported(16, 3) and pt.supported(1, 3) \
+      and pt.supported(128, 3) and pt.supported(48, 1)
+  assert not pt.supported(48, 3)        # lcm(144,128)=1152 > MAX_WIDTH
+  assert not pt.supported(129, 1)
 
 
 def test_packed_trainer_end_to_end(tmp_path, monkeypatch):
   """DeepFM trains in packed mode (XLA fallback on CPU) and learns;
-  export carries LOGICAL tables; predict parity vs in-train eval."""
+  export carries LOGICAL weights; predict parity via the Predictor."""
   monkeypatch.setenv('EASYREC_PACKED_TABLES', '1')
   from easyrec_tpu.config import get_configs_from_pipeline_file
   from easyrec_tpu.train.trainer import Trainer
@@ -117,7 +134,7 @@ def test_packed_trainer_end_to_end(tmp_path, monkeypatch):
   auc = result['eval_metrics']['auc']
   assert auc > 0.75, 'packed DeepFM failed to learn: auc=%s' % auc
 
-  # export writes logical [rows, dim] tables
+  # export writes logical [rows, dim] weights
   from easyrec_tpu.export.saved_model import (export_saved_model,
                                               load_serving_state)
   export_dir = export_saved_model(trainer, result['state'],
