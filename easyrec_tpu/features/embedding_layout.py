@@ -189,12 +189,15 @@ class EmbeddingLayout:
 
   # -- packed layout (TPU Mosaic update path, ops/packed_table.py) ---------
 
-  def pack_metas(self, n_parts: int = 1, pad_rows_to: int = 1):
+  def pack_metas(self, n_parts: int = 1, pad_rows_to: int = 1,
+                 shards: int = 1):
     """PackMeta per fused table. n_parts = 1 + optimizer slot count:
     weights and slots live interleaved in one combined array; packed
-    mode's own scratch group replaces the trailing scratch row."""
+    mode's own scratch group replaces the trailing scratch row. shards
+    rounds the group count so row-sharding splits evenly."""
     from easyrec_tpu.ops.packed_table import PackMeta
-    return {key: PackMeta(_round_up(t.rows, pad_rows_to), t.dim, n_parts)
+    return {key: PackMeta(_round_up(t.rows, pad_rows_to), t.dim, n_parts,
+                          shards=shards)
             for key, t in self.tables.items()}
 
   def packed_supported(self, n_parts: int = 1) -> bool:
@@ -206,6 +209,7 @@ class EmbeddingLayout:
                                    n_parts: int = 1,
                                    slot_init=(),
                                    pad_rows_to: int = 1,
+                                   shards: int = 1,
                                    sharding=None) -> Dict[str, object]:
     """Initialize combined packed tables ON DEVICE: each (phys_row, col)
     maps back to its logical row + part; part 0 (weights) draws from the
@@ -216,7 +220,7 @@ class EmbeddingLayout:
     import jax
     import jax.numpy as jnp
 
-    metas = self.pack_metas(n_parts, pad_rows_to)
+    metas = self.pack_metas(n_parts, pad_rows_to, shards=shards)
     slot_vals = [0.0] + list(slot_init) + \
         [0.0] * (n_parts - 1 - len(slot_init))
     out = {}
@@ -258,6 +262,11 @@ class EmbeddingLayout:
 
 def _init_stddev(spec: FeatureSpec, dim: int) -> float:
   config = spec.config
+  if config is not None and config.HasField('ev_params') and \
+      config.ev_params.filter_freq > 0:
+    # EV semantics: an id has NO embedding until admitted — zero-init
+    # so unadmitted ids read the EV default everywhere (features/ev.py)
+    return 0.0
   if config is not None and config.HasField('initializer'):
     init = config.initializer
     which = init.WhichOneof('initializer_oneof')

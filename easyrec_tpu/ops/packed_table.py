@@ -74,16 +74,20 @@ class PackMeta:
   """Static geometry of one packed table (n_parts = 1 + optimizer
   slots)."""
 
-  def __init__(self, rows: int, dim: int, n_parts: int = 1):
+  def __init__(self, rows: int, dim: int, n_parts: int = 1,
+               shards: int = 1):
     self.rows = int(rows)
     self.dim = int(dim)
     self.n_parts = int(n_parts)
+    self.shards = int(shards)
     self.cc = self.n_parts * self.dim             # combined cols / row
     self.width = self.cc * (128 // math.gcd(self.cc, 128))  # lcm(cc,128)
     self.pack = self.width // self.cc
     self.group_rows = 8 * self.pack
-    # +1 whole sacrificial group at the end absorbs dedup padding
-    self.groups = rows // self.group_rows + 2
+    # +1 whole sacrificial group at the end absorbs dedup padding;
+    # round groups to the shard count so row-sharding splits evenly
+    g = rows // self.group_rows + 2
+    self.groups = -(-g // self.shards) * self.shards
     self.rows_padded = self.groups * self.group_rows
     self.scratch = self.rows_padded - self.group_rows
     self.scratch_gid = self.groups - 1
@@ -91,10 +95,28 @@ class PackMeta:
     # compact per-part view width (128-padded for clean MXU shapes)
     self.part_width = max(128, ((self.pack * self.dim + 127) // 128) * 128)
 
+  def local_view(self) -> 'PackMeta':
+    """Geometry of ONE row shard (groups/shards of this table): used
+    inside shard_map where each device updates its local groups. The
+    local scratch group is just the last local group — dedup padding and
+    out-of-range clamps carry zero gradients, so their pull/push writes
+    back identical bytes wherever they land."""
+    m = PackMeta.__new__(PackMeta)
+    m.__dict__.update(self.__dict__)
+    m.shards = 1
+    m.groups = self.groups // self.shards
+    m.rows_padded = m.groups * m.group_rows
+    m.rows = m.rows_padded
+    m.scratch = m.rows_padded - m.group_rows
+    m.scratch_gid = m.groups - 1
+    m.phys_rows = m.groups * 8
+    return m
+
   def __repr__(self):
-    return ('PackMeta(rows=%d, dim=%d, parts=%d, width=%d, groups=%d)'
+    return ('PackMeta(rows=%d, dim=%d, parts=%d, width=%d, groups=%d, '
+            'shards=%d)'
             % (self.rows, self.dim, self.n_parts, self.width,
-               self.groups))
+               self.groups, self.shards))
 
 
 def supported(dim: int, n_parts: int = 1) -> bool:

@@ -251,7 +251,8 @@ def apply_sparse_updates_packed(tables: Dict[str, jnp.ndarray],
                                 step: jnp.ndarray,
                                 pack_metas: Dict[str, object],
                                 use_pallas: bool,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                mesh=None):
   """Packed-layout twin of apply_sparse_updates: weights + optimizer
   slots live interleaved in ONE combined array per fused table; the
   update is one fused sort/segment-sum prep + one Mosaic group-RMW
@@ -261,6 +262,7 @@ def apply_sparse_updates_packed(tables: Dict[str, jnp.ndarray],
   from easyrec_tpu.ops import packed_table as pt
 
   new_tables = {}
+  hypers = optimizer.hypers(lr, step)
   for key, table in tables.items():
     meta = pack_metas[key]
     id_parts, g_parts = [], []
@@ -271,7 +273,52 @@ def apply_sparse_updates_packed(tables: Dict[str, jnp.ndarray],
             -1, meta.dim).astype(jnp.float32))
     ids = jnp.concatenate(id_parts) if len(id_parts) > 1 else id_parts[0]
     g = jnp.concatenate(g_parts) if len(g_parts) > 1 else g_parts[0]
-    new_tables[key] = pt.apply_packed_update(
-        table, ids, g, optimizer.hypers(lr, step),
-        optimizer.block_math, meta, use_pallas, interpret=interpret)
+    if mesh is not None and mesh.devices.size > 1:
+      new_tables[key] = _packed_update_sharded(
+          mesh, table, ids, g, hypers, optimizer.block_math, meta,
+          use_pallas, interpret)
+    else:
+      new_tables[key] = pt.apply_packed_update(
+          table, ids, g, hypers,
+          optimizer.block_math, meta, use_pallas, interpret=interpret)
   return new_tables
+
+
+def _packed_update_sharded(mesh, table, ids, g, hypers, block_math,
+                           meta, use_pallas, interpret):
+  """Packed update over a row-sharded table: every device all-gathers
+  the (tiny) id/grad lists, keeps the rows its shard owns (others clamp
+  to local row 0 with ZERO gradients — group_prep merges them and the
+  touched mask keeps their bytes), and runs the group-RMW kernel on its
+  local groups.
+
+  This is the shard_map wrapper the Mosaic kernel needs on multi-device
+  meshes (XLA cannot auto-partition a custom call); the TPU-native
+  analog of the reference's EmbeddingParallel hvd.alltoall exchange
+  (compat/feature_column/feature_column.py:248-357)."""
+  from jax import shard_map
+  from jax.sharding import PartitionSpec as P
+
+  from easyrec_tpu.ops import packed_table as pt
+
+  axes = ('data', 'model')
+  lmeta = meta.local_view()
+  local_rows = lmeta.groups * meta.group_rows
+
+  def local_fn(tbl, ids_l, g_l, hyp):
+    ids_all = jax.lax.all_gather(ids_l, axes, tiled=True)
+    g_all = jax.lax.all_gather(g_l, axes, tiled=True)
+    shard = jax.lax.axis_index(axes)
+    base = shard.astype(jnp.int32) * local_rows
+    lids = ids_all.astype(jnp.int32) - base
+    mine = (lids >= 0) & (lids < local_rows)
+    lids = jnp.where(mine, lids, 0)
+    g_all = jnp.where(mine[:, None], g_all, 0.0)
+    return pt.apply_packed_update(tbl, lids, g_all, hyp, block_math,
+                                  lmeta, use_pallas, interpret=interpret)
+
+  fn = shard_map(
+      local_fn, mesh=mesh,
+      in_specs=(P(axes, None), P(axes), P(axes, None), P()),
+      out_specs=P(axes, None))
+  return fn(table, ids, g, hypers)

@@ -114,9 +114,20 @@ class Trainer:
     self._n_parts = 1 + len(self.embed_opt.sparse.slot_names)
     self.packed_mode = self._decide_packed_mode()
     self.pack_metas = self.layout.pack_metas(
-        self._n_parts, self.rules.table_pad_rows()) \
+        self._n_parts, self.rules.table_pad_rows(),
+        shards=self.mesh.devices.size) \
         if self.packed_mode else None
     self._packed_pallas = self._mesh_on_tpu()
+
+    # EVParams semantics (filter_freq admission / steps_to_live
+    # eviction) on static hash tables — features/ev.py
+    from easyrec_tpu.features import ev as ev_lib
+    self.ev_plan = ev_lib.build_ev_plan(self.layout, self.specs)
+    self.ev_pack_metas = None
+    if self.ev_plan and self.packed_mode:
+      self.ev_pack_metas = ev_lib.ev_metas(
+          self.pack_metas, self.ev_plan,
+          shards=self.mesh.devices.size)
 
   def _mesh_on_tpu(self) -> bool:
     # the mesh's own devices, NOT jax.default_backend(): a CPU-device
@@ -134,11 +145,11 @@ class Trainer:
           self.embed_opt.sparse.block_math is not None)
     if env == '1':
       return bool(ok)
-    # auto: single-TPU-device runs (multi-device packed needs a
-    # shard_map wrapper for the Mosaic kernel — planned follow-up;
-    # the plain layout keeps XLA's auto-partitioned scatter path)
-    return bool(ok and self._mesh_on_tpu() and
-                len(self.mesh.devices.flatten()) == 1)
+    # auto: any all-TPU mesh (multi-device goes through the shard_map
+    # wrapper in optim/sparse.py — XLA cannot auto-partition the Mosaic
+    # kernel; logic validated on the virtual CPU mesh). CPU runs keep
+    # the plain layout: the packed XLA fallback has no advantage there.
+    return bool(ok and self._mesh_on_tpu())
 
   # -- state init ----------------------------------------------------------
 
@@ -149,6 +160,7 @@ class Trainer:
           self.seed, n_parts=self._n_parts,
           slot_init=self.embed_opt.sparse.slot_init,
           pad_rows_to=self.rules.table_pad_rows(),
+          shards=self.mesh.devices.size,
           sharding=self.rules.table)
     else:
       tables = self.layout.init_tables_on_device(
@@ -170,6 +182,16 @@ class Trainer:
     batch_stats = jax.device_put(batch_stats, self.rules.replicated)
     opt_state = jax.device_put(opt_state, self.rules.replicated)
     slots = jax.device_put(slots, self.rules.table)
+    if self.ev_plan:
+      from easyrec_tpu.features import ev as ev_lib
+      ev_state = ev_lib.init_ev_state(
+          self.layout, self.ev_plan, self.ev_pack_metas, self.rules,
+          self.packed_mode)
+      slots = dict(slots)
+      for k, aux in ev_state.items():
+        merged = dict(slots.get(k, {}))
+        merged.update(aux)
+        slots[k] = merged
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=batch_stats, opt_state=opt_state,
                       tables=tables, slots=slots)
@@ -222,6 +244,10 @@ class Trainer:
     seed = self.seed
     pack_metas = self.pack_metas
     packed_pallas = self._packed_pallas
+    mesh = self.mesh
+    ev_plan, ev_pack_metas = self.ev_plan, self.ev_pack_metas
+    if ev_plan:
+      from easyrec_tpu.features import ev as ev_lib
     import re as _re
     freeze_res = [_re.compile(p) for p in self.train_config.freeze_gradient]
 
@@ -231,6 +257,11 @@ class Trainer:
       dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
 
       def loss_fn(params, pulled):
+        if ev_plan:
+          # admission/TTL mask INSIDE the differentiated fn: gradients
+          # of filtered id slots vanish, so their rows stay untouched
+          pulled = ev_lib.mask_pulled(pulled, packs, state.slots,
+                                      ev_plan, ev_pack_metas, state.step)
         variables = {'params': params}
         if state.batch_stats:
           variables['batch_stats'] = state.batch_stats
@@ -277,12 +308,25 @@ class Trainer:
       if pack_metas is not None:
         new_tables = sparse_lib.apply_sparse_updates_packed(
             state.tables, packs, g_pulled, sparse_opt,
-            emb_lr, state.step, pack_metas, use_pallas=packed_pallas)
+            emb_lr, state.step, pack_metas, use_pallas=packed_pallas,
+            mesh=mesh)
         new_slots = state.slots
       else:
         new_tables, new_slots = sparse_lib.apply_sparse_updates(
             state.tables, state.slots, packs, g_pulled, sparse_opt,
             emb_lr, state.step, scratch)
+
+      if ev_plan:
+        ev_slots = ev_lib.update_ev_state(
+            state.slots, packs, ev_plan, ev_pack_metas, state.step,
+            use_pallas=packed_pallas, mesh=mesh, scratch_rows=scratch)
+        new_slots = dict(new_slots)
+        for k, aux in ev_slots.items():
+          merged = dict(new_slots.get(k, {}))
+          for name in ('ev_count', 'ev_last'):
+            if name in aux:
+              merged[name] = aux[name]
+          new_slots[k] = merged
 
       new_state = TrainState(
           step=state.step + 1, params=new_params,
@@ -550,6 +594,12 @@ class Trainer:
           logging.warning('stop-signal file found; stopping training')
           stop_training = True
       if manager is not None and step % save_every == 0:
+        if self.ev_plan:
+          from easyrec_tpu.features import ev as ev_lib2
+          # TTL eviction sweep at checkpoint cadence (features/ev.py)
+          state = ev_lib2.evict_stale(state, self.ev_plan,
+                                      self.pack_metas,
+                                      self.ev_pack_metas, self.layout)
         manager.save(state, step)
         if want_periodic_eval:
           online = self.evaluate(state, max_batches=20)
@@ -583,6 +633,10 @@ class Trainer:
       run_batch(batch)
 
     if manager is not None:
+      if self.ev_plan:
+        from easyrec_tpu.features import ev as ev_lib2
+        state = ev_lib2.evict_stale(state, self.ev_plan, self.pack_metas,
+                                    self.ev_pack_metas, self.layout)
       manager.save(state, step, force=True)
     if publisher is not None:
       publisher.publish(state, step)
