@@ -61,9 +61,7 @@ class Predictor:
 
     wanted = self.meta.get('outputs') if self.meta.get('tower') else None
 
-    def fn(batch):
-      packs = emb_ops.pack_ids(layout, batch)
-      pulled = emb_ops.pull_embeddings(tables, packs)
+    def apply_fn(batch, pulled):
       variables = {'params': params}
       if batch_stats:
         variables['batch_stats'] = batch_stats
@@ -72,6 +70,31 @@ class Predictor:
       if wanted:   # split-tower export: only this tower's outputs
         exported = {k: v for k, v in exported.items() if k in wanted}
       return exported
+
+    if self.meta.get('big_model'):
+      # memory-bounded serving: tables live in the file-backed KV store
+      # (export/big_model.py); ids pack + row gather happen on host via
+      # memmap, only the dense forward is jitted
+      from easyrec_tpu.export import big_model as bm
+      if not hasattr(self, '_kv_stores'):
+        self._kv_stores = bm.open_kv_store(self.export_dir,
+                                           writable=True)
+      stores = self._kv_stores
+      jitted = jax.jit(apply_fn)
+
+      def fn(batch):
+        host = {k: np.asarray(v) for k, v in batch.items()}
+        packs = bm.pack_ids_np(layout, host)
+        pulled = {key: stores[key].gather(ids)
+                  for key, ids in packs.items()}
+        return jitted(batch, pulled)
+
+      return fn
+
+    def fn(batch):
+      packs = emb_ops.pack_ids(layout, batch)
+      pulled = emb_ops.pull_embeddings(tables, packs)
+      return apply_fn(batch, pulled)
 
     return jax.jit(fn)
 
@@ -99,6 +122,35 @@ class Predictor:
         self.state['params']):
       keys = '/'.join(str(p.key) for p in path if hasattr(p, 'key'))
       dense[keys] = _np.asarray(leaf)
+    if self.meta.get('big_model'):
+      # sparse deltas write through to the memory-mapped KV store (the
+      # EAS-processor-applies-deltas analog); dense deltas update params
+      from easyrec_tpu.export import big_model as bm
+      if not hasattr(self, '_kv_stores'):
+        self._kv_stores = bm.open_kv_store(self.export_dir,
+                                           writable=True)
+      for u in pending:
+        with _np.load(u) as data:
+          for name in data.files:
+            if name.startswith('dense/'):
+              dense[name[len('dense/'):]] = data[name]
+            elif name.startswith('sparse_ids/'):
+              key = name[len('sparse_ids/'):]
+              store = self._kv_stores[key]
+              ids = data[name]
+              vals = data['sparse_vals/%s' % key]
+              keep = ids < store.rows
+              store.update_rows(ids[keep], vals[keep])
+        self._consumed.add(u)
+
+      def _replace_big(path, leaf):
+        keys = '/'.join(str(p.key) for p in path if hasattr(p, 'key'))
+        return dense.get(keys, leaf)
+
+      self.state['params'] = _jax.tree_util.tree_map_with_path(
+          _replace_big, self.state['params'])
+      self._predict_fn = None
+      return len(pending)
     tables = {k: _np.array(v) for k, v in self.state['tables'].items()}
     for u in pending:
       incr_lib.apply_update(dense, tables, u)

@@ -29,8 +29,14 @@ CONFIG_FILE = 'pipeline.config'
 
 def export_saved_model(trainer, state, export_base_dir: str,
                        assets: Optional[list] = None,
-                       extra_meta: Optional[dict] = None) -> str:
-  """Write a timestamped export under export_base_dir, return its path."""
+                       extra_meta: Optional[dict] = None,
+                       big_model: bool = False) -> str:
+  """Write a timestamped export under export_base_dir, return its path.
+
+  big_model=True strips the embedding tables out of the variables
+  bundle into a file-backed KV store for memory-bounded serving
+  (export/big_model.py — the redis/OSS big-model export analog,
+  reference utils/export_big_model.py)."""
   stamp = str(int(time.time()))
   export_dir = os.path.join(export_base_dir, stamp)
   os.makedirs(export_dir, exist_ok=True)
@@ -46,6 +52,10 @@ def export_saved_model(trainer, state, export_base_dir: str,
     from easyrec_tpu.ops import packed_table as pt
     tables = {k: pt.unpack_host(np.asarray(v), trainer.pack_metas[k])[0]
               for k, v in tables.items()}
+  if big_model:
+    from easyrec_tpu.export import big_model as bm
+    bm.write_kv_store(export_dir, tables)
+    tables = {}
   serving_state = {
       'params': jax.device_get(state.params),
       'batch_stats': jax.device_get(state.batch_stats),
@@ -64,6 +74,7 @@ def export_saved_model(trainer, state, export_base_dir: str,
       'outputs': sorted(_output_names(trainer)),
       'inputs': _input_signature(trainer),
       'framework': 'easyrec_tpu',
+      'big_model': bool(big_model),
   }
   if extra_meta:
     meta.update(extra_meta)

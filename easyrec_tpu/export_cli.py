@@ -17,6 +17,10 @@ def main(argv=None):
   parser.add_argument('--checkpoint_path', default=None)
   parser.add_argument('--model_dir', default=None)
   parser.add_argument('--edit_config_json', default=None)
+  parser.add_argument('--big_model', action='store_true',
+                      help='strip embeddings into a file-backed KV '
+                           'store for memory-bounded serving (the '
+                           'redis/OSS big-model export analog)')
   args = parser.parse_args(argv)
   from easyrec_tpu import main as driver
   edits = json.loads(args.edit_config_json) if args.edit_config_json else {}
@@ -25,7 +29,8 @@ def main(argv=None):
   path = driver.export(args.pipeline_config_path,
                        export_dir=args.export_dir,
                        checkpoint_path=args.checkpoint_path,
-                       edit_config_json=edits or None)
+                       edit_config_json=edits or None,
+                       big_model=args.big_model)
   logging.info('exported to %s', path)
   return 0
 

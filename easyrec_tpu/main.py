@@ -133,9 +133,11 @@ def export(pipeline_config: ConfigOrPath,
            export_dir: Optional[str] = None,
            checkpoint_path: Optional[str] = None,
            edit_config_json: Optional[dict] = None,
+           big_model: bool = False,
            devices=None) -> str:
-  """Export serving model from the latest checkpoint
-  (reference main.py:734)."""
+  """Export serving model from the latest checkpoint (reference
+  main.py:734); big_model strips embeddings into a file-backed KV store
+  for memory-bounded serving (reference main.py:801-816 redis/OSS)."""
   from easyrec_tpu.export.saved_model import export_saved_model
   from easyrec_tpu.train import checkpoints as ckpt_lib
   from easyrec_tpu.train.trainer import Trainer
@@ -155,7 +157,8 @@ def export(pipeline_config: ConfigOrPath,
     state = restored
   base = export_dir or os.path.join(config.model_dir, 'export', 'final')
   return export_saved_model(trainer, state, base,
-                            assets=list(config.export_config.asset_files))
+                            assets=list(config.export_config.asset_files),
+                            big_model=big_model)
 
 
 def predict(pipeline_config: ConfigOrPath,

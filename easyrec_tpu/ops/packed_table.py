@@ -85,9 +85,13 @@ class PackMeta:
     self.pack = self.width // self.cc
     self.group_rows = 8 * self.pack
     # +1 whole sacrificial group at the end absorbs dedup padding;
-    # round groups to the shard count so row-sharding splits evenly
+    # groups round to a fixed 256 multiple (>= the shard count) so the
+    # geometry — and therefore checkpoints — is IDENTICAL across pod
+    # sizes up to 256 devices (orbax reshards on restore; a
+    # shard-count-dependent rounding would break topology changes)
     g = rows // self.group_rows + 2
-    self.groups = -(-g // self.shards) * self.shards
+    quantum = max(256, self.shards)
+    self.groups = -(-g // quantum) * quantum
     self.rows_padded = self.groups * self.group_rows
     self.scratch = self.rows_padded - self.group_rows
     self.scratch_gid = self.groups - 1
