@@ -64,10 +64,15 @@ import numpy as np
 # Widest physical row the kernel handles: bounds VMEM (chunk*8*W*4 per
 # buffered block). Every power-of-two dim with up to 3 parts lands on
 # W <= 384; odd dims whose lcm exceeds this fall back to plain layout.
+import os as _os
+
 MAX_WIDTH = 512
 _LANE = 64          # SMEM id-page lane count
 _PAGE = 8 * _LANE   # id slots per SMEM page (fixed (1, 8, 64) block)
-_UNROLL = 4         # DMA issue-loop unrolling (bench_dma_issue: -15%)
+# DMA issue-loop unrolling (bench_dma_issue: -15% at 4) and VMEM chunk
+# budget, env-tunable for kernel sweeps
+_UNROLL = int(_os.environ.get('EASYREC_PACKED_UNROLL', 4))
+_CHUNK_MB = int(_os.environ.get('EASYREC_PACKED_CHUNK_MB', 12))
 
 
 class PackMeta:
@@ -330,7 +335,7 @@ def _rmw_pallas(table: jnp.ndarray,
   # temporaries (the math runs over SUB-group slices of the buffer so
   # big DMA chunks don't blow the 16 MB scoped-vmem stack)
   per_chunk = 8 * w * 4
-  chunk = max(_LANE, min(_PAGE, (12 << 20) // (3 * per_chunk)
+  chunk = max(_LANE, min(_PAGE, (_CHUNK_MB << 20) // (3 * per_chunk)
                          // _LANE * _LANE))
   sub = min(chunk, max(32, (4 << 20) // (12 * per_chunk) // 32 * 32))
   while chunk % sub:

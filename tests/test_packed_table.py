@@ -154,3 +154,19 @@ def test_packed_trainer_end_to_end(tmp_path, monkeypatch):
     rows = list(csv.DictReader(f))
   probs = np.asarray([float(r['probs']) for r in rows], np.float64)
   assert len(probs) == 1024 and np.all((probs >= 0) & (probs <= 1))
+
+
+def test_packed_dssm_with_negatives(tmp_path, monkeypatch):
+  """Sampled-negative views ('neg.feat.*') flow through the packed pull
+  and the packed sparse update (their gradients update the tables)."""
+  monkeypatch.setenv('EASYREC_PACKED_TABLES', '1')
+  from tests.test_samplers import _setup, NEG_SAMPLER
+  from easyrec_tpu.config import get_configs_from_pipeline_file
+  from easyrec_tpu.train.trainer import Trainer
+  cfg = get_configs_from_pipeline_file(_setup(tmp_path, NEG_SAMPLER))
+  trainer = Trainer(cfg)
+  assert trainer.packed_mode
+  result = trainer.fit(checkpoint=False)
+  hist = result['history']
+  assert hist[-1]['loss'] < hist[0]['loss']
+  assert result['eval_metrics']['recall@5'] > 0.55, result['eval_metrics']
