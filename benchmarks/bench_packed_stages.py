@@ -236,57 +236,9 @@ def main():
 
   del gw, new_rows, packed3
 
-  # ---- production paths (easyrec_tpu/ops/packed_table.py) -----------
-  from easyrec_tpu.ops import packed_table as ppt
-  opt = sparse_lib.sparse_adam()
-  pmeta = ppt.PackMeta(rows, 16)
-  lr, st = jnp.float32(1e-3), jnp.int32(5)
-
-  def full_packed(state, ids, grads):
-    w, m, v = state
-    uids, ug = sparse_lib.dedup_sum(ids, grads, pmeta.scratch)
-    ugids2, gg2 = ppt.group_prep(uids, ug, pmeta)
-    return ppt.apply_packed_update([w, m, v], ugids2, gg2,
-                                   opt.hypers(lr, st), opt.block_math,
-                                   pmeta, use_pallas=True)
-
-  mk = jax.jit(lambda k: (jax.random.normal(
-      k, (pmeta.phys_rows, pmeta.width), jnp.float32) * 0.01))
-  state3 = (mk(key), mk(key), mk(key))
-  fn = jax.jit(full_packed, donate_argnums=(0,))
-  t, state3 = t_threaded(fn, state3, (ids, grads), iters=10)
-  print(f'PROD full packed adam (3 arr) : {t*1e3:8.2f} ms')
-
-  def kernel_only(state, ugids2, gg2):
-    w, m, v = state
-    return ppt.apply_packed_update([w, m, v], ugids2, gg2,
-                                   opt.hypers(lr, st), opt.block_math,
-                                   pmeta, use_pallas=True)
-  uids, ug = sparse_lib.dedup_sum(ids, grads, pmeta.scratch)
-  ugids2, gg2 = ppt.group_prep(uids, ug, pmeta)
-  fn = jax.jit(kernel_only, donate_argnums=(0,))
-  t, state3 = t_threaded(fn, state3, (ugids2, gg2), iters=10)
-  print(f'PROD RMW kernel only (3 arr)  : {t*1e3:8.2f} ms')
-  del state3
-
-  # combined-layout simulation: ONE array at width 384 (w|m|v interleaved
-  # per logical row = the validated 9.9 ms configuration)
-  cmeta = ppt.PackMeta(rows, 48)          # width 384, same group count
-  mkc = jax.jit(lambda k: (jax.random.normal(
-      k, (cmeta.phys_rows, cmeta.width), jnp.float32) * 0.01))
-  cw = mkc(key)
-  cgg = jnp.zeros((ugids2.shape[0], 8, cmeta.width), jnp.float32)
-  cug = jnp.minimum(ugids2, cmeta.groups - 1)
-
-  def sgdish(olds, g, hyp):
-    return [olds[0] * 0.999 - hyp(0) * g]
-
-  def combined_rmw(state, ug_, gg_):
-    return ppt.apply_packed_update([state[0]], ug_, gg_, jnp.stack([lr]),
-                                   sgdish, cmeta, use_pallas=True)
-  fn = jax.jit(combined_rmw, donate_argnums=(0,))
-  t, state1 = t_threaded(fn, (cw,), (cug, cgg), iters=10)
-  print(f'COMBINED RMW 1 arr W=384      : {t*1e3:8.2f} ms')
+  # Production-path timings for the CURRENT combined-layout API live in
+  # benchmarks/bench_prep_kernel.py (this file's earlier 'production'
+  # section targeted the retired separate-array API).
 
 
 if __name__ == '__main__':

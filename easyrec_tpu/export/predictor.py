@@ -74,12 +74,11 @@ class Predictor:
     if self.meta.get('big_model'):
       # memory-bounded serving: tables live in the file-backed KV store
       # (export/big_model.py); ids pack + row gather happen on host via
-      # memmap, only the dense forward is jitted
+      # memmap, only the dense forward is jitted. Read-only mapping:
+      # serving exports often sit on read-only volumes — only
+      # consume_incremental needs (and opens) a writable mapping.
       from easyrec_tpu.export import big_model as bm
-      if not hasattr(self, '_kv_stores'):
-        self._kv_stores = bm.open_kv_store(self.export_dir,
-                                           writable=True)
-      stores = self._kv_stores
+      stores = self._open_kv(writable=False)
       jitted = jax.jit(apply_fn)
 
       def fn(batch):
@@ -104,6 +103,16 @@ class Predictor:
       self._predict_fn = self._build_predict_fn()
     return self._predict_fn
 
+  def _open_kv(self, writable: bool):
+    """Open (or upgrade to writable) the big-model KV store."""
+    from easyrec_tpu.export import big_model as bm
+    if not hasattr(self, '_kv_stores') or \
+        (writable and not self._kv_writable):
+      self._kv_stores = bm.open_kv_store(self.export_dir,
+                                         writable=writable)
+      self._kv_writable = writable
+    return self._kv_stores
+
   def consume_incremental(self, incr_dir: str) -> int:
     """Apply pending incremental updates published by training
     (IncrementSaveConfig fs channel; reference: the EAS processor
@@ -125,10 +134,7 @@ class Predictor:
     if self.meta.get('big_model'):
       # sparse deltas write through to the memory-mapped KV store (the
       # EAS-processor-applies-deltas analog); dense deltas update params
-      from easyrec_tpu.export import big_model as bm
-      if not hasattr(self, '_kv_stores'):
-        self._kv_stores = bm.open_kv_store(self.export_dir,
-                                           writable=True)
+      self._open_kv(writable=True)
       for u in pending:
         with _np.load(u) as data:
           for name in data.files:

@@ -11,16 +11,20 @@ the equivalents are:
 - EV-enabled member ranges initialize to ZERO, so an id without a
   trained embedding reads the reference's default value everywhere
   (train, eval, serving export) with no extra masking outside train.
-- A per-fused-table COUNT aux table accumulates occurrences; during
-  training, pulled embeddings of not-yet-admitted id slots are masked
-  to zero — the mask also zeroes their gradients in backward, so the
-  sparse update's touched-row logic skips them (no accidental training
-  before admission). Admission uses the count BEFORE the current batch
-  (one-batch delay vs the reference's in-place counting).
+- A per-fused-table COUNT aux table accumulates occurrences of
+  TRAINING-DATA ids (the base batch view only — sampled negatives and
+  their zero-id filler columns do not count); during training, pulled
+  embeddings of not-yet-admitted id slots are masked to zero in EVERY
+  view (base + sampled-negative views), so their gradients vanish and
+  the sparse update's touched-row logic skips them. Admission uses the
+  count BEFORE the current batch (one-batch delay vs the reference's
+  in-place counting).
 - A LAST-SEEN aux table records the global step per touched id; rows
-  stale beyond steps_to_live are swept back to zero (weights + slots)
-  before every checkpoint save — lazy eviction at checkpoint cadence
-  instead of the EV store's background reclamation.
+  stale beyond their feature's steps_to_live are swept back to zero —
+  weights, optimizer slots, AND the ev counters (the id must re-earn
+  admission, like the EV store freeing it) — before every checkpoint
+  save. The sweep respects per-member row segments: co-fused features
+  without steps_to_live are never touched.
 
 Both aux tables are [rows, 1] embeddings updated through the SAME
 sparse machinery as the weights (packed Mosaic kernel on TPU, row
@@ -67,12 +71,10 @@ def build_ev_plan(layout, specs) -> Optional[Dict[str, TableEv]]:
         ff = int(cfg.ev_params.filter_freq)
         lv = int(cfg.ev_params.steps_to_live)
       thr[use.start:use.start + use.k] = ff
-      off = table.offsets[
-          spec.table_name if use.role == 'deep'
-          else spec.table_name + '__wide']
-      segs.append((off, off + table.member_rows[
-          spec.table_name if use.role == 'deep'
-          else spec.table_name + '__wide'], ff, lv))
+      tname = spec.table_name if use.role == 'deep' \
+          else spec.table_name + '__wide'
+      off = table.offsets[tname]
+      segs.append((off, off + table.member_rows[tname], ff, lv))
       ttl = max(ttl, lv)
     ev = TableEv(thr_cols=thr, ttl=ttl, row_segments=tuple(segs))
     if ev.enabled:
@@ -119,40 +121,47 @@ def init_ev_state(layout, plan, packed_metas, rules,
   return out
 
 
+def _lookup_dim1(aux, pack, meta1):
+  """Pull a dim-1 aux value per id slot ([B, totK])."""
+  from easyrec_tpu.ops import packed_table as pt
+  if meta1 is not None:
+    return pt.pull(aux, pack, meta1)[..., 0]
+  return jnp.take(aux, pack, axis=0)[..., 0]
+
+
 def mask_pulled(pulled: Dict[str, jnp.ndarray],
                 packs: Dict[str, jnp.ndarray],
                 slots: Dict[str, dict],
                 plan: Dict[str, TableEv],
                 ev_pack_metas, step) -> Dict[str, jnp.ndarray]:
   """Zero the pulled embeddings of id slots that are not yet admitted
-  (count < filter_freq) or stale (step - last_seen > ttl). The mask
-  flows through backward, so their gradients vanish and the sparse
-  update leaves their rows untouched."""
-  from easyrec_tpu.ops import packed_table as pt
+  (count < filter_freq) or stale (step - last_seen > ttl), in EVERY
+  batch view (base + sampled-negative views — negatives of unadmitted
+  ids must not leak gradients either). The mask flows through backward,
+  so their gradients vanish and the sparse update leaves their rows
+  untouched."""
   out = dict(pulled)
   for key, ev in plan.items():
-    if not ev.enabled or key not in pulled:
+    if not ev.enabled:
       continue
     aux = slots.get(key, {})
-    keep = None
-    if 'ev_count' in aux:
-      meta1 = ev_pack_metas.get(key) if ev_pack_metas else None
-      if meta1 is not None:
-        counts = pt.pull(aux['ev_count'], packs[key], meta1)[..., 0]
-      else:
-        counts = jnp.take(aux['ev_count'], packs[key], axis=0)[..., 0]
-      thr = jnp.asarray(ev.thr_cols, jnp.float32)[None, :]
-      keep = counts >= thr
-    if 'ev_last' in aux and ev.ttl > 0:
-      meta1 = ev_pack_metas.get(key) if ev_pack_metas else None
-      if meta1 is not None:
-        last = pt.pull(aux['ev_last'], packs[key], meta1)[..., 0]
-      else:
-        last = jnp.take(aux['ev_last'], packs[key], axis=0)[..., 0]
-      fresh = (step.astype(jnp.float32) - last) <= float(ev.ttl)
-      keep = fresh if keep is None else (keep & fresh)
-    if keep is not None:
-      out[key] = pulled[key] * keep[..., None].astype(pulled[key].dtype)
+    meta1 = ev_pack_metas.get(key) if ev_pack_metas else None
+    for view in (key, 'neg.' + key, 'hard_neg.' + key):
+      if view not in pulled:
+        continue
+      pack = packs[view]
+      keep = None
+      if 'ev_count' in aux:
+        counts = _lookup_dim1(aux['ev_count'], pack, meta1)
+        thr = jnp.asarray(ev.thr_cols, jnp.float32)[None, :]
+        keep = counts >= thr
+      if 'ev_last' in aux and ev.ttl > 0:
+        last = _lookup_dim1(aux['ev_last'], pack, meta1)
+        fresh = (step.astype(jnp.float32) - last) <= float(ev.ttl)
+        keep = fresh if keep is None else (keep & fresh)
+      if keep is not None:
+        out[view] = pulled[view] * keep[..., None].astype(
+            pulled[view].dtype)
   return out
 
 
@@ -162,21 +171,20 @@ def update_ev_state(slots: Dict[str, dict],
                     ev_pack_metas, step,
                     use_pallas: bool, mesh=None,
                     scratch_rows=None) -> Dict[str, dict]:
-  """counts += occurrences; last_seen = step, for every id in the
-  batch (all views). Runs through the packed group-RMW kernel when
-  available, else row scatters."""
+  """counts += occurrences; last_seen = step — for TRAINING-DATA ids
+  only (the base view). Sampled-negative views are excluded: their
+  zero-id filler columns would spuriously admit fused-table row 0, and
+  a sampled item is not an observed occurrence. Runs through the packed
+  group-RMW kernel when available, else row scatters."""
   from easyrec_tpu.ops import packed_table as pt
   from easyrec_tpu.optim import sparse as sparse_lib
 
   new_slots = {k: dict(v) for k, v in slots.items()}
   for key, ev in plan.items():
-    if not ev.enabled:
+    if not ev.enabled or key not in packs:
       continue
     aux = new_slots.get(key, {})
-    id_parts = [packs[v].reshape(-1)
-                for v in (key, 'neg.' + key, 'hard_neg.' + key)
-                if v in packs]
-    ids = jnp.concatenate(id_parts) if len(id_parts) > 1 else id_parts[0]
+    ids = packs[key].reshape(-1)
     ones = jnp.ones((ids.shape[0], 1), jnp.float32)
     meta1 = ev_pack_metas.get(key) if ev_pack_metas else None
     stepf = step.astype(jnp.float32)
@@ -218,36 +226,67 @@ def update_ev_state(slots: Dict[str, dict],
 
 def evict_stale(state, plan, pack_metas, ev_pack_metas,
                 layout) -> 'object':
-  """Sweep: zero the weights (and interleaved optimizer slots) of rows
-  whose last-seen step is stale beyond their ttl. Run before
-  checkpoint saves (lazy eviction at checkpoint cadence). Dense
-  elementwise pass over each EV-enabled table."""
-  import numpy as np  # noqa: F811
+  """Sweep: rows stale beyond their feature's steps_to_live are reset —
+  weights, optimizer slots, and the ev counters (so the id must re-earn
+  admission with fresh state, like the EV store freeing it). Run before
+  checkpoint saves (lazy eviction at checkpoint cadence).
 
+  Per-member row segments gate the sweep: co-fused features without
+  steps_to_live keep their rows; never-seen rows of TTL features ARE
+  swept (they are zero-init anyway under filter_freq; for pure-TTL
+  features the reference also frees untouched ids eventually)."""
   new_tables = dict(state.tables)
+  new_slots = {k: dict(v) for k, v in state.slots.items()}
   step = state.step.astype(jnp.float32)
   for key, ev in plan.items():
     aux = state.slots.get(key, {})
     if not ev.enabled or ev.ttl <= 0 or 'ev_last' not in aux:
       continue
     table = state.tables[key]
-    if pack_metas is not None:
-      meta = pack_metas[key]
+    packed = pack_metas is not None
+    if packed:
       meta1 = ev_pack_metas[key]
       # the dim-1 packed aux IS in logical order when flattened
       # ((g, s, lane) traversal == logical row order for dim 1)
       lastv = aux['ev_last'].reshape(-1)[:meta1.rows_padded]
-      stale = (step - lastv) > float(ev.ttl)             # [rows_padded]
-      rows_c = min(meta.rows_padded, stale.shape[0])
+    else:
+      lastv = aux['ev_last'][:, 0]
+    nrows = lastv.shape[0]
+    r = jnp.arange(nrows, dtype=jnp.int32)
+    stale = jnp.zeros((nrows,), bool)
+    for start, end, _ff, lv in ev.row_segments:
+      if lv <= 0:
+        continue                    # member without steps_to_live
+      stale = stale | ((r >= start) & (r < end) &
+                       ((step - lastv) > float(lv)))
+
+    # reset the ev counters for evicted rows
+    aux2 = dict(aux)
+    for name in ('ev_count', 'ev_last'):
+      if name in aux2:
+        a = aux2[name]
+        mask = stale.reshape(a.shape) if packed else stale[:, None]
+        aux2[name] = jnp.where(mask, 0.0, a)
+
+    if packed:
+      meta = pack_metas[key]
+      rows_c = min(meta.rows_padded, nrows)
       stale_c = jnp.zeros((meta.rows_padded,), bool).at[:rows_c].set(
           stale[:rows_c])
-      # expand to the combined layout: (G, 8, pack) broadcast over cc
+      # expand to the combined layout: (G, 8, pack) broadcast over cc —
+      # this zeroes the interleaved optimizer slots along with weights
       mask = jnp.broadcast_to(
           stale_c.reshape(meta.groups, 8, meta.pack, 1),
           (meta.groups, 8, meta.pack, meta.cc)).reshape(table.shape)
       new_tables[key] = jnp.where(mask, 0.0, table)
     else:
-      lastv = aux['ev_last'][:, 0]
-      stale = (step - lastv) > float(ev.ttl)
-      new_tables[key] = jnp.where(stale[:, None], 0.0, table)
-  return state.replace(tables=new_tables)
+      srows = min(table.shape[0], nrows)
+      stale_t = stale[:srows]
+      mask = jnp.zeros((table.shape[0],), bool).at[:srows].set(stale_t)
+      new_tables[key] = jnp.where(mask[:, None], 0.0, table)
+      # plain mode keeps optimizer slots in separate arrays — reset them
+      for name in list(aux2):
+        if not name.startswith('ev_'):
+          aux2[name] = jnp.where(mask[:, None], 0.0, aux2[name])
+    new_slots[key] = aux2
+  return state.replace(tables=new_tables, slots=new_slots)

@@ -47,8 +47,13 @@ examples/s/chip, 2.07x.
 
 Reference parity: replaces the IndexedSlices sparse-apply path of
 easy_rec/python/compat/optimizers.py:294-316 (lazy/async optimizers);
-numerics are exact vs the plain-layout row update up to f32 summation
-order (tests/test_packed_table.py).
+numerics match the plain-layout row update up to f32 summation order
+(tests/test_packed_table.py), with ONE documented divergence: a row
+whose batch gradients sum to exactly 0.0 (e.g. sampled-negative filler
+id columns, or perfectly cancelling duplicates) keeps its bytes here,
+while the plain path still applies the optimizer's decay to it. The
+packed behavior is the stricter lazy semantics; zero-sum rows carry no
+signal either way.
 """
 
 from __future__ import annotations
@@ -220,7 +225,12 @@ def group_prep(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta):
   first = jnp.concatenate([jnp.ones((1,), bool), gids[1:] != gids[:-1]])
   gseg = jnp.cumsum(first) - 1                 # group-level segment ids
   cap = min(n, meta.groups)
-  ugids = jnp.full((cap,), meta.scratch_gid,
+  # padding slots get an OUT-OF-BOUNDS sentinel (== meta.groups): the
+  # kernel predicates their DMAs off and the XLA fallback drops their
+  # scatter writes. A real scratch-gid entry would otherwise DUPLICATE
+  # a live group in sharded mode (local_view's scratch is a real group
+  # on every shard but the last) and race its update.
+  ugids = jnp.full((cap,), meta.groups,
                    gids.dtype).at[gseg].set(gids, mode='drop')
   # compact lane expansion: tiled[:, q] = sgrads[:, q % dim], masked to
   # this row's lane block q // dim == lane; zero-pad up to part_width
@@ -322,7 +332,8 @@ def _rmw_pallas(table: jnp.ndarray,
                 hypers: jnp.ndarray,
                 math_fn: Callable,
                 meta: PackMeta,
-                interpret: bool = False):
+                interpret: bool = False,
+                predicate: bool = False):
   """Per grid chunk: pull touched groups (one DMA each), run the
   optimizer math on compact part views, push back. The table is
   input/output-aliased — donate the caller's buffer for in-place RMW."""
@@ -344,41 +355,60 @@ def _rmw_pallas(table: jnp.ndarray,
   pad = (-n) % chunk
   if pad:
     ugids = jnp.concatenate(
-        [ugids, jnp.full((pad,), meta.scratch_gid, ugids.dtype)])
+        [ugids, jnp.full((pad,), meta.groups, ugids.dtype)])
     gg = jnp.concatenate([gg, jnp.zeros((pad, 8, pw), gg.dtype)])
   n_pad = ugids.shape[0]
   # ids in SMEM as one fixed (8, 64)-slot page per grid step (SMEM
-  # blocks need 8/128-divisible trailing dims); first `chunk` slots used
+  # blocks need 8/128-divisible trailing dims); first `chunk` slots
+  # used. Sentinel entries (gid == groups: dedup padding) carry flag 0
+  # — the kernel skips their DMAs entirely, so they can never duplicate
+  # (and race) a live group's write-back.
   nc = n_pad // chunk
-  gid_page = jnp.full((nc, _PAGE), meta.scratch_gid, jnp.int32)
-  gid_page = gid_page.at[:, :chunk].set(
-      ugids.astype(jnp.int32).reshape(nc, chunk))
+  live = (ugids < meta.groups).astype(jnp.int32)
+  gids_c = jnp.minimum(ugids.astype(jnp.int32), meta.groups - 1)
+  gid_page = jnp.zeros((nc, _PAGE), jnp.int32)
+  gid_page = gid_page.at[:, :chunk].set(gids_c.reshape(nc, chunk))
   gid3 = gid_page.reshape(nc, 8, _LANE)
+  flag_page = jnp.zeros((nc, _PAGE), jnp.int32)
+  flag_page = flag_page.at[:, :chunk].set(live.reshape(nc, chunk))
+  flag3 = flag_page.reshape(nc, 8, _LANE)
   table3 = table.reshape(meta.groups, 8, w)
   touch_m = jnp.asarray(_touch_matrix(w, meta.cc)).astype(jnp.bfloat16)
   e0t = jnp.asarray(
       _extract_matrix(w, meta.cc, meta.dim, 0, pw)).T  # [pw, W]
 
   def kernel(*refs):
-    (gid_ref, gg_ref, hyp_ref, tm_ref, e0t_ref, _in_tbl, out_ref,
-     buf, sem_in, sem_out) = refs
+    (gid_ref, flag_ref, gg_ref, hyp_ref, tm_ref, e0t_ref, _in_tbl,
+     out_ref, buf, sem_in, sem_out) = refs
     hyp = lambda k: hyp_ref[0, k]   # noqa: E731
 
     def gid(i):
       return gid_ref[0, i // _LANE, i % _LANE]
 
+    def guarded(i, body):
+      # predicated mode (sharded tables): sentinel/padding entries skip
+      # their DMAs so they can never duplicate a LIVE group's write-back
+      # (the local scratch group holds real rows on most shards).
+      # Unpredicated mode (single device): sentinels clamp to the global
+      # sacrificial scratch group, duplicate writes carry identical
+      # bytes, and skipping the per-copy branch is ~12% of the step.
+      if predicate:
+        pl.when(flag_ref[0, i // _LANE, i % _LANE] != 0)(body)
+      else:
+        body()
+
     def pull(j, _):
       for u in range(_UNROLL):
         i = j * _UNROLL + u
-        pltpu.make_async_copy(out_ref.at[gid(i)], buf.at[i],
-                              sem_in).start()
+        guarded(i, lambda i=i: pltpu.make_async_copy(
+            out_ref.at[gid(i)], buf.at[i], sem_in).start())
       return 0
 
     def pull_wait(j, _):
       for u in range(_UNROLL):
         i = j * _UNROLL + u
-        pltpu.make_async_copy(out_ref.at[gid(i)], buf.at[i],
-                              sem_in).wait()
+        guarded(i, lambda i=i: pltpu.make_async_copy(
+            out_ref.at[gid(i)], buf.at[i], sem_in).wait())
       return 0
 
     jax.lax.fori_loop(0, chunk // _UNROLL, pull, 0)
@@ -409,15 +439,15 @@ def _rmw_pallas(table: jnp.ndarray,
     def push(j, _):
       for u in range(_UNROLL):
         i = j * _UNROLL + u
-        pltpu.make_async_copy(buf.at[i], out_ref.at[gid(i)],
-                              sem_out).start()
+        guarded(i, lambda i=i: pltpu.make_async_copy(
+            buf.at[i], out_ref.at[gid(i)], sem_out).start())
       return 0
 
     def push_wait(j, _):
       for u in range(_UNROLL):
         i = j * _UNROLL + u
-        pltpu.make_async_copy(buf.at[i], out_ref.at[gid(i)],
-                              sem_out).wait()
+        guarded(i, lambda i=i: pltpu.make_async_copy(
+            buf.at[i], out_ref.at[gid(i)], sem_out).wait())
       return 0
 
     jax.lax.fori_loop(0, chunk // _UNROLL, push, 0)
@@ -428,6 +458,8 @@ def _rmw_pallas(table: jnp.ndarray,
       grid=(nc,),
       in_specs=(
           [pl.BlockSpec((1, 8, _LANE), lambda i: (i, 0, 0),
+                        memory_space=pltpu.SMEM),
+           pl.BlockSpec((1, 8, _LANE), lambda i: (i, 0, 0),
                         memory_space=pltpu.SMEM),
            pl.BlockSpec((chunk, 8, pw), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM),
@@ -442,14 +474,14 @@ def _rmw_pallas(table: jnp.ndarray,
       out_shape=jax.ShapeDtypeStruct(table3.shape, table3.dtype),
       scratch_shapes=[pltpu.VMEM((chunk, 8, w), jnp.float32),
                       pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
-      input_output_aliases={5: 0},
+      input_output_aliases={6: 0},
       compiler_params=pltpu.CompilerParams(has_side_effects=True),
       interpret=interpret,
   )
   hyp_page = jnp.zeros((8, _LANE), jnp.float32)
   hyp_page = hyp_page.at[0, :hypers.shape[0]].set(
       hypers.astype(jnp.float32))
-  out = fn(gid3, gg, hyp_page, touch_m, e0t, table3)
+  out = fn(gid3, flag3, gg, hyp_page, touch_m, e0t, table3)
   return out.reshape(meta.phys_rows, w)
 
 
@@ -460,7 +492,8 @@ def _rmw_xla(table, ugids, gg, hypers, math_fn, meta: PackMeta):
   w = meta.width
   dnums = jax.lax.GatherDimensionNumbers(
       offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
-  old = jax.lax.gather(table, (ugids * 8)[:, None], dnums, (8, w),
+  gids_c = jnp.minimum(ugids, meta.groups - 1)
+  old = jax.lax.gather(table, (gids_c * 8)[:, None], dnums, (8, w),
                        mode='clip').astype(jnp.float32).reshape(n * 8, w)
   hvec = jnp.zeros((_LANE,), jnp.float32).at[:hypers.shape[0]].set(
       hypers.astype(jnp.float32))
@@ -471,7 +504,10 @@ def _rmw_xla(table, ugids, gg, hypers, math_fn, meta: PackMeta):
                        lambda k: hvec[k], math_fn, meta, tm, e0t,
                        lambda x, s: jnp.roll(x, s, axis=1))
   t3 = table.reshape(meta.groups, 8, w)
-  out = t3.at[ugids].set(new.reshape(n, 8, w).astype(table.dtype))
+  # sentinel padding entries (ugids == groups) are OOB and get DROPPED —
+  # they must never duplicate (nondeterministically race) a live group
+  out = t3.at[ugids].set(new.reshape(n, 8, w).astype(table.dtype),
+                         mode='drop')
   return out.reshape(meta.phys_rows, w)
 
 
@@ -482,7 +518,8 @@ def apply_packed_update(table: jnp.ndarray,
                         math_fn: Callable,
                         meta: PackMeta,
                         use_pallas: bool,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = False,
+                        predicate: bool = False) -> jnp.ndarray:
   """Sparse-update one combined packed table from raw (duplicated) ids
   [N] and their gradients [N, dim].
 
@@ -493,5 +530,5 @@ def apply_packed_update(table: jnp.ndarray,
   ugids, gg = group_prep(ids, grads, meta)
   if use_pallas or interpret:
     return _rmw_pallas(table, ugids, gg, hypers, math_fn, meta,
-                       interpret=interpret)
+                       interpret=interpret, predicate=predicate)
   return _rmw_xla(table, ugids, gg, hypers, math_fn, meta)

@@ -305,6 +305,15 @@ def _packed_update_sharded(mesh, table, ids, g, hypers, block_math,
   lmeta = meta.local_view()
   local_rows = lmeta.groups * meta.group_rows
 
+  # shard_map needs the id/grad length divisible by the device count
+  # (sampled-negative views make it arbitrary); pad with id 0 + zero
+  # gradients — group_prep merges them and the touched mask keeps bytes
+  n_dev = mesh.devices.size
+  pad = (-ids.shape[0]) % n_dev
+  if pad:
+    ids = jnp.concatenate([ids, jnp.zeros((pad,), ids.dtype)])
+    g = jnp.concatenate([g, jnp.zeros((pad, g.shape[1]), g.dtype)])
+
   def local_fn(tbl, ids_l, g_l, hyp):
     ids_all = jax.lax.all_gather(ids_l, axes, tiled=True)
     g_all = jax.lax.all_gather(g_l, axes, tiled=True)
@@ -314,8 +323,11 @@ def _packed_update_sharded(mesh, table, ids, g, hypers, block_math,
     mine = (lids >= 0) & (lids < local_rows)
     lids = jnp.where(mine, lids, 0)
     g_all = jnp.where(mine[:, None], g_all, 0.0)
+    # predicated DMAs: on most shards the local scratch group holds
+    # REAL rows — padding entries must not duplicate a live group's push
     return pt.apply_packed_update(tbl, lids, g_all, hyp, block_math,
-                                  lmeta, use_pallas, interpret=interpret)
+                                  lmeta, use_pallas, interpret=interpret,
+                                  predicate=True)
 
   fn = shard_map(
       local_fn, mesh=mesh,

@@ -107,6 +107,46 @@ def fine_tune_restore(state, ckpt_path: str, var_map: str = '',
   rename = _parse_var_map(var_map)
   filters = [re.compile(p) for p in restore_filters]
 
+  if not pack_metas and raw.get('tables'):
+    # the reverse direction: a PACKED checkpoint warm-starting a PLAIN
+    # run. Detect combined [G*8, lcm(n_parts*dim,128)] shapes and unpack
+    # the weights part — the generic shape-compat clip would otherwise
+    # silently interpret interleaved optimizer slots as weights.
+    from easyrec_tpu.ops import packed_table as pt
+    cur_tables = jax.device_get(state.tables)
+    fixed = {}
+    for name, arr in raw['tables'].items():
+      arr = np.asarray(arr)
+      cur = cur_tables.get(name)
+      if cur is not None and arr.ndim == 2 and \
+          arr.shape[1] != cur.shape[1]:
+        dim = int(cur.shape[1])
+        # several n_parts can share one width (dim 16: 1 and 2 parts
+        # both give W=128) — pick the candidate whose decoded capacity
+        # is the smallest that still covers the current table (the
+        # writer's quantized geometry for the same row count)
+        candidates = []
+        for n_parts in (1, 2, 3, 4):
+          probe = pt.PackMeta(8, dim, n_parts)
+          if arr.shape[1] != probe.width or arr.shape[0] % 8:
+            continue
+          meta = pt.PackMeta.__new__(pt.PackMeta)
+          meta.__dict__.update(probe.__dict__)
+          meta.groups = arr.shape[0] // 8
+          meta.phys_rows = arr.shape[0]
+          meta.rows_padded = meta.groups * meta.group_rows
+          meta.rows = meta.rows_padded
+          if meta.rows_padded >= cur.shape[0]:
+            candidates.append((meta.rows_padded, n_parts, meta))
+        if candidates:
+          _, n_parts, meta = min(candidates)
+          arr = pt.unpack_host(arr, meta)[0]
+          logging.info('fine-tune restore: unpacked %s from the packed '
+                       'combined layout (%d parts)', name, n_parts)
+      fixed[name] = arr
+    raw = dict(raw)
+    raw['tables'] = fixed
+
   if pack_metas and raw.get('tables'):
     # warm-start a PACKED run from a plain (or exported) checkpoint:
     # splice the checkpointed weights into the current combined arrays,

@@ -94,7 +94,22 @@ def test_ttl_eviction_sweep(tmp_path):
   for key, ev in trainer.ev_plan.items():
     if not ev.enabled or ev.ttl <= 0:
       continue
-    assert np.all(np.asarray(swept.tables[key]) == 0.0)
+    before = np.asarray(state.tables[key])
+    after = np.asarray(swept.tables[key])
+    for start, end, _ff, lv in ev.row_segments:
+      if lv > 0:   # TTL member: every stale row swept to zero
+        assert np.all(after[start:end] == 0.0), (key, start, end)
+      else:        # co-fused member without steps_to_live: untouched
+        np.testing.assert_array_equal(after[start:end],
+                                      before[start:end])
+    # evicted ids must re-earn admission: counters reset in TTL segments
+    aux = swept.slots[key]
+    for start, end, _ff, lv in ev.row_segments:
+      if lv <= 0:
+        continue
+      if 'ev_count' in aux:
+        assert np.all(np.asarray(aux['ev_count'])[start:end] == 0.0)
+      assert np.all(np.asarray(aux['ev_last'])[start:end] == 0.0)
 
 
 def test_ev_packed_mode(tmp_path, monkeypatch):
