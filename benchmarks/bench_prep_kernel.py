@@ -41,8 +41,18 @@ def main():
 
   prep = jax.jit(functools.partial(pt.group_prep, meta=meta))
   t = t_simple(prep, ids, grads)
-  print(f'group_prep (W={meta.width})    : {t*1e3:8.2f} ms')
+  print(f'group_prep XLA-segsum (W={meta.width}) : {t*1e3:8.2f} ms')
+  import os
+  os.environ['EASYREC_SEG_SUM_KERNEL'] = '1'   # opt-in (slower; PERF.md)
+  prep_k = jax.jit(functools.partial(pt.group_prep, meta=meta,
+                                     use_pallas=True))
+  t = t_simple(prep_k, ids, grads)
+  print(f'group_prep Mosaic-segsum      : {t*1e3:8.2f} ms')
+  ug2, gg2 = jax.jit(prep_k)(ids, grads)
   ugids, gg = prep(ids, grads)
+  import numpy as _np
+  d = _np.max(_np.abs(_np.asarray(gg2) - _np.asarray(gg)))
+  print(f'  gg max abs diff vs XLA      : {d:.2e}')
   print('gg bytes: %.2f GB' % (gg.size * 4 / 1e9))
 
   table = jax.jit(lambda k: jax.random.normal(

@@ -200,13 +200,196 @@ def pull(packed: jnp.ndarray, ids: jnp.ndarray,
   return out.reshape(shape + (meta.dim,))
 
 
+# ----------------------------------------------------- sorted segment sum
+
+_SEG_B = 512     # gg rows per output block
+_SEG_T = 64      # input rows per DMA tile
+
+
+def _seg_sum_pallas(expanded: jnp.ndarray, flat: jnp.ndarray,
+                    cap8: int, interpret: bool = False) -> jnp.ndarray:
+  """Sorted segmented sum as a Mosaic kernel: gg_flat[r] = sum of
+  expanded rows whose (sorted) flat segment id == r, for r < cap8.
+
+  XLA lowers `jax.ops.segment_sum(..., indices_are_sorted=True)` to a
+  scatter-add (~108 ns/row — the scatter wall, 8.2 ms at bench shapes
+  writing 436 MB at an effective 53 GB/s). Sortedness makes the output
+  DENSE-SEQUENTIAL instead: one pass over output blocks of seg_b rows,
+  each accumulated from its contiguous input range (per-block ranges
+  precomputed with one searchsorted) via one-hot matmuls on the MXU.
+  Gradients stream as bf16 hi+lo pairs (two full-speed bf16 matmuls,
+  ~2^-16 relative error) instead of one 6-pass HIGHEST f32 matmul.
+
+  Input DMAs are double-buffered two tiles ahead; output blocks are
+  double-buffered and pushed with async copies, so the scalar core only
+  pays ~L tile-loop iterations (L ≈ N/_SEG_T + 2*blocks)."""
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  n, pw = expanded.shape
+  seg_b = min(_SEG_B, cap8)
+  assert cap8 % seg_b == 0, (cap8, seg_b)
+  nb = cap8 // seg_b
+  n8 = -(-n // 8) * 8
+  pwf = pw + 128
+
+  # payload rows: [grads | flat-as-f32 | 0...]; sentinel rows (padding
+  # and the 2-tile overrun margin) carry flat == cap8, matching no block
+  exp2 = jnp.concatenate(
+      [expanded.astype(jnp.float32),
+       flat.astype(jnp.float32)[:, None],
+       jnp.zeros((n, 127), jnp.float32)], axis=1)
+  sent = jnp.zeros((1, pwf), jnp.float32).at[0, pw].set(float(cap8))
+  exp2 = jnp.concatenate(
+      [exp2, jnp.broadcast_to(sent, (n8 - n + 2 * _SEG_T, pwf))], axis=0)
+
+  # ---- flat tile schedule (XLA): block input ranges -> (base, blk,
+  # first) per tile; empty blocks get one sentinel tile so their zero
+  # output block still gets pushed
+  bounds = jnp.arange(nb + 1, dtype=jnp.int32) * seg_b
+  starts = jnp.searchsorted(flat, bounds).astype(jnp.int32)
+  s, e = starts[:-1], starts[1:]
+  empty = e <= s
+  base = jnp.where(empty, n8, (s // 8) * 8)
+  ntl = jnp.where(empty, 1, -(-(e - base) // _SEG_T))
+  pos = jnp.cumsum(ntl)                          # [nb] tile-range ends
+  L = n8 // _SEG_T + 2 * nb + 2                  # static upper bound
+  li = jnp.arange(L, dtype=jnp.int32)
+  blk = jnp.minimum(jnp.searchsorted(pos, li, side='right'),
+                    nb - 1).astype(jnp.int32)
+  prev_end = jnp.where(blk > 0, jnp.take(pos, jnp.maximum(blk - 1, 0)), 0)
+  within = li - prev_end
+  valid = li < pos[nb - 1]
+  t_base = jnp.where(valid, jnp.take(base, blk) + within * _SEG_T,
+                     jnp.int32(n8))
+  first = (valid & (within == 0)).astype(jnp.int32)
+  live = (t_base < n8).astype(jnp.int32)   # sentinel tiles carry n8
+
+  # pack the four [L] arrays into one SMEM page grid [4*R, 128]
+  rows = -(-L // 128)
+  r8 = -(-rows // 8) * 8
+  sched = jnp.zeros((4, r8 * 128), jnp.int32)
+  sched = sched.at[0, :L].set(t_base).at[1, :L].set(blk)
+  sched = sched.at[2, :L].set(first).at[3, :L].set(live)
+  sched = sched.reshape(4 * r8, 128)
+
+  def kernel(sched_ref, exp_ref, out_ref, tbuf, obuf, sem_in, sem_out):
+    def sv(a, l):
+      return sched_ref[a * r8 + l // 128, l % 128]
+
+    def in_copy(l, slot):
+      return pltpu.make_async_copy(
+          exp_ref.at[pl.ds(pl.multiple_of(sv(0, l), 8), _SEG_T)],
+          tbuf.at[slot], sem_in.at[slot])
+
+    def out_copy(b, slot):
+      return pltpu.make_async_copy(
+          obuf.at[slot],
+          out_ref.at[pl.ds(pl.multiple_of(b * seg_b, seg_b), seg_b)],
+          sem_out.at[slot])
+
+    pl.when(sv(3, 0) == 1)(lambda: in_copy(0, 0).start())
+    if L > 1:
+      pl.when(sv(3, 1) == 1)(lambda: in_copy(1, 1).start())
+
+    def body(l, carry):
+      oslot, pushes = carry
+      slot = jax.lax.rem(l, 2)
+      blk_l = sv(1, l)
+      first_l = sv(2, l)
+      live_l = sv(3, l)
+      pl.when(live_l == 1)(lambda: in_copy(l, slot).wait())
+
+      # block transition: push the finished block, flip the out buffer
+      def transition():
+        out_copy(sv(1, l - 1), oslot).start()
+
+      pl.when((first_l == 1) & (l > 0))(transition)
+      oslot2 = jnp.where((first_l == 1) & (l > 0), 1 - oslot, oslot)
+      pushes2 = pushes + ((first_l == 1) & (l > 0)).astype(jnp.int32)
+
+      # the new out buffer may still be draining its push from two
+      # blocks ago — wait before overwriting
+      pl.when((first_l == 1) & (pushes2 >= 2))(
+          lambda: out_copy(0, oslot2).wait())
+
+      def compute():
+        vals = tbuf[slot, :, :pw]
+        flatv = tbuf[slot, :, pw]
+        cols = flatv.astype(jnp.int32) - blk_l * seg_b
+        # one-hot built in [T, B] orientation: flatv is a SUBLANE vector
+        # (one value per input row) so cols[:, None] broadcasts along
+        # lanes for free — the transposed [B, T] build needs a
+        # sublane->lane vector relayout that measured pathologically
+        # slow. The contraction below runs over axis 0 of both operands.
+        iota = jax.lax.broadcasted_iota(jnp.int32, (_SEG_T, seg_b), 1)
+        p1 = (cols[:, None] == iota).astype(jnp.bfloat16)
+        hi = vals.astype(jnp.bfloat16)
+        lo = (vals - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((0,), (0,)), ((), ()))
+        acc = jax.lax.dot_general(p1, hi, dn,
+                                  preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(p1, lo, dn,
+                                        preferred_element_type=jnp.float32)
+
+        def set_block():
+          obuf[oslot2] = acc
+
+        def add_block():
+          obuf[oslot2] = obuf[oslot2] + acc
+
+        pl.when(first_l == 1)(set_block)
+        pl.when(first_l == 0)(add_block)
+
+      def zero_block():                     # empty block's only tile
+        obuf[oslot2] = jnp.zeros((seg_b, pw), jnp.float32)
+
+      pl.when(live_l == 1)(compute)
+      pl.when((live_l == 0) & (first_l == 1))(zero_block)
+
+      pl.when((l + 2 < L) & (sv(3, l + 2) == 1))(
+          lambda: in_copy(l + 2, slot).start())
+      return (oslot2, pushes2)
+
+    oslot, pushes = jax.lax.fori_loop(0, L, body,
+                                      (jnp.int32(0), jnp.int32(0)))
+    # final block push + drain both slots
+    out_copy(sv(1, L - 1), oslot).start()
+    out_copy(0, oslot).wait()
+    if nb >= 2:
+      pl.when(pushes >= 1)(lambda: out_copy(0, 1 - oslot).wait())
+
+  fn = pl.pallas_call(
+      kernel,
+      grid=(1,),
+      in_specs=[
+          pl.BlockSpec((4 * r8, 128), lambda i: (0, 0),
+                       memory_space=pltpu.SMEM),
+          pl.BlockSpec(memory_space=pltpu.ANY),
+      ],
+      out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+      out_shape=jax.ShapeDtypeStruct((cap8, pw), jnp.float32),
+      scratch_shapes=[
+          pltpu.VMEM((2, _SEG_T, pwf), jnp.float32),
+          pltpu.VMEM((2, seg_b, pw), jnp.float32),
+          pltpu.SemaphoreType.DMA((2,)),
+          pltpu.SemaphoreType.DMA((2,)),
+      ],
+      compiler_params=pltpu.CompilerParams(has_side_effects=True),
+      interpret=interpret,
+  )
+  return fn(sched, exp2)
+
+
 # ----------------------------------------------------------- update prep
 
-def group_prep(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta):
+def group_prep(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta,
+               use_pallas: bool = False, interpret: bool = False):
   """Raw (duplicated) ids + grads [N, dim] -> (ugids [cap], gg
   [cap, 8, part_width]) — fused sort + group dedup + lane expansion +
   ONE sorted segment-sum (replaces dedup_sum + per-row scatters of the
-  plain path).
+  plain path). With use_pallas the segment-sum runs as the Mosaic
+  segmented-sum kernel (_seg_sum_pallas) instead of an XLA scatter.
 
   gg is COMPACT: gg[k, s, lane*dim + d] is the summed gradient for the
   logical row at (group k, sublane s, lane); the kernel expands it to
@@ -224,7 +407,11 @@ def group_prep(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta):
   lane = within % meta.pack
   first = jnp.concatenate([jnp.ones((1,), bool), gids[1:] != gids[:-1]])
   gseg = jnp.cumsum(first) - 1                 # group-level segment ids
-  cap = min(n, meta.groups)
+  # cap rounds up to _SEG_B/8 so cap*8 is a whole number of _SEG_B-row
+  # output blocks for the Mosaic segmented-sum (meta.groups is a
+  # multiple of 256, so the min stays block-aligned)
+  q = _SEG_B // 8
+  cap = min(-(-n // q) * q, meta.groups)
   # padding slots get an OUT-OF-BOUNDS sentinel (== meta.groups): the
   # kernel predicates their DMAs off and the XLA fallback drops their
   # scatter writes. A real scratch-gid entry would otherwise DUPLICATE
@@ -233,7 +420,12 @@ def group_prep(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta):
   ugids = jnp.full((cap,), meta.groups,
                    gids.dtype).at[gseg].set(gids, mode='drop')
   # compact lane expansion: tiled[:, q] = sgrads[:, q % dim], masked to
-  # this row's lane block q // dim == lane; zero-pad up to part_width
+  # this row's lane block q // dim == lane; zero-pad up to part_width.
+  # (A narrower segment-sum over the raw [N, dim] grads with
+  # slot-granular segment ids is algebraically identical and 8x less
+  # input — but measured 2x SLOWER in-step: the [*, dim] minor axis
+  # tile-pads to 128 lanes on TPU, so the un-expanded form inflates the
+  # scatter 8x. The 128-lane expanded form below is load-bearing.)
   pw = meta.part_width
   live = meta.pack * meta.dim
   tiled = jnp.tile(sgrads, (1, live // meta.dim))
@@ -244,10 +436,25 @@ def group_prep(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta):
     expanded = jnp.concatenate(
         [expanded, jnp.zeros((n, pw - live), jnp.float32)], axis=1)
   # sids sorted => (gseg, sub) sorted => flat sorted; duplicates and
-  # same-physical-row collisions sum in one pass
+  # same-physical-row collisions sum in one pass.
+  #
+  # This segment-sum IS ~90% of group_prep (8.1 of 8.8 ms at bench
+  # shapes: an XLA scatter-add at the ~108 ns/row wall). The Mosaic
+  # segmented-sum kernel below (_seg_sum_pallas: dense-sequential
+  # output blocks + one-hot matmul accumulation) was built to beat it
+  # but measured SLOWER in three variants (11.1 / 12.3 / 42.5 ms —
+  # per-tile loop overhead and transposed-contraction lowering dominate;
+  # the sublane->lane relayout variant is pathological). Kept as an
+  # opt-in for future tuning; correctness is pinned by
+  # tests/test_packed_table.py::test_seg_sum_kernel_parity.
   flat = gseg * 8 + sub
-  gg = jax.ops.segment_sum(expanded, flat, num_segments=cap * 8,
-                           indices_are_sorted=True)
+  seg_kernel = (use_pallas and
+                _os.environ.get('EASYREC_SEG_SUM_KERNEL') == '1')
+  if seg_kernel or interpret:
+    gg = _seg_sum_pallas(expanded, flat, cap * 8, interpret=interpret)
+  else:
+    gg = jax.ops.segment_sum(expanded, flat, num_segments=cap * 8,
+                             indices_are_sorted=True)
   return ugids, gg.reshape(cap, 8, pw)
 
 
@@ -527,7 +734,8 @@ def apply_packed_update(table: jnp.ndarray,
   baked into the optimizer closure). math_fn = SparseOptimizer.block_math
   operating on compact per-part f32 views; hyp is a callable k->scalar.
   """
-  ugids, gg = group_prep(ids, grads, meta)
+  ugids, gg = group_prep(ids, grads, meta, use_pallas=use_pallas,
+                         interpret=interpret)
   if use_pallas or interpret:
     return _rmw_pallas(table, ugids, gg, hypers, math_fn, meta,
                        interpret=interpret, predicate=predicate)

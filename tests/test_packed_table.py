@@ -112,6 +112,23 @@ def test_group_prep_truncates_small_tables():
   assert gg.shape == (ugids.shape[0], 8, meta.part_width)
 
 
+@pytest.mark.parametrize('n,pw,cap8', [(1000, 128, 1024), (64, 128, 512),
+                                       (3000, 384, 4096)])
+def test_seg_sum_kernel_parity(n, pw, cap8):
+  """The Mosaic segmented-sum (scatter-free gg build) vs
+  jax.ops.segment_sum, including empty blocks and duplicate slots."""
+  rng = np.random.RandomState(0)
+  flat = np.sort(rng.randint(0, cap8, n)).astype(np.int32)
+  exp = rng.randn(n, pw).astype(np.float32)
+  ref = jax.ops.segment_sum(jnp.asarray(exp), jnp.asarray(flat),
+                            num_segments=cap8, indices_are_sorted=True)
+  got = pt._seg_sum_pallas(jnp.asarray(exp), jnp.asarray(flat), cap8,
+                           interpret=True)
+  # bf16 hi/lo gradient split: ~2^-17 relative
+  np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                             rtol=0, atol=2e-4)
+
+
 def test_wide_dim_gating():
   assert pt.supported(16, 3) and pt.supported(1, 3) \
       and pt.supported(128, 3) and pt.supported(48, 1)
