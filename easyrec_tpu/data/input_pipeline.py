@@ -293,34 +293,242 @@ class CriteoBinaryReader(BaseReader):
 @INPUTS.register('KafkaInput')
 class KafkaReader(BaseReader):
   """Kafka streaming input (reference input/kafka_input.py:33): consumes
-  CSV-formatted messages. Requires the kafka-python client; raises a
-  clear error when it (or the broker) is unavailable."""
+  CSV-formatted message values over a built-in pure-Python wire-protocol
+  consumer (data/kafka_client.py — the environment has neither
+  librdkafka nor kafka-python; the reference shipped a custom C++
+  `kafka.so` for the same reason).
+
+  Partition assignment is static by shard (reference
+  kafka_input.py:58-75 task_index/task_num); start offsets come from
+  `partitions`/`offset` pairs or the `offset_info` JSON (the DATA_OFFSET
+  checkpoint restore path, kafka_input.py:121-173), else earliest.
+  Training streams until the caller stops pulling; eval drains to the
+  high watermark and stops. `current_offsets` always holds the next
+  offset per partition for checkpointing."""
+
+  supports_offsets = True    # trainer persists/restores data_offset.json
 
   def chunks(self, chunk_rows: int) -> Iterator[Dict[str, object]]:
+    import json
+    import os
+
+    from easyrec_tpu.data import kafka_client as kc
+
+    cfg = self.input_path
+    if cfg is None or isinstance(cfg, str):
+      raise ValueError(
+          'KafkaInput needs a kafka_train_input/kafka_eval_input '
+          'KafkaServer config (got %r)' % (cfg,))
+    consumer = kc.KafkaConsumer(cfg.server,
+                                client_id=cfg.group or 'easy_rec')
+    all_parts = sorted(cfg.partitions) or consumer.partitions_for(
+        cfg.topic)
+    parts = all_parts[self.shard_index::self.shard_num]
+    if not parts:
+      consumer.close()
+      return
+    offs: Dict[int, int] = {}
+    if cfg.offset_info:
+      for k, v in json.loads(cfg.offset_info).items():
+        if int(k) in parts:
+          offs[int(k)] = int(v)
+    for i, p in enumerate(sorted(cfg.partitions)):
+      if i < len(cfg.offset) and p in parts and p not in offs:
+        offs[p] = int(cfg.offset[i])
+    missing = [p for p in parts if p not in offs]
+    if missing:
+      offs.update(consumer.offsets(cfg.topic, missing, kc.EARLIEST))
+    # current_offsets tracks the next offset per partition for data
+    # YIELDED so far (not merely fetched — fetch reads ahead); row-level
+    # (partition, offset) columns also ride along in every chunk so the
+    # pipeline can stamp each BATCH with its exact resume point (the
+    # reference attaches DATA_OFFSET to batches the same way,
+    # kafka_input.py:121-173)
+    self.current_offsets = dict(offs)
+    # resume points for partitions that contribute no rows to a given
+    # run segment fall back to their START offsets — without this a
+    # partition absent from every trained batch would silently drop out
+    # of data_offset.json and restart from earliest on the next resume
+    self.start_offsets = dict(offs)
+    stop_at_end = getattr(self, 'mode', 'train') != 'train' or \
+        os.environ.get('EASYREC_KAFKA_STOP_AT_END') == '1'
+    pending: List[tuple] = []                  # (pid, off, value)
     try:
-      from kafka import KafkaConsumer  # noqa: F401
-    except ImportError as e:
-      raise ImportError(
-          'KafkaInput needs the kafka-python package, which is not '
-          'available in this environment; use a file-based input or '
-          'install kafka-python') from e
-    kafka = self.data_config.kafka_train_input \
-        if hasattr(self.data_config, 'kafka_train_input') else None
-    raise NotImplementedError(
-        'KafkaInput requires broker connectivity (server=%s)' %
-        (kafka.server if kafka else '?'))
+      while True:
+        records, hwm = consumer.fetch(cfg.topic, offs, max_wait_ms=500)
+        for pid, off, _key, value in records:
+          offs[pid] = max(offs[pid], off + 1)
+          pending.append((pid, off, value))
+        while len(pending) >= chunk_rows:
+          chunk, pending = pending[:chunk_rows], pending[chunk_rows:]
+          yield self._parse_records(chunk)
+        if not records and all(offs[p] >= hwm.get(p, 0) for p in parts):
+          if not stop_at_end:
+            continue                           # stream: keep polling
+          if pending:
+            yield self._parse_records(pending)
+          return
+    finally:
+      consumer.close()
+
+  def _parse_records(self, items: List[tuple]) -> Dict[str, object]:
+    out = self._parse_lines([v for _, _, v in items])
+    out['__stream_pid'] = np.array([p for p, _, _ in items], np.int64)
+    out['__stream_off'] = np.array([o for _, o, _ in items], np.int64)
+    for pid, off, _v in items:
+      self.current_offsets[pid] = max(self.current_offsets.get(pid, 0),
+                                      off + 1)
+    return out
+
+  def _parse_lines(self, lines: List[bytes]) -> Dict[str, object]:
+    """CSV message values -> typed columns (same pyarrow typed parse as
+    CSVReader, over an in-memory buffer)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+
+    dc = self.data_config
+    names = self.field_names
+    col_types = {}
+    for f in dc.input_fields:
+      if f.input_type == FieldType.STRING:
+        col_types[f.input_name] = pa.string()
+      elif f.input_type in (FieldType.FLOAT, FieldType.DOUBLE):
+        col_types[f.input_name] = pa.float64()
+      elif f.input_type in (FieldType.INT32, FieldType.INT64):
+        col_types[f.input_name] = pa.int64()
+      else:
+        col_types[f.input_name] = pa.bool_()
+    table = pacsv.read_csv(
+        io.BytesIO(b'\n'.join(lines) + b'\n'),
+        read_options=pacsv.ReadOptions(column_names=names),
+        parse_options=pacsv.ParseOptions(delimiter=dc.separator or ','),
+        convert_options=pacsv.ConvertOptions(column_types=col_types,
+                                             strings_can_be_null=False))
+    return {name: table.column(name).combine_chunks()
+            for name in names}
 
 
 @INPUTS.register('DataHubInput')
+class DataHubReader(BaseReader):
+  """Aliyun DataHub streaming input (reference input/datahub_input.py:39):
+  consumes TUPLE records over the built-in REST client
+  (data/datahub_client.py — the `pydatahub` SDK is not in this env).
+
+  Shard assignment is static round-robin by worker (reference
+  datahub_input.py:78-80); start sequences come from the `offset_info`
+  JSON {shard_id: next_sequence} (the DATA_OFFSET restore path,
+  datahub_input.py:94-97), else OLDEST. Training streams until the
+  caller stops pulling; eval drains to LATEST and stops. Field values
+  arrive typed per input_fields (the topic schema is validated to cover
+  them, datahub_input.py:108-117)."""
+
+  supports_offsets = True    # trainer persists/restores data_offset.json
+
+  def chunks(self, chunk_rows: int) -> Iterator[Dict[str, object]]:
+    import json as _json
+    import os as _os
+
+    from easyrec_tpu.data import datahub_client as dhc
+
+    cfg = self.input_path
+    if cfg is None or isinstance(cfg, str):
+      raise ValueError(
+          'DataHubInput needs a datahub_train_input/datahub_eval_input '
+          'DatahubServer config (got %r)' % (cfg,))
+    client = dhc.DataHubClient(cfg.region, cfg.akId, cfg.akSecret)
+    schema = client.get_topic(cfg.project, cfg.topic)
+    names = [n for n, _t in schema]
+    col_idx = {}
+    for f in self.data_config.input_fields:
+      if f.input_name not in names:
+        raise ValueError('input_field[%s] is not in datahub topic %s '
+                         '(fields: %s)' % (f.input_name, cfg.topic, names))
+      col_idx[f.input_name] = names.index(f.input_name)
+    all_shards = client.list_shards(cfg.project, cfg.topic)
+    shards = [s for i, s in enumerate(all_shards)
+              if i % self.shard_num == self.shard_index]
+    if not shards:
+      client.close()
+      return
+    offs: Dict[int, int] = {}
+    if cfg.offset_info:
+      for k, v in _json.loads(cfg.offset_info).items():
+        if str(k) in shards:
+          offs[int(k)] = int(v)
+    for s in shards:
+      offs.setdefault(int(s), 0)
+    self.current_offsets = dict(offs)
+    self.start_offsets = dict(offs)
+    stop_at_end = getattr(self, 'mode', 'train') != 'train' or \
+        _os.environ.get('EASYREC_DATAHUB_STOP_AT_END') == '1'
+    pending: List[tuple] = []                  # (shard_int, seq, data)
+    try:
+      while True:
+        got_any = False
+        at_end = True
+        for s in shards:
+          si = int(s)
+          cursor, _ = client.get_cursor(cfg.project, cfg.topic, s,
+                                        dhc.SEQUENCE, offs[si])
+          records, _nxt = client.get_records(cfg.project, cfg.topic, s,
+                                             cursor, limit=chunk_rows)
+          for seq, data in records:
+            offs[si] = max(offs[si], seq + 1)
+            pending.append((si, seq, data))
+            got_any = True
+          _, latest = client.get_cursor(cfg.project, cfg.topic, s,
+                                        dhc.LATEST)
+          if offs[si] < latest:
+            at_end = False
+        while len(pending) >= chunk_rows:
+          chunk, pending = pending[:chunk_rows], pending[chunk_rows:]
+          yield self._to_columns(chunk, col_idx)
+        if not got_any and at_end:
+          if not stop_at_end:
+            continue                           # stream: keep polling
+          if pending:
+            yield self._to_columns(pending, col_idx)
+          return
+    finally:
+      client.close()
+
+  def _to_columns(self, items: List[tuple],
+                  col_idx: Dict[str, int]) -> Dict[str, object]:
+    out: Dict[str, object] = {}
+    for f in self.data_config.input_fields:
+      vals = [it[2][col_idx[f.input_name]] for it in items]
+      if f.input_type == FieldType.STRING:
+        out[f.input_name] = np.array(
+            ['' if v is None else str(v) for v in vals], dtype=object)
+      elif f.input_type in (FieldType.FLOAT, FieldType.DOUBLE):
+        out[f.input_name] = np.array(
+            [0.0 if v in (None, '') else float(v) for v in vals],
+            np.float64)
+      elif f.input_type in (FieldType.INT32, FieldType.INT64):
+        out[f.input_name] = np.array(
+            [0 if v in (None, '') else int(v) for v in vals], np.int64)
+      else:
+        out[f.input_name] = np.array(
+            [v in ('true', 'True', '1') for v in vals])
+    out['__stream_pid'] = np.array([p for p, _, _ in items], np.int64)
+    out['__stream_off'] = np.array([o for _, o, _ in items], np.int64)
+    for pid, off, _v in items:
+      self.current_offsets[pid] = max(self.current_offsets.get(pid, 0),
+                                      off + 1)
+    return out
+
+
 @INPUTS.register('HiveInput')
 @INPUTS.register('HiveRTPInput')
 @INPUTS.register('OdpsInput')
 @INPUTS.register('OdpsInputV2')
 @INPUTS.register('OdpsInputV3')
 class ExternalServiceReader(BaseReader):
-  """Aliyun DataHub / Hive / MaxCompute sources need platform
-  connectivity that does not exist here; declared for config parity with
-  a clear error (reference gates these behind env credentials too)."""
+  """Hive / MaxCompute warehouse sources need platform connectivity
+  that does not exist here; declared for config parity with a clear
+  error (reference gates these behind env credentials too)."""
 
   def chunks(self, chunk_rows: int) -> Iterator[Dict[str, object]]:
     raise NotImplementedError(
@@ -388,6 +596,10 @@ class InputPipeline:
     self.transforms = tr.build_transforms(self.specs)
     self.reader = create_reader(data_config, input_path, shard_index,
                                 shard_num)
+    self.reader.mode = mode    # streaming readers drain-and-stop off train
+    # exact next-offsets of the most recently yielded batch (streaming
+    # readers only; consumed by the trainer's data_offset.json save)
+    self.last_batch_offsets: Optional[Dict[int, int]] = None
     self.label_fields = list(data_config.label_fields)
     self.sample_weight_field = data_config.sample_weight or None
     if drop_remainder is None:
@@ -398,7 +610,10 @@ class InputPipeline:
       if f.user_define_fn and f.input_name in self.label_fields:
         self._label_fns[f.input_name] = load_by_path(f.user_define_fn)
     self.num_epochs = data_config.num_epochs if mode == 'train' else 1
-    self.shuffle = data_config.shuffle and mode == 'train'
+    # streaming sources never shuffle (reference kafka/datahub inputs
+    # are FIFO too) — shuffling would scramble the exact resume offsets
+    self.shuffle = data_config.shuffle and mode == 'train' and \
+        not getattr(self.reader, 'supports_offsets', False)
     self._seed = 17
     # data-offset resume (reference DATA_OFFSET variable,
     # easy_rec_estimator.py:75-107): raw rows to drop before yielding
@@ -487,6 +702,11 @@ class InputPipeline:
       user_field = getattr(self.sampler, 'user_id_field', None)
       if user_field and user_field in columns:
         out['_sid.user'] = tr._to_numpy_str(columns[user_field])
+    if '__stream_pid' in columns:
+      # streaming-source resume points ride along per row (popped in
+      # _finalize into last_batch_offsets — never reaches the model)
+      out['_off.pid'] = np.asarray(columns['__stream_pid'])
+      out['_off.val'] = np.asarray(columns['__stream_off'])
     if self.shuffle:
       rng = np.random.default_rng(self._seed * 1000003 + epoch)
       self._seed += 1
@@ -506,7 +726,20 @@ class InputPipeline:
 
   def _finalize(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Splice sampled negatives into the batch as neg.feat.* arrays
-    (static [num_sample, ...] shapes; reference input/input.py:823-845)."""
+    (static [num_sample, ...] shapes; reference input/input.py:823-845).
+    Also pops streaming-offset columns into `last_batch_offsets` — the
+    exact next-offsets-per-partition AFTER this batch, read by the
+    trainer right after it pulls the batch (DATA_OFFSET parity)."""
+    pid = batch.pop('_off.pid', None)
+    off = batch.pop('_off.val', None)
+    if pid is not None:
+      live = batch['sample_weight'] > 0
+      d = dict(self.last_batch_offsets if self.last_batch_offsets
+               is not None
+               else getattr(self.reader, 'start_offsets', {}))
+      for p in np.unique(pid[live]):
+        d[int(p)] = int(off[live][pid[live] == p].max()) + 1
+      self.last_batch_offsets = d
     if self.sampler is None:
       return batch
     item_ids = batch.pop('_sid.item', None)

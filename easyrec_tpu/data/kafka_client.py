@@ -1,0 +1,481 @@
+"""Minimal pure-Python Kafka wire-protocol consumer.
+
+The reference consumes Kafka through custom TF dataset ops backed by
+librdkafka (`kafka.so`, easy_rec/python/input/kafka_dataset.py +
+ops/gen_kafka_ops.py). Neither librdkafka nor kafka-python exists in
+this environment, and the consumer side of the protocol is small, so
+this module speaks the wire protocol directly over TCP:
+
+  - Metadata    (api 3, v1)  — partition discovery
+  - ListOffsets (api 2, v1)  — earliest/latest watermarks
+  - Fetch       (api 1, v4)  — RecordBatch v2 (magic=2) record sets
+
+  - Produce     (api 0, v3)  — incremental-update publishing
+
+Only what the framework needs is implemented: no consumer groups (the
+reference assigns partitions statically by task_index/task_num, see
+input/kafka_input.py:58-75, and offsets are checkpointed by the
+framework, not committed to the broker), no admin API (the
+incremental-update topic must pre-exist, or the broker must auto-create
+on produce — the common default), no SASL/TLS.
+Compression: none, gzip (zlib), zstd (zstandard) — snappy/lz4 raise.
+
+Tested against an in-process mock broker speaking the same versions
+(tests/kafka_mock.py) — the client/broker pair pins the protocol bytes,
+so either side also interoperates with real implementations.
+"""
+
+from __future__ import annotations
+
+import io
+import socket
+import struct
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+API_PRODUCE = 0
+API_FETCH = 1
+API_LIST_OFFSETS = 2
+API_METADATA = 3
+
+EARLIEST = -2
+LATEST = -1
+
+
+class KafkaError(RuntimeError):
+  pass
+
+
+# ------------------------------------------------------------- encoding
+
+class _Writer:
+  def __init__(self):
+    self.buf = io.BytesIO()
+
+  def i8(self, v):
+    self.buf.write(struct.pack('>b', v))
+
+  def i16(self, v):
+    self.buf.write(struct.pack('>h', v))
+
+  def i32(self, v):
+    self.buf.write(struct.pack('>i', v))
+
+  def i64(self, v):
+    self.buf.write(struct.pack('>q', v))
+
+  def string(self, s: Optional[str]):
+    if s is None:
+      self.i16(-1)
+    else:
+      b = s.encode('utf-8')
+      self.i16(len(b))
+      self.buf.write(b)
+
+  def bytes_(self, b: Optional[bytes]):
+    if b is None:
+      self.i32(-1)
+    else:
+      self.i32(len(b))
+      self.buf.write(b)
+
+  def array(self, items, write_item):
+    self.i32(len(items))
+    for it in items:
+      write_item(it)
+
+  def getvalue(self):
+    return self.buf.getvalue()
+
+
+class _Reader:
+  def __init__(self, data: bytes):
+    self.data = data
+    self.pos = 0
+
+  def _take(self, n):
+    if self.pos + n > len(self.data):
+      raise KafkaError('short read (%d + %d > %d)'
+                       % (self.pos, n, len(self.data)))
+    b = self.data[self.pos:self.pos + n]
+    self.pos += n
+    return b
+
+  def i8(self):
+    return struct.unpack('>b', self._take(1))[0]
+
+  def u8(self):
+    return struct.unpack('>B', self._take(1))[0]
+
+  def i16(self):
+    return struct.unpack('>h', self._take(2))[0]
+
+  def i32(self):
+    return struct.unpack('>i', self._take(4))[0]
+
+  def u32(self):
+    return struct.unpack('>I', self._take(4))[0]
+
+  def i64(self):
+    return struct.unpack('>q', self._take(8))[0]
+
+  def string(self) -> Optional[str]:
+    n = self.i16()
+    if n < 0:
+      return None
+    return self._take(n).decode('utf-8')
+
+  def bytes_(self) -> Optional[bytes]:
+    n = self.i32()
+    if n < 0:
+      return None
+    return self._take(n)
+
+  def varint(self) -> int:
+    """Zigzag varint (record batch v2 fields)."""
+    shift, acc = 0, 0
+    while True:
+      b = self.u8()
+      acc |= (b & 0x7F) << shift
+      if not b & 0x80:
+        break
+      shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+  def remaining(self) -> int:
+    return len(self.data) - self.pos
+
+
+def write_varint(w: io.BytesIO, v: int):
+  z = (v << 1) ^ (v >> 63) if v < 0 else (v << 1)
+  z &= (1 << 64) - 1
+  while True:
+    b = z & 0x7F
+    z >>= 7
+    if z:
+      w.write(bytes([b | 0x80]))
+    else:
+      w.write(bytes([b]))
+      break
+
+
+# -------------------------------------------------------- record batches
+
+def parse_record_batches(data: bytes) -> List[Tuple[int, Optional[bytes],
+                                                    bytes]]:
+  """RecordBatch v2 record set -> [(offset, key, value)].
+
+  Tolerates a truncated trailing batch (brokers may cut the last batch
+  at max_bytes; the consumer re-fetches from the next offset)."""
+  out = []
+  r = _Reader(data)
+  while r.remaining() >= 61:                   # batch header size
+    base_offset = r.i64()
+    batch_len = r.i32()
+    if r.remaining() < batch_len:
+      break                                    # truncated trailer
+    body = _Reader(r._take(batch_len))
+    body.i32()                                 # partition leader epoch
+    magic = body.i8()
+    if magic != 2:
+      raise KafkaError('unsupported record magic %d (need v2)' % magic)
+    body.u32()                                 # crc (unchecked)
+    attrs = body.i16()
+    body.i32()                                 # last offset delta
+    body.i64()                                 # first timestamp
+    body.i64()                                 # max timestamp
+    body.i64()                                 # producer id
+    body.i16()                                 # producer epoch
+    body.i32()                                 # base sequence
+    n_records = body.i32()
+    payload = body._take(body.remaining())
+    codec = attrs & 0x07
+    if codec == 0:
+      pass
+    elif codec == 1:                           # gzip
+      payload = zlib.decompress(payload, 31)
+    elif codec == 4:                           # zstd
+      import zstandard
+      payload = zstandard.ZstdDecompressor().decompress(payload)
+    else:
+      raise KafkaError('unsupported compression codec %d '
+                       '(none/gzip/zstd supported)' % codec)
+    rec = _Reader(payload)
+    for _ in range(n_records):
+      length = rec.varint()
+      rr = _Reader(rec._take(length))
+      rr.i8()                                  # attributes
+      rr.varint()                              # timestamp delta
+      off_delta = rr.varint()
+      klen = rr.varint()
+      key = rr._take(klen) if klen >= 0 else None
+      vlen = rr.varint()
+      value = rr._take(vlen) if vlen >= 0 else b''
+      n_headers = rr.varint()
+      for _ in range(n_headers):
+        hk = rr.varint()
+        rr._take(max(hk, 0))
+        hv = rr.varint()
+        rr._take(max(hv, 0))
+      out.append((base_offset + off_delta, key, value))
+  return out
+
+
+def build_record_batch(base_offset: int,
+                       records: List[Tuple[Optional[bytes], bytes]]) -> bytes:
+  """Encode one uncompressed RecordBatch v2 (mock broker + tests)."""
+  recs = io.BytesIO()
+  for i, (key, value) in enumerate(records):
+    body = io.BytesIO()
+    body.write(b'\x00')                        # attributes
+    write_varint(body, 0)                      # timestamp delta
+    write_varint(body, i)                      # offset delta
+    if key is None:
+      write_varint(body, -1)
+    else:
+      write_varint(body, len(key))
+      body.write(key)
+    write_varint(body, len(value))
+    body.write(value)
+    write_varint(body, 0)                      # headers
+    b = body.getvalue()
+    write_varint(recs, len(b))
+    recs.write(b)
+  payload = recs.getvalue()
+  # header after (base_offset, batch_len): leader epoch .. records
+  hdr = io.BytesIO()
+  hdr.write(struct.pack('>i', 0))              # partition leader epoch
+  hdr.write(struct.pack('>b', 2))              # magic
+  crc_body = io.BytesIO()
+  crc_body.write(struct.pack('>h', 0))         # attributes (no codec)
+  crc_body.write(struct.pack('>i', len(records) - 1))
+  crc_body.write(struct.pack('>q', 0))         # first timestamp
+  crc_body.write(struct.pack('>q', 0))         # max timestamp
+  crc_body.write(struct.pack('>q', -1))        # producer id
+  crc_body.write(struct.pack('>h', -1))        # producer epoch
+  crc_body.write(struct.pack('>i', -1))        # base sequence
+  crc_body.write(struct.pack('>i', len(records)))
+  crc_body.write(payload)
+  cb = crc_body.getvalue()
+  crc = zlib.crc32(cb)                         # note: kafka uses crc32c;
+  # the parser above does not verify crc, and the mock pair is
+  # self-consistent. Real-broker reads only PARSE batches (no crc check).
+  hdr.write(struct.pack('>I', crc & 0xFFFFFFFF))
+  hdr.write(cb)
+  hb = hdr.getvalue()
+  return struct.pack('>qi', base_offset, len(hb)) + hb
+
+
+# ------------------------------------------------------------ the client
+
+class KafkaConsumer:
+  """Static-assignment consumer: Metadata -> ListOffsets -> Fetch loop."""
+
+  def __init__(self, bootstrap: str, client_id: str = 'easyrec_tpu',
+               timeout: float = 30.0):
+    host, _, port = bootstrap.partition(':')
+    self.addr = (host, int(port or 9092))
+    self.client_id = client_id
+    self.timeout = timeout
+    self._sock = None
+    self._corr = 0
+
+  # -- transport ------------------------------------------------------
+  def _connect(self):
+    if self._sock is None:
+      self._sock = socket.create_connection(self.addr,
+                                            timeout=self.timeout)
+    return self._sock
+
+  def close(self):
+    if self._sock is not None:
+      try:
+        self._sock.close()
+      finally:
+        self._sock = None
+
+  def _request(self, api_key: int, api_version: int,
+               body: bytes) -> _Reader:
+    self._corr += 1
+    hdr = _Writer()
+    hdr.i16(api_key)
+    hdr.i16(api_version)
+    hdr.i32(self._corr)
+    hdr.string(self.client_id)
+    msg = hdr.getvalue() + body
+    sock = self._connect()
+    try:
+      sock.sendall(struct.pack('>i', len(msg)) + msg)
+      raw = self._read_exact(sock, 4)
+      size = struct.unpack('>i', raw)[0]
+      resp = _Reader(self._read_exact(sock, size))
+    except (OSError, KafkaError):
+      self.close()
+      raise
+    corr = resp.i32()
+    if corr != self._corr:
+      self.close()
+      raise KafkaError('correlation mismatch %d != %d' % (corr, self._corr))
+    return resp
+
+  @staticmethod
+  def _read_exact(sock, n) -> bytes:
+    chunks = []
+    while n > 0:
+      b = sock.recv(min(n, 1 << 20))
+      if not b:
+        raise KafkaError('connection closed by broker')
+      chunks.append(b)
+      n -= len(b)
+    return b''.join(chunks)
+
+  # -- api calls ------------------------------------------------------
+  def partitions_for(self, topic: str) -> List[int]:
+    w = _Writer()
+    w.array([topic], w.string)
+    r = self._request(API_METADATA, 1, w.getvalue())
+    n_brokers = r.i32()
+    for _ in range(n_brokers):
+      r.i32()
+      r.string()
+      r.i32()
+      r.string()                               # rack (nullable)
+    r.i32()                                    # controller id
+    parts: List[int] = []
+    n_topics = r.i32()
+    for _ in range(n_topics):
+      err = r.i16()
+      name = r.string()
+      r.i8()                                   # is_internal
+      n_parts = r.i32()
+      for _ in range(n_parts):
+        perr = r.i16()
+        pid = r.i32()
+        r.i32()                                # leader
+        for _ in range(r.i32()):
+          r.i32()                              # replicas
+        for _ in range(r.i32()):
+          r.i32()                              # isr
+        if name == topic and perr == 0:
+          parts.append(pid)
+      if name == topic and err not in (0, 9):  # 9: replica-not-available
+        raise KafkaError('metadata error %d for topic %s' % (err, topic))
+    return sorted(parts)
+
+  def offsets(self, topic: str, partitions: List[int],
+              timestamp: int) -> Dict[int, int]:
+    """timestamp: EARLIEST (-2) or LATEST (-1)."""
+    w = _Writer()
+    w.i32(-1)                                  # replica id
+
+    def write_part(p):
+      w.i32(p)
+      w.i64(timestamp)
+
+    def write_topic(_):
+      w.string(topic)
+      w.array(partitions, write_part)
+
+    w.array([topic], write_topic)
+    r = self._request(API_LIST_OFFSETS, 1, w.getvalue())
+    out: Dict[int, int] = {}
+    for _ in range(r.i32()):
+      r.string()
+      for _ in range(r.i32()):
+        pid = r.i32()
+        err = r.i16()
+        r.i64()                                # timestamp
+        off = r.i64()
+        if err:
+          raise KafkaError('list_offsets error %d on partition %d'
+                           % (err, pid))
+        out[pid] = off
+    return out
+
+  def fetch(self, topic: str, offsets: Dict[int, int],
+            max_wait_ms: int = 500, min_bytes: int = 1,
+            max_bytes: int = 4 << 20):
+    """One Fetch round. Returns (records, high_watermarks):
+    records = [(partition, offset, key, value)] sorted by partition."""
+    w = _Writer()
+    w.i32(-1)                                  # replica id
+    w.i32(max_wait_ms)
+    w.i32(min_bytes)
+    w.i32(max_bytes)
+    w.i8(0)                                    # isolation: read-uncommitted
+    parts = sorted(offsets)
+
+    def write_part(p):
+      w.i32(p)
+      w.i64(offsets[p])
+      w.i32(max_bytes)
+
+    def write_topic(_):
+      w.string(topic)
+      w.array(parts, write_part)
+
+    w.array([topic], write_topic)
+    r = self._request(API_FETCH, 4, w.getvalue())
+    r.i32()                                    # throttle ms
+    records = []
+    hwm: Dict[int, int] = {}
+    for _ in range(r.i32()):
+      r.string()
+      for _ in range(r.i32()):
+        pid = r.i32()
+        err = r.i16()
+        hw = r.i64()
+        r.i64()                                # last stable offset
+        n_aborted = r.i32()
+        for _ in range(max(n_aborted, 0)):
+          r.i64()
+          r.i64()
+        record_set = r.bytes_() or b''
+        if err:
+          raise KafkaError('fetch error %d on partition %d' % (err, pid))
+        hwm[pid] = hw
+        for off, key, value in parse_record_batches(record_set):
+          if off >= offsets[pid]:              # batches start before ask
+            records.append((pid, off, key, value))
+    return records, hwm
+
+
+class KafkaProducer(KafkaConsumer):
+  """Minimal producer over Produce v3 (RecordBatch v2, acks=-1).
+
+  Used by the incremental-update kafka channel (the reference publishes
+  dense/sparse delta blobs with kafka-python's KafkaProducer,
+  utils/estimator_utils.py:484-599). Shares the consumer's transport;
+  one message per send, synchronous."""
+
+  def send(self, topic: str, value: bytes, key: Optional[bytes] = None,
+           partition: int = 0, timeout_ms: int = 30000) -> int:
+    """Produce one record; returns its base offset."""
+    batch = build_record_batch(0, [(key, value)])
+    w = _Writer()
+    w.string(None)                             # transactional id
+    w.i16(-1)                                  # acks: all
+    w.i32(timeout_ms)
+
+    def write_part(p):
+      w.i32(p)
+      w.bytes_(batch)
+
+    def write_topic(_):
+      w.string(topic)
+      w.array([partition], write_part)
+
+    w.array([topic], write_topic)
+    r = self._request(API_PRODUCE, 3, w.getvalue())
+    base_offset = -1
+    for _ in range(r.i32()):
+      r.string()
+      for _ in range(r.i32()):
+        pid = r.i32()
+        err = r.i16()
+        base_offset = r.i64()
+        r.i64()                                # log append time
+        if err:
+          raise KafkaError('produce error %d on partition %d' % (err, pid))
+    r.i32()                                    # throttle ms
+    return base_offset

@@ -117,13 +117,48 @@ class Predictor:
     """Apply pending incremental updates published by training
     (IncrementSaveConfig fs channel; reference: the EAS processor
     consuming kafka/fs deltas). Returns the number applied."""
-    import jax as _jax
-    import numpy as _np
     from easyrec_tpu.train import incremental as incr_lib
     if not hasattr(self, '_consumed'):
       self._consumed = set()
     pending = [u for u in incr_lib.list_updates(incr_dir)
                if u not in self._consumed]
+    return self._apply_update_blobs(pending)
+
+  def consume_incremental_kafka(self, server: str, topic: str,
+                                start_offset: int = 0) -> int:
+    """Drain + apply updates from the kafka incremental channel
+    (IncrementSaveConfig.kafka; the consumer offset persists on this
+    Predictor so repeated calls only apply NEW messages — the reference
+    EAS processor consumes the same topic with
+    IncrementSaveConfig.Kafka.Consumer.offset)."""
+    import io as _io
+    from easyrec_tpu.data import kafka_client as kc
+    if not hasattr(self, '_kafka_offsets'):
+      self._kafka_offsets = {}
+    off = self._kafka_offsets.get((server, topic), start_offset)
+    consumer = kc.KafkaConsumer(server)
+    blobs = []
+    try:
+      while True:
+        records, hwm = consumer.fetch(topic, {0: off}, max_wait_ms=100)
+        for _pid, roff, _key, value in sorted(records, key=lambda r: r[1]):
+          blobs.append(_io.BytesIO(value))
+          off = max(off, roff + 1)
+        if not records and off >= hwm.get(0, 0):
+          break
+    finally:
+      consumer.close()
+    n = self._apply_update_blobs(blobs)
+    self._kafka_offsets[(server, topic)] = off
+    return n
+
+  def _apply_update_blobs(self, pending) -> int:
+    """Apply update payloads (paths or file-like .npz blobs) in order."""
+    import jax as _jax
+    import numpy as _np
+    from easyrec_tpu.train import incremental as incr_lib
+    if not hasattr(self, '_consumed'):
+      self._consumed = set()
     if not pending:
       return 0
     dense = {}

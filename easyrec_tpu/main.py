@@ -174,7 +174,8 @@ def predict(pipeline_config: ConfigOrPath,
   from easyrec_tpu.train.trainer import Trainer
   config = _load(pipeline_config, edit_config_json)
   trainer = Trainer(config, devices=devices)
-  input_path = input_path or config.eval_input_path
+  from easyrec_tpu.config import config_util as _cu
+  input_path = input_path or _cu.get_eval_input_path(config)
   # predict mode: never splice sampled negatives into serving batches
   from easyrec_tpu.data.input_pipeline import InputPipeline
   pipe = InputPipeline(config.data_config, trainer.feature_configs,

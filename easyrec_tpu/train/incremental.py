@@ -8,9 +8,13 @@ TPU-native design: instead of per-step device->host id taps (which would
 force a host sync every step), the publisher keeps the last published
 snapshot on host and diffs at publish time — the serving-side contract
 (only changed rows travel) is identical, with zero train-step overhead.
-Channels: File (directory of .npz updates + meta json); Kafka/DataHub
-configs are accepted but require external connectivity and raise a clear
-error here.
+Channels: File (directory of .npz updates + meta json) and Kafka (the
+same .npz blobs as single messages on a 1-partition topic, key
+`update_<version>_step_<step>`, via the built-in wire-protocol producer
+`data/kafka_client.py` — the reference sends dense/sparse delta blobs
+keyed `dense_update_<step>`/`sparse_update_<step>` the same way,
+estimator_utils.py:484-599). DataHub requires Aliyun connectivity and
+raises a clear error.
 """
 
 from __future__ import annotations
@@ -42,14 +46,21 @@ class IncrementalPublisher:
     # serving side stays layout-independent
     self.pack_metas = pack_metas
     which = incr_save_config.WhichOneof('incr_update')
-    if which in ('kafka', 'datahub'):
+    if which == 'datahub':
       raise NotImplementedError(
-          '%s incremental-update channel requires external connectivity; '
-          'use the fs channel (IncrementSaveConfig.fs)' % which)
-    fs = incr_save_config.fs
-    sub = fs.incr_save_dir or 'incr_save'
-    self.directory = os.path.join(model_dir, sub) if fs.relative else sub
-    os.makedirs(self.directory, exist_ok=True)
+          'datahub incremental-update channel requires Aliyun '
+          'connectivity; use the kafka or fs channel')
+    self.directory = None
+    self._producer = None
+    if which == 'kafka':
+      from easyrec_tpu.data import kafka_client as kc
+      self._producer = kc.KafkaProducer(incr_save_config.kafka.server)
+      self._topic = incr_save_config.kafka.topic
+    else:
+      fs = incr_save_config.fs
+      sub = fs.incr_save_dir or 'incr_save'
+      self.directory = os.path.join(model_dir, sub) if fs.relative else sub
+      os.makedirs(self.directory, exist_ok=True)
     self._last_dense: Optional[Dict[str, np.ndarray]] = None
     self._last_tables: Dict[str, np.ndarray] = {}
     self._version = 0
@@ -87,8 +98,19 @@ class IncrementalPublisher:
       logging.info('incremental publisher: snapshot at step %d', step)
       return None
     self._version += 1
-    path = os.path.join(self.directory,
-                        'update-%06d-step-%d.npz' % (self._version, step))
+    name = 'update-%06d-step-%d' % (self._version, step)
+    if self._producer is not None:
+      import io
+      buf = io.BytesIO()
+      np.savez_compressed(buf, __meta__=np.array(json.dumps(meta)),
+                          **payload)
+      off = self._producer.send(self._topic, buf.getvalue(),
+                                key=name.encode())
+      logging.info('published incremental update %s to kafka %s@%d: '
+                   '%d dense vars, %s sparse rows', name, self._topic,
+                   off, len(meta['dense']), dict(meta['sparse']))
+      return '%s@%d' % (self._topic, off)
+    path = os.path.join(self.directory, name + '.npz')
     np.savez_compressed(path, **payload)
     with open(path + '.meta', 'w') as f:
       json.dump(meta, f)

@@ -192,7 +192,11 @@ class Trainer:
         merged = dict(slots.get(k, {}))
         merged.update(aux)
         slots[k] = merged
-    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+    # step must carry the replicated sharding explicitly: it doubles as
+    # the orbax restore template, and an uncommitted scalar restores
+    # pinned to device 0 — incompatible with mesh-replicated params
+    step = jax.device_put(jnp.zeros((), jnp.int32), self.rules.replicated)
+    return TrainState(step=step, params=params,
                       batch_stats=batch_stats, opt_state=opt_state,
                       tables=tables, slots=slots)
 
@@ -383,7 +387,8 @@ class Trainer:
     # multi-host: every process feeds its own data shard (the reference's
     # worker sharding, input/input.py _safe_shard); single host = 1 shard
     return InputPipeline(self.data_config, self.feature_configs,
-                         self.pipeline_config.train_input_path,
+                         config_util.get_train_input_path(
+                             self.pipeline_config),
                          mode='train', batch_size=batch_size,
                          extra_fields=config_util.collect_extra_fields(
                              self.pipeline_config),
@@ -393,7 +398,8 @@ class Trainer:
 
   def eval_input(self, batch_size=None) -> InputPipeline:
     return InputPipeline(self.data_config, self.feature_configs,
-                         self.pipeline_config.eval_input_path,
+                         config_util.get_eval_input_path(
+                             self.pipeline_config),
                          mode='eval', batch_size=batch_size,
                          extra_fields=config_util.collect_extra_fields(
                              self.pipeline_config))
@@ -480,9 +486,13 @@ class Trainer:
     log_every = log_every or max(int(tc.log_step_count_steps), 1)
     save_every = int(tc.save_checkpoints_steps) or 1000
 
-    train_iter = iter(self.train_input())
+    train_pipe = self.train_input()
+    train_iter = iter(train_pipe)
     first = next(train_iter)
     state = self.init_state(first)
+
+    offset_file = os.path.join(self.model_dir, 'data_offset.json') \
+        if self.model_dir else None
 
     manager = None
     restored = None
@@ -495,12 +505,30 @@ class Trainer:
         restored_step = int(np.asarray(state.step))
         logging.info('restored checkpoint at step %d', restored_step)
         if restored_step > 0:
-          # deterministic data-offset resume: skip the rows this run
-          # already consumed (reference Kafka/DataHub offset restore,
-          # easy_rec_estimator.py:75-107 — file inputs resume by row)
-          batch_rows = first['sample_weight'].shape[0]
-          train_iter = iter(self.train_input(
-              skip_rows=restored_step * batch_rows))
+          # deterministic data-offset resume (reference Kafka/DataHub
+          # offset restore, easy_rec_estimator.py:75-107): streaming
+          # readers restore exact partition offsets from
+          # data_offset.json; file inputs resume by row count
+          restored_offsets = None
+          if offset_file and os.path.exists(offset_file):
+            with open(offset_file) as f:
+              restored_offsets = json.load(f).get('offsets')
+          if restored_offsets is not None and \
+              getattr(train_pipe.reader, 'supports_offsets', False):
+            which = self.pipeline_config.WhichOneof('train_path')
+            kafka = getattr(self.pipeline_config, which)
+            kafka.offset_info = json.dumps(restored_offsets)
+            train_pipe = self.train_input()
+            train_iter = iter(train_pipe)
+          else:
+            batch_rows = first['sample_weight'].shape[0]
+            train_pipe = self.train_input(
+                skip_rows=restored_step * batch_rows)
+            train_iter = iter(train_pipe)
+          # the pre-restore `first` batch came from the un-resumed
+          # stream (it only existed to size init_state) — training it
+          # would replay stale data; pull the real first resumed batch
+          first = next(train_iter, None)
     if restored is None and tc.fine_tune_checkpoint:
       from easyrec_tpu.train.restore import fine_tune_restore
       state = fine_tune_restore(
@@ -562,9 +590,27 @@ class Trainer:
       profile_dir = os.path.join(self.model_dir, 'profile')
       jax.profiler.start_trace(profile_dir)
 
+    last_trained_offsets = None
+
+    def _save_offsets(at_step):
+      # streaming-input DATA_OFFSET analog (reference
+      # estimator_utils.py data-offset variable): the exact next
+      # partition offsets AFTER the last TRAINED batch (not the
+      # pipeline's read-ahead position), alongside the checkpoint
+      if offset_file and last_trained_offsets is not None:
+        with open(offset_file, 'w') as f:
+          json.dump({'step': at_step,
+                     'offsets': {str(k): int(v)
+                                 for k, v in last_trained_offsets.items()}},
+                    f)
+
     def run_batch(batch):
       nonlocal state, step, window_examples, t0, stop_training, \
-          profile_dir
+          profile_dir, last_trained_offsets
+      # the pipeline is synchronous: its last_batch_offsets always
+      # belong to the batch just pulled — snapshot before training it
+      if train_pipe.last_batch_offsets is not None:
+        last_trained_offsets = dict(train_pipe.last_batch_offsets)
       sharded = self.rules.shard_batch(batch)
       state, loss_dict = self.train_step(state, sharded)
       step += 1
@@ -601,6 +647,7 @@ class Trainer:
                                       self.pack_metas,
                                       self.ev_pack_metas, self.layout)
         manager.save(state, step)
+        _save_offsets(step)
         if want_periodic_eval:
           online = self.evaluate(state, max_batches=20)
           logging.info('online eval @%d: %s', step, online)
@@ -626,7 +673,8 @@ class Trainer:
       if publisher is not None and step % incr_every == 0:
         publisher.publish(state, step)
 
-    run_batch(first)
+    if first is not None and not (num_steps and step >= num_steps):
+      run_batch(first)
     for batch in train_iter:
       if stop_training or (num_steps and step >= num_steps):
         break
@@ -638,6 +686,7 @@ class Trainer:
         state = ev_lib2.evict_stale(state, self.ev_plan, self.pack_metas,
                                     self.ev_pack_metas, self.layout)
       manager.save(state, step, force=True)
+      _save_offsets(step)
     if publisher is not None:
       publisher.publish(state, step)
     result = {'state': state, 'global_step': step, 'history': history}
