@@ -1,0 +1,200 @@
+"""HTTP model server around an export bundle (EAS processor analog).
+
+Reference: the C++ EasyRec Processor (LaRec) serves SavedModel exports
+behind EAS, consuming incremental updates from Kafka/FS channels
+(inference/processor/, utils/estimator_utils.py:357-599). This server
+does the same for easyrec_tpu export bundles:
+
+  GET  /health            — liveness
+  GET  /status            — model meta, steps served, updates applied
+  POST /predict           — {"inputs": [{feature: value, ...}, ...]}
+                            -> {"outputs": [{output: value, ...}, ...]}
+
+Incremental updates are polled on a background thread from the fs dir
+or kafka topic given at construction (the IncrementSaveConfig channels
+training publishes to). Prediction and update application serialize on
+one lock: updates swap weights atomically between batches.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _jsonable(v):
+  arr = np.asarray(v)
+  if arr.ndim == 0:
+    return arr.item()
+  return arr.tolist()
+
+
+class PredictorService:
+  """Serve one export bundle; optionally follow an incremental channel."""
+
+  def __init__(self, export_dir: str, host: str = '127.0.0.1',
+               port: int = 0, batch_size: int = 256,
+               incr_dir: Optional[str] = None,
+               kafka_server: Optional[str] = None,
+               kafka_topic: Optional[str] = None,
+               incr_poll_secs: float = 10.0):
+    from easyrec_tpu.export.predictor import Predictor
+    self.predictor = Predictor(export_dir, batch_size=batch_size)
+    self.export_dir = export_dir
+    self.incr_dir = incr_dir
+    self.kafka_server = kafka_server
+    self.kafka_topic = kafka_topic
+    self.incr_poll_secs = incr_poll_secs
+    self.lock = threading.Lock()
+    self.n_requests = 0
+    self.n_rows = 0
+    self.n_updates = 0
+    self._stop = threading.Event()
+    self._srv: Optional[ThreadingHTTPServer] = None
+    self._threads: List[threading.Thread] = []
+    self.host = host
+    self.port = port
+
+  # -- request handling -------------------------------------------------
+  def predict_rows(self, rows: List[Dict]) -> List[Dict]:
+    with self.lock:
+      out = self.predictor.predict(rows)
+      self.n_requests += 1
+      self.n_rows += len(rows)
+    return [{k: _jsonable(v) for k, v in r.items()} for r in out]
+
+  def status(self) -> Dict:
+    return {
+        'export_dir': self.export_dir,
+        'meta': {k: v for k, v in self.predictor.meta.items()
+                 if isinstance(v, (str, int, float, bool))},
+        'inputs': list(self.predictor.input_names),
+        'requests': self.n_requests,
+        'rows': self.n_rows,
+        'updates_applied': self.n_updates,
+    }
+
+  def poll_updates(self) -> int:
+    """One incremental-update sweep; returns updates applied."""
+    n = 0
+    with self.lock:
+      if self.incr_dir:
+        n += self.predictor.consume_incremental(self.incr_dir)
+      if self.kafka_server and self.kafka_topic:
+        n += self.predictor.consume_incremental_kafka(
+            self.kafka_server, self.kafka_topic)
+      self.n_updates += n
+    if n:
+      logging.info('applied %d incremental update(s)', n)
+    return n
+
+  def _update_loop(self):
+    while not self._stop.wait(self.incr_poll_secs):
+      try:
+        self.poll_updates()
+      except Exception:
+        logging.exception('incremental update poll failed')
+
+  # -- server lifecycle -------------------------------------------------
+  def start(self) -> str:
+    service = self
+
+    class Handler(BaseHTTPRequestHandler):
+      protocol_version = 'HTTP/1.1'
+
+      def log_message(self, *a):
+        pass
+
+      def _reply(self, code: int, obj):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header('Content-Type', 'application/json')
+        self.send_header('Content-Length', str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+      def do_GET(self):
+        if self.path == '/health':
+          return self._reply(200, {'status': 'ok'})
+        if self.path == '/status':
+          return self._reply(200, service.status())
+        return self._reply(404, {'error': 'not found'})
+
+      def do_POST(self):
+        if self.path != '/predict':
+          return self._reply(404, {'error': 'not found'})
+        try:
+          n = int(self.headers.get('Content-Length', 0))
+          req = json.loads(self.rfile.read(n))
+          rows = req['inputs']
+          if not isinstance(rows, list):
+            raise ValueError('"inputs" must be a list of objects')
+          outputs = service.predict_rows(rows)
+          return self._reply(200, {'outputs': outputs})
+        except Exception as e:  # bad input or predict failure
+          logging.exception('predict request failed')
+          return self._reply(400, {'error': str(e)})
+
+    srv = ThreadingHTTPServer((self.host, self.port), Handler)
+    srv.daemon_threads = True
+    self._srv = srv
+    self.port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    self._threads = [t]
+    if self.incr_dir or (self.kafka_server and self.kafka_topic):
+      u = threading.Thread(target=self._update_loop, daemon=True)
+      u.start()
+      self._threads.append(u)
+    logging.info('serving %s at http://%s:%d', self.export_dir,
+                 self.host, self.port)
+    return 'http://%s:%d' % (self.host, self.port)
+
+  def stop(self):
+    self._stop.set()
+    if self._srv is not None:
+      self._srv.shutdown()
+      self._srv.server_close()
+      self._srv = None
+
+
+def main(argv=None):
+  import argparse
+  parser = argparse.ArgumentParser(
+      description='easyrec_tpu model server (EAS processor analog)')
+  parser.add_argument('--export_dir', required=True)
+  parser.add_argument('--host', default='0.0.0.0')
+  parser.add_argument('--port', type=int, default=8080)
+  parser.add_argument('--batch_size', type=int, default=256)
+  parser.add_argument('--incr_dir', default=None,
+                      help='fs incremental-update dir to follow')
+  parser.add_argument('--kafka_server', default=None)
+  parser.add_argument('--kafka_topic', default=None,
+                      help='kafka incremental-update topic to follow')
+  parser.add_argument('--incr_poll_secs', type=float, default=10.0)
+  args = parser.parse_args(argv)
+  logging.basicConfig(
+      level=logging.INFO,
+      format='[%(levelname)s] %(asctime)s %(filename)s:%(lineno)d : '
+             '%(message)s')
+  service = PredictorService(
+      args.export_dir, host=args.host, port=args.port,
+      batch_size=args.batch_size, incr_dir=args.incr_dir,
+      kafka_server=args.kafka_server, kafka_topic=args.kafka_topic,
+      incr_poll_secs=args.incr_poll_secs)
+  service.start()
+  try:
+    while True:
+      time.sleep(3600)
+  except KeyboardInterrupt:
+    service.stop()
+
+
+if __name__ == '__main__':
+  main()

@@ -1,0 +1,84 @@
+"""HTTP model server + client round trip, with live incremental
+updates over both channels (fs dir + kafka topic).
+
+Reference parity: the EAS EasyRec Processor serves exports and applies
+incr updates while serving; client_demo.py talks to the endpoint."""
+
+import os
+
+import numpy as np
+import pytest
+
+from easyrec_tpu.config import get_configs_from_pipeline_file
+from easyrec_tpu.train.trainer import Trainer
+from tests import fixtures
+from tests.test_restore_incremental import _csv_columns
+
+
+@pytest.fixture()
+def served(tmp_path):
+  from easyrec_tpu.export.saved_model import export_saved_model
+  from easyrec_tpu.serving.server import PredictorService
+
+  cfg = get_configs_from_pipeline_file(
+      fixtures.write_pipeline(tmp_path, num_steps=40))
+  cfg.train_config.incr_save_config.fs.incr_save_dir = 'incr_save'
+  trainer = Trainer(cfg)
+  first = next(iter(trainer.train_input()))
+  state = trainer.init_state(first)
+  export_dir = export_saved_model(trainer, state,
+                                  os.path.join(str(tmp_path), 'export'))
+  service = PredictorService(export_dir, incr_poll_secs=3600)
+  service.start()
+  yield service, trainer, state, first, cfg, tmp_path
+  service.stop()
+
+
+def _rows(tmp_path, n=8):
+  cols = _csv_columns(tmp_path, n=n)
+  return [{k: v[i] for k, v in cols.items()} for i in range(n)]
+
+
+def test_server_predict_and_status(served):
+  from easyrec_tpu.serving.client import PredictClient
+  service, _, _, _, _, tmp_path = served
+  client = PredictClient('127.0.0.1:%d' % service.port)
+  assert client.health()
+  rows = _rows(tmp_path)
+  outputs = client.predict(rows)
+  assert len(outputs) == len(rows)
+  assert all(0.0 <= r['probs'] <= 1.0 for r in outputs)
+  # single-row and malformed requests
+  one = client.predict(rows[:1])
+  np.testing.assert_allclose(one[0]['probs'], outputs[0]['probs'],
+                             rtol=1e-6)
+  with pytest.raises(RuntimeError):
+    client._request('POST', '/predict', {'inputs': 'nope'})
+  st = client.status()
+  assert st['requests'] == 2 and st['rows'] == len(rows) + 1
+  client.close()
+
+
+def test_server_applies_incremental_updates(served):
+  from easyrec_tpu.serving.client import PredictClient
+  from easyrec_tpu.train.incremental import IncrementalPublisher
+  service, trainer, state, first, cfg, tmp_path = served
+  client = PredictClient('127.0.0.1:%d' % service.port)
+  rows = _rows(tmp_path)
+  stale = client.predict(rows)
+
+  pub = IncrementalPublisher(cfg.train_config.incr_save_config,
+                             cfg.model_dir)
+  pub.publish(state, 0)
+  sharded = trainer.rules.shard_batch(first)
+  for _ in range(5):
+    state, _ = trainer.train_step(state, sharded)
+  pub.publish(state, 5)
+
+  service.incr_dir = pub.directory
+  assert service.poll_updates() == 1
+  fresh = client.predict(rows)
+  assert not np.allclose([r['probs'] for r in stale],
+                         [r['probs'] for r in fresh])
+  assert client.status()['updates_applied'] == 1
+  client.close()
