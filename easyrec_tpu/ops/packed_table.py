@@ -202,8 +202,14 @@ def pull(packed: jnp.ndarray, ids: jnp.ndarray,
 
 # ----------------------------------------------------- sorted segment sum
 
-_SEG_B = 512     # gg rows per output block
-_SEG_T = 64      # input rows per DMA tile
+# Block/tile sizes: the fori-loop body costs ~3-5 us of scalar-core
+# overhead per iteration, so iteration count (≈ n/_SEG_T + 2*cap8/_SEG_B)
+# dominates below ~1 MB of per-tile compute — bigger blocks/tiles win
+# until VMEM (2*(seg_b+2*_SEG_T) rows of scratch) or the >512-group DMA
+# chunk ceiling bite. Env-tunable for on-TPU sweeps.
+_SEG_B = int(_os.environ.get('EASYREC_SEG_SUM_B', 2048))  # gg rows / out block
+_SEG_T = int(_os.environ.get('EASYREC_SEG_SUM_T', 256))   # in rows / DMA tile
+_SEG_STACK = _os.environ.get('EASYREC_SEG_SUM_STACK', '0') == '1'
 
 
 def _seg_sum_pallas(expanded: jnp.ndarray, flat: jnp.ndarray,
@@ -327,10 +333,17 @@ def _seg_sum_pallas(expanded: jnp.ndarray, flat: jnp.ndarray,
         hi = vals.astype(jnp.bfloat16)
         lo = (vals - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         dn = (((0,), (0,)), ((), ()))
-        acc = jax.lax.dot_general(p1, hi, dn,
-                                  preferred_element_type=jnp.float32)
-        acc = acc + jax.lax.dot_general(p1, lo, dn,
-                                        preferred_element_type=jnp.float32)
+        if _SEG_STACK:
+          # one K=2T pass: [hi|lo] stacked along the contraction axis
+          p2 = jnp.concatenate([p1, p1], axis=0)
+          v2 = jnp.concatenate([hi, lo], axis=0)
+          acc = jax.lax.dot_general(p2, v2, dn,
+                                    preferred_element_type=jnp.float32)
+        else:
+          acc = jax.lax.dot_general(p1, hi, dn,
+                                    preferred_element_type=jnp.float32)
+          acc = acc + jax.lax.dot_general(p1, lo, dn,
+                                          preferred_element_type=jnp.float32)
 
         def set_block():
           obuf[oslot2] = acc
@@ -450,6 +463,11 @@ def group_prep(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta,
   flat = gseg * 8 + sub
   seg_kernel = (use_pallas and
                 _os.environ.get('EASYREC_SEG_SUM_KERNEL') == '1')
+  # the kernel needs a whole number of seg_b-row output blocks; a
+  # truncated cap (== local groups of a sharded small table) may not
+  # divide — fall back to the XLA scatter there
+  if cap * 8 % min(_SEG_B, cap * 8) != 0:
+    seg_kernel = False
   if seg_kernel or interpret:
     gg = _seg_sum_pallas(expanded, flat, cap * 8, interpret=interpret)
   else:
@@ -543,18 +561,29 @@ def _rmw_pallas(table: jnp.ndarray,
                 predicate: bool = False):
   """Per grid chunk: pull touched groups (one DMA each), run the
   optimizer math on compact part views, push back. The table is
-  input/output-aliased — donate the caller's buffer for in-place RMW."""
+  input/output-aliased — donate the caller's buffer for in-place RMW.
+
+  With EASYREC_PACKED_PIPELINE=1 the group buffer is double-slotted and
+  chunk i+1's pulls are issued BEFORE chunk i's math, hiding the pull
+  issue loop + DMA latency under the optimizer math. Cross-chunk writes
+  never alias a concurrent read: live groups are globally unique after
+  dedup; sentinel entries either skip their DMAs (predicated/sharded
+  mode) or clamp to the sacrificial scratch group whose push always
+  carries byte-identical data (zero gradient => untouched rows)."""
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
 
+  pipeline = _os.environ.get('EASYREC_PACKED_PIPELINE', '0') == '1'
   n = ugids.shape[0]
   w = meta.width
-  # VMEM: buf + double-buffered gg block, plus ~12 sub-tile-sized math
-  # temporaries (the math runs over SUB-group slices of the buffer so
-  # big DMA chunks don't blow the 16 MB scoped-vmem stack)
+  # VMEM: buf (x2 slots when pipelined) + double-buffered gg block, plus
+  # ~12 sub-tile-sized math temporaries (the math runs over SUB-group
+  # slices of the buffer so big DMA chunks don't blow the 16 MB
+  # scoped-vmem stack)
   per_chunk = 8 * w * 4
-  chunk = max(_LANE, min(_PAGE, (_CHUNK_MB << 20) // (3 * per_chunk)
-                         // _LANE * _LANE))
+  slots = 2 if pipeline else 1
+  chunk = max(_LANE, min(_PAGE, (_CHUNK_MB << 20)
+                         // ((2 + slots) * per_chunk) // _LANE * _LANE))
   sub = min(chunk, max(32, (4 << 20) // (12 * per_chunk) // 32 * 32))
   while chunk % sub:
     sub -= 32
@@ -583,6 +612,15 @@ def _rmw_pallas(table: jnp.ndarray,
   touch_m = jnp.asarray(_touch_matrix(w, meta.cc)).astype(jnp.bfloat16)
   e0t = jnp.asarray(
       _extract_matrix(w, meta.cc, meta.dim, 0, pw)).T  # [pw, W]
+
+  def gid_at(ref, i):
+    return ref[0, i // _LANE, i % _LANE]
+
+  def guarded_at(fref, i, body):
+    if predicate:
+      pl.when(fref[0, i // _LANE, i % _LANE] != 0)(body)
+    else:
+      body()
 
   def kernel(*refs):
     (gid_ref, flag_ref, gg_ref, hyp_ref, tm_ref, e0t_ref, _in_tbl,
@@ -660,23 +698,111 @@ def _rmw_pallas(table: jnp.ndarray,
     jax.lax.fori_loop(0, chunk // _UNROLL, push, 0)
     jax.lax.fori_loop(0, chunk // _UNROLL, push_wait, 0)
 
+  def kernel_pipe(*refs):
+    # Software-pipelined: chunk i+1's pulls are in flight during chunk
+    # i's math. Phase order per grid step i (slot cur = i%2):
+    #   1. drain chunk i-1's pushes (slot nxt is about to be re-pulled)
+    #   2. (i==0 only) issue chunk 0's own pulls
+    #   3. issue chunk i+1's pulls into slot nxt
+    #   4. wait chunk i's pulls; optimizer math on slot cur; push cur
+    #   5. (i==nc-1 only) drain own pushes
+    # Waits are count-based on the per-slot DMA semaphore, so the wait
+    # descriptors may be rebuilt with CURRENT gids; in predicated mode
+    # the issued-copy COUNT for chunk i-1 comes from its own flag page
+    # (flag_pref).
+    (gid_ref, gid_nref, flag_ref, flag_nref, flag_pref, gg_ref, hyp_ref,
+     tm_ref, e0t_ref, _in_tbl, out_ref, buf, sem_in, sem_out) = refs
+    hyp = lambda k: hyp_ref[0, k]   # noqa: E731
+    i = pl.program_id(0)
+    cur = jax.lax.rem(i, 2)
+    nxt = 1 - cur
+
+    def dma_loop(gref, fref, slot, is_pull, sem, action):
+      def lp(j, _):
+        for u in range(_UNROLL):
+          k = j * _UNROLL + u
+
+          def b(k=k):
+            g = gid_at(gref, k)
+            if is_pull:
+              c = pltpu.make_async_copy(out_ref.at[g], buf.at[slot, k],
+                                        sem.at[slot])
+            else:
+              c = pltpu.make_async_copy(buf.at[slot, k], out_ref.at[g],
+                                        sem.at[slot])
+            getattr(c, action)()
+          guarded_at(fref, k, b)
+        return 0
+      jax.lax.fori_loop(0, chunk // _UNROLL, lp, 0)
+
+    pl.when(i > 0)(lambda: dma_loop(gid_ref, flag_pref, nxt, False,
+                                    sem_out, 'wait'))
+    pl.when(i == 0)(lambda: dma_loop(gid_ref, flag_ref, cur, True,
+                                     sem_in, 'start'))
+    pl.when(i + 1 < nc)(lambda: dma_loop(gid_nref, flag_nref, nxt, True,
+                                         sem_in, 'start'))
+    dma_loop(gid_ref, flag_ref, cur, True, sem_in, 'wait')
+
+    tm = tm_ref[:]
+    e0t_m = e0t_ref[:]
+
+    def kroll(x, s):
+      return pltpu.roll(x, shift=s % w, axis=1)
+
+    def math_tile(s, _):
+      sl = pl.ds(s * sub, sub)
+      old = buf[cur, sl].reshape(sub * 8, w).astype(jnp.float32)
+      gc = gg_ref[sl].reshape(sub * 8, pw)
+      new = _math_and_mask(old, gc, hyp, math_fn, meta, tm, e0t_m,
+                           kroll)
+      buf[cur, sl] = new.reshape(sub, 8, w).astype(buf.dtype)
+      return 0
+
+    jax.lax.fori_loop(0, chunk // sub, math_tile, 0)
+
+    dma_loop(gid_ref, flag_ref, cur, False, sem_out, 'start')
+    pl.when(i == nc - 1)(lambda: dma_loop(gid_ref, flag_ref, cur, False,
+                                          sem_out, 'wait'))
+
+  id_spec = lambda ix: pl.BlockSpec((1, 8, _LANE), ix,          # noqa
+                                    memory_space=pltpu.SMEM)
+  cur_ix = lambda i: (i, 0, 0)                                  # noqa
+  nxt_ix = lambda i: (jnp.minimum(i + 1, nc - 1), 0, 0)         # noqa
+  prv_ix = lambda i: (jnp.maximum(i - 1, 0), 0, 0)              # noqa
+  shared_specs = [
+      pl.BlockSpec((chunk, 8, pw), lambda i: (i, 0, 0),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((8, _LANE), lambda i: (0, 0),
+                   memory_space=pltpu.SMEM),
+      pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((pw, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec(memory_space=pl.ANY)]
+  hyp_page = jnp.zeros((8, _LANE), jnp.float32)
+  hyp_page = hyp_page.at[0, :hypers.shape[0]].set(
+      hypers.astype(jnp.float32))
+  if pipeline:
+    fn = pl.pallas_call(
+        kernel_pipe,
+        grid=(nc,),
+        in_specs=([id_spec(cur_ix), id_spec(nxt_ix), id_spec(cur_ix),
+                   id_spec(nxt_ix), id_spec(prv_ix)] + shared_specs),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(table3.shape, table3.dtype),
+        scratch_shapes=[pltpu.VMEM((2, chunk, 8, w), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,))],
+        input_output_aliases={9: 0},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, dimension_semantics=('arbitrary',)),
+        interpret=interpret,
+    )
+    out = fn(gid3, gid3, flag3, flag3, flag3, gg, hyp_page, touch_m,
+             e0t, table3)
+    return out.reshape(meta.phys_rows, w)
   fn = pl.pallas_call(
       kernel,
       grid=(nc,),
-      in_specs=(
-          [pl.BlockSpec((1, 8, _LANE), lambda i: (i, 0, 0),
-                        memory_space=pltpu.SMEM),
-           pl.BlockSpec((1, 8, _LANE), lambda i: (i, 0, 0),
-                        memory_space=pltpu.SMEM),
-           pl.BlockSpec((chunk, 8, pw), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM),
-           pl.BlockSpec((8, _LANE), lambda i: (0, 0),
-                        memory_space=pltpu.SMEM),
-           pl.BlockSpec((w, w), lambda i: (0, 0),
-                        memory_space=pltpu.VMEM),
-           pl.BlockSpec((pw, w), lambda i: (0, 0),
-                        memory_space=pltpu.VMEM),
-           pl.BlockSpec(memory_space=pl.ANY)]),
+      in_specs=([id_spec(cur_ix), id_spec(cur_ix)] + shared_specs),
       out_specs=pl.BlockSpec(memory_space=pl.ANY),
       out_shape=jax.ShapeDtypeStruct(table3.shape, table3.dtype),
       scratch_shapes=[pltpu.VMEM((chunk, 8, w), jnp.float32),
@@ -685,9 +811,6 @@ def _rmw_pallas(table: jnp.ndarray,
       compiler_params=pltpu.CompilerParams(has_side_effects=True),
       interpret=interpret,
   )
-  hyp_page = jnp.zeros((8, _LANE), jnp.float32)
-  hyp_page = hyp_page.at[0, :hypers.shape[0]].set(
-      hypers.astype(jnp.float32))
   out = fn(gid3, flag3, gg, hyp_page, touch_m, e0t, table3)
   return out.reshape(meta.phys_rows, w)
 
