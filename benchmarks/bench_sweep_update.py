@@ -1,0 +1,147 @@
+"""One-session TPU sweep of the packed-update tuning space.
+
+Times, at flagship shapes (26 x 4096 ids over a [26M,16]x3-part deep
+table and a [26M,1]x3-part wide table):
+  1. group_prep with the XLA segment-sum (baseline)
+  2. group_prep with the Mosaic segmented-sum over (B, T, stack) configs
+  3. the RMW kernel with pipeline off/on and a couple of chunk budgets
+
+Env knobs are read at TRACE time, so each config gets a fresh jit.
+Run: python benchmarks/bench_sweep_update.py [deep|wide|rmw|all]
+"""
+
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from easyrec_tpu.ops import packed_table as pt
+from easyrec_tpu.optim import sparse as sparse_lib
+
+
+def sync(x):
+  jax.block_until_ready(x)
+  leaf = jax.tree_util.tree_leaves(x)[0]
+  _ = float(leaf[(0,) * leaf.ndim])
+
+
+def t_simple(fn, *args, iters=10):
+  for _ in range(3):
+    out = fn(*args)
+  sync(out)
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    out = fn(*args)
+  sync(out)
+  return (time.perf_counter() - t0) / iters
+
+
+def seg_sweep(meta, n_ids, tag):
+  key = jax.random.PRNGKey(0)
+  ids = jax.random.randint(key, (n_ids,), 0, meta.rows, jnp.int32)
+  grads = jax.random.normal(key, (n_ids, meta.dim), jnp.float32)
+
+  prep = jax.jit(functools.partial(pt.group_prep, meta=meta))
+  base = t_simple(prep, ids, grads)
+  print(f'[{tag}] group_prep XLA-segsum         : {base*1e3:8.2f} ms',
+        flush=True)
+  ref = prep(ids, grads)
+
+  os.environ['EASYREC_SEG_SUM_KERNEL'] = '1'
+  for b, t, stk in [(2048, 256, 0), (2048, 256, 1), (2048, 512, 0),
+                    (4096, 256, 0), (4096, 512, 0), (1024, 256, 0),
+                    (2048, 128, 0), (512, 64, 0)]:
+    os.environ['EASYREC_SEG_SUM_B'] = str(b)
+    os.environ['EASYREC_SEG_SUM_T'] = str(t)
+    os.environ['EASYREC_SEG_SUM_STACK'] = str(stk)
+    prep_k = jax.jit(functools.partial(pt.group_prep, meta=meta,
+                                       use_pallas=True))
+    try:
+      tk = t_simple(prep_k, ids, grads)
+      out = prep_k(ids, grads)
+      d = float(jnp.max(jnp.abs(out[1] - ref[1])))
+      print(f'[{tag}] Mosaic B={b:5d} T={t:4d} stk={stk}: '
+            f'{tk*1e3:8.2f} ms   (maxdiff {d:.1e})', flush=True)
+    except Exception as e:  # compile-helper crashes etc.
+      print(f'[{tag}] Mosaic B={b:5d} T={t:4d} stk={stk}: FAILED '
+            f'{type(e).__name__}: {str(e)[:120]}', flush=True)
+  for k in ('EASYREC_SEG_SUM_KERNEL', 'EASYREC_SEG_SUM_B',
+            'EASYREC_SEG_SUM_T', 'EASYREC_SEG_SUM_STACK'):
+    os.environ.pop(k, None)
+
+
+def rmw_sweep(meta, n_ids, tag):
+  key = jax.random.PRNGKey(0)
+  ids = jax.random.randint(key, (n_ids,), 0, meta.rows, jnp.int32)
+  grads = jax.random.normal(key, (n_ids, meta.dim), jnp.float32)
+  opt = sparse_lib.sparse_adam()
+  lr, st = jnp.float32(1e-3), jnp.int32(5)
+  ugids, gg = jax.jit(functools.partial(pt.group_prep, meta=meta))(
+      ids, grads)
+  table = jax.jit(lambda k: jax.random.normal(
+      k, (meta.phys_rows, meta.width), jnp.float32) * 0.01)(key)
+
+  ref = None
+  for pipe, mb in [(0, 12), (1, 12), (1, 16), (1, 8)]:
+    os.environ['EASYREC_PACKED_PIPELINE'] = str(pipe)
+    os.environ['EASYREC_PACKED_CHUNK_MB'] = str(mb)
+
+    def kern(state, ugids, gg):
+      return (pt._rmw_pallas(state[0], ugids, gg, opt.hypers(lr, st),
+                             opt.block_math, meta),)
+    fn = jax.jit(kern, donate_argnums=(0,))
+    try:
+      state = (table + 0,)
+      for _ in range(3):
+        state = fn(state, ugids, gg)
+      sync(state)
+      got = state[0]
+      if ref is None:
+        ref = got
+        dmsg = '(reference)'
+      else:
+        idx = jnp.asarray(
+            np.random.RandomState(0).randint(0, meta.phys_rows, 4096))
+        d = float(jnp.max(jnp.abs(jnp.take(got, idx, axis=0) -
+                                  jnp.take(ref, idx, axis=0))))
+        dmsg = f'(sampled maxdiff {d:.1e})'
+      state = (table + 0,)
+      for _ in range(3):
+        state = fn(state, ugids, gg)
+      sync(state)
+      t0 = time.perf_counter()
+      for _ in range(10):
+        state = fn(state, ugids, gg)
+      sync(state)
+      tk = (time.perf_counter() - t0) / 10
+      print(f'[{tag}] RMW pipe={pipe} chunk_mb={mb:2d}: {tk*1e3:8.2f} ms '
+            f'{dmsg}', flush=True)
+    except Exception as e:
+      print(f'[{tag}] RMW pipe={pipe} chunk_mb={mb:2d}: FAILED '
+            f'{type(e).__name__}: {str(e)[:120]}', flush=True)
+  os.environ.pop('EASYREC_PACKED_PIPELINE', None)
+  os.environ.pop('EASYREC_PACKED_CHUNK_MB', None)
+
+
+def main():
+  which = sys.argv[1] if len(sys.argv) > 1 else 'all'
+  n_ids = 4096 * 26
+  deep = pt.PackMeta(26_000_000, 16, 3)
+  wide = pt.PackMeta(26_000_000, 1, 3)
+  print(deep)
+  print(wide, flush=True)
+  if which in ('deep', 'all'):
+    seg_sweep(deep, n_ids, 'deep')
+  if which in ('wide', 'all'):
+    seg_sweep(wide, n_ids, 'wide')
+  if which in ('rmw', 'all'):
+    rmw_sweep(deep, n_ids, 'rmw-deep')
+    rmw_sweep(wide, n_ids, 'rmw-wide')
+
+
+if __name__ == '__main__':
+  main()

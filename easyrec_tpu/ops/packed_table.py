@@ -76,8 +76,12 @@ _LANE = 64          # SMEM id-page lane count
 _PAGE = 8 * _LANE   # id slots per SMEM page (fixed (1, 8, 64) block)
 # DMA issue-loop unrolling (bench_dma_issue: -15% at 4) and VMEM chunk
 # budget, env-tunable for kernel sweeps
-_UNROLL = int(_os.environ.get('EASYREC_PACKED_UNROLL', 4))
-_CHUNK_MB = int(_os.environ.get('EASYREC_PACKED_CHUNK_MB', 12))
+def _unroll():
+  return int(_os.environ.get('EASYREC_PACKED_UNROLL', 4))
+
+
+def _chunk_mb():
+  return int(_os.environ.get('EASYREC_PACKED_CHUNK_MB', 12))
 
 
 class PackMeta:
@@ -206,10 +210,20 @@ def pull(packed: jnp.ndarray, ids: jnp.ndarray,
 # overhead per iteration, so iteration count (≈ n/_SEG_T + 2*cap8/_SEG_B)
 # dominates below ~1 MB of per-tile compute — bigger blocks/tiles win
 # until VMEM (2*(seg_b+2*_SEG_T) rows of scratch) or the >512-group DMA
-# chunk ceiling bite. Env-tunable for on-TPU sweeps.
-_SEG_B = int(_os.environ.get('EASYREC_SEG_SUM_B', 2048))  # gg rows / out block
-_SEG_T = int(_os.environ.get('EASYREC_SEG_SUM_T', 256))   # in rows / DMA tile
-_SEG_STACK = _os.environ.get('EASYREC_SEG_SUM_STACK', '0') == '1'
+# chunk ceiling bite. Env read at TRACE time so on-TPU sweeps can vary
+# them between fresh jits without re-importing.
+
+
+def _seg_b():
+  return int(_os.environ.get('EASYREC_SEG_SUM_B', 2048))  # gg rows/block
+
+
+def _seg_t():
+  return int(_os.environ.get('EASYREC_SEG_SUM_T', 256))   # in rows/tile
+
+
+def _seg_stack():
+  return _os.environ.get('EASYREC_SEG_SUM_STACK', '0') == '1'
 
 
 def _seg_sum_pallas(expanded: jnp.ndarray, flat: jnp.ndarray,
@@ -232,6 +246,7 @@ def _seg_sum_pallas(expanded: jnp.ndarray, flat: jnp.ndarray,
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
 
+  _SEG_B, _SEG_T, _SEG_STACK = _seg_b(), _seg_t(), _seg_stack()
   n, pw = expanded.shape
   seg_b = min(_SEG_B, cap8)
   assert cap8 % seg_b == 0, (cap8, seg_b)
@@ -423,6 +438,7 @@ def group_prep(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta,
   # cap rounds up to _SEG_B/8 so cap*8 is a whole number of _SEG_B-row
   # output blocks for the Mosaic segmented-sum (meta.groups is a
   # multiple of 256, so the min stays block-aligned)
+  _SEG_B = _seg_b()
   q = _SEG_B // 8
   cap = min(-(-n // q) * q, meta.groups)
   # padding slots get an OUT-OF-BOUNDS sentinel (== meta.groups): the
@@ -574,6 +590,7 @@ def _rmw_pallas(table: jnp.ndarray,
   from jax.experimental.pallas import tpu as pltpu
 
   pipeline = _os.environ.get('EASYREC_PACKED_PIPELINE', '0') == '1'
+  _UNROLL, _CHUNK_MB = _unroll(), _chunk_mb()
   n = ugids.shape[0]
   w = meta.width
   # VMEM: buf (x2 slots when pipelined) + double-buffered gg block, plus
