@@ -535,7 +535,7 @@ def _build_einsum_dense(p: Parameter, name: str):
       bias_axes=p.get_str('bias_axes', ''), name=name)
 
 
-@register_layer('LayerNorm')
+@register_layer('LayerNorm', 'LayerNormalization')
 def _build_layer_norm(p: Parameter, name: str):
   return B.LayerNorm(name=name)
 
@@ -549,3 +549,120 @@ def _build_dropout(p: Parameter, name: str):
     def __call__(self, x, training: bool = False):
       return nn.Dropout(self.rate, deterministic=not training)(x)
   return _Dropout(rate=p.get_float('rate', 0.5), name=name)
+
+
+# --------------------------------------------------------------------------
+# tf.keras fallback names: the reference resolves unknown class_names via
+# tf.keras.layers reflection (utils/load_class.py:225), and shipped configs
+# use 'Dense' / 'Add' / 'Dropout' etc. directly — mirror the common ones.
+# --------------------------------------------------------------------------
+
+
+@register_layer('Dense')
+def _build_dense(p: Parameter, name: str):
+  from easyrec_tpu.layers.dnn import get_activation
+
+  class _Dense(nn.Module):
+    units: int
+    activation: str = ''
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, inputs, training: bool = False):
+      x = inputs
+      if isinstance(x, (list, tuple)):
+        x = jnp.concatenate(list(x), axis=-1) if len(x) > 1 else x[0]
+      x = nn.Dense(self.units, use_bias=self.use_bias)(x)
+      if self.activation:
+        x = get_activation(self.activation)(x)
+      return x
+  return _Dense(units=p.get_int('units', 64),
+                activation=p.get_str('activation', ''),
+                use_bias=p.get_bool('use_bias', True), name=name)
+
+
+class _ListCombine(nn.Module):
+  """Element-wise combine of a list of same-shaped tensors."""
+  mode: str = 'add'
+
+  @nn.compact
+  def __call__(self, inputs, training: bool = False):
+    xs = inputs if isinstance(inputs, (list, tuple)) else [inputs]
+    if self.mode == 'concat':
+      return jnp.concatenate(list(xs), axis=-1) if len(xs) > 1 else xs[0]
+    out = xs[0]
+    for v in xs[1:]:
+      out = out + v if self.mode == 'add' else out * v
+    return out
+
+
+@register_layer('Add')
+def _build_add(p: Parameter, name: str):
+  return _ListCombine(mode='add', name=name)
+
+
+@register_layer('Multiply')
+def _build_multiply(p: Parameter, name: str):
+  return _ListCombine(mode='multiply', name=name)
+
+
+@register_layer('Concatenate')
+def _build_concatenate(p: Parameter, name: str):
+  return _ListCombine(mode='concat', name=name)
+
+
+@register_layer('Flatten')
+def _build_flatten(p: Parameter, name: str):
+  class _Flatten(nn.Module):
+    @nn.compact
+    def __call__(self, inputs, training: bool = False):
+      x = inputs
+      if isinstance(x, (list, tuple)):
+        x = jnp.concatenate([v.reshape(v.shape[0], -1) for v in x], -1)
+      return x.reshape(x.shape[0], -1)
+  return _Flatten(name=name)
+
+
+@register_layer('BatchNormalization', 'BatchNorm')
+def _build_batch_norm(p: Parameter, name: str):
+  class _BN(nn.Module):
+    momentum: float = 0.99
+
+    @nn.compact
+    def __call__(self, inputs, training: bool = False):
+      x = inputs
+      if isinstance(x, (list, tuple)):
+        x = jnp.concatenate(list(x), axis=-1) if len(x) > 1 else x[0]
+      return nn.BatchNorm(use_running_average=not training,
+                          momentum=self.momentum)(x)
+  return _BN(momentum=p.get_float('momentum', 0.99), name=name)
+
+
+@register_layer('Dice')
+def _build_dice(p: Parameter, name: str):
+  from easyrec_tpu.layers.dnn import Dice
+  return _SingleInput(inner=Dice(), takes_training=True, name=name)
+
+
+@register_layer('GateNN')
+def _build_gate_nn(p: Parameter, name: str):
+  class _GateNN(nn.Module):
+    output_dim: int
+    hidden_dim: int
+    activation: str
+    dropout_rate: float
+
+    @nn.compact
+    def __call__(self, inputs, training: bool = False):
+      x = inputs
+      if isinstance(x, (list, tuple)):
+        x = jnp.concatenate(list(x), axis=-1) if len(x) > 1 else x[0]
+      return B.GateNN(output_dim=self.output_dim or x.shape[-1],
+                      hidden_dim=self.hidden_dim,
+                      activation=self.activation,
+                      dropout_rate=self.dropout_rate,
+                      name='gate_nn')(x, training)
+  return _GateNN(output_dim=p.get_int('output_dim', 0),
+                 hidden_dim=p.get_int('hidden_dim', 0),
+                 activation=p.get_str('activation', 'relu'),
+                 dropout_rate=p.get_float('dropout_rate', 0.0), name=name)

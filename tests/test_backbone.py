@@ -173,3 +173,74 @@ def test_numeric_embedding_layers():
     g = jax.grad(lambda p: mod.apply(p, x).sum())(params)
     assert all(np.isfinite(v).all()
                for v in jax.tree_util.tree_leaves(g))
+
+
+# tf.keras fallback class names used verbatim in reference shipped configs
+# (samples/*: 'Dense', 'Add', 'Dropout') + Dice/GateNN/LayerNormalization
+KERAS_FALLBACK_BODY = """
+  feature_groups {
+    group_name: "nums"
+    feature_names: "d1" feature_names: "d2"
+    wide_deep: DEEP
+  }
+  feature_groups {
+    group_name: "cats"
+    feature_names: "c1" feature_names: "c2" feature_names: "c3"
+    wide_deep: DEEP
+  }
+  backbone {
+    blocks {
+      name: "a"
+      inputs { feature_group_name: "nums" }
+      keras_layer {
+        class_name: "Dense"
+        st_params {
+          fields { key: "units" value { number_value: 12 } }
+          fields { key: "activation" value { string_value: "relu" } }
+        }
+      }
+    }
+    blocks {
+      name: "b"
+      inputs { feature_group_name: "cats" }
+      keras_layer {
+        class_name: "Dense"
+        st_params { fields { key: "units" value { number_value: 12 } } }
+      }
+    }
+    blocks {
+      name: "sum"
+      inputs { block_name: "a" }
+      inputs { block_name: "b" }
+      merge_inputs_into_list: true
+      keras_layer { class_name: "Add" }
+    }
+    blocks {
+      name: "dice"
+      inputs { block_name: "sum" }
+      keras_layer { class_name: "Dice" }
+    }
+    blocks {
+      name: "bn"
+      inputs { block_name: "dice" }
+      keras_layer { class_name: "BatchNormalization" }
+    }
+    blocks {
+      name: "gate"
+      inputs { block_name: "bn" }
+      keras_layer { class_name: "GateNN" }
+    }
+    blocks {
+      name: "ln"
+      inputs { block_name: "gate" }
+      keras_layer { class_name: "LayerNormalization" }
+    }
+    concat_blocks: "ln"
+    top_mlp { hidden_units: 8 use_bn: false }
+  }
+"""
+
+
+def test_backbone_keras_fallback_layers(tmp_path):
+  result = _train(tmp_path, KERAS_FALLBACK_BODY)
+  assert result['eval_metrics']['auc'] > 0.7, result['eval_metrics']
