@@ -7,7 +7,9 @@ table and a [26M,1]x3-part wide table):
   3. the RMW kernel with pipeline off/on and a couple of chunk budgets
 
 Env knobs are read at TRACE time, so each config gets a fresh jit.
-Run: python benchmarks/bench_sweep_update.py [deep|wide|rmw|all]
+  4. end-to-end apply_packed_update: fused in-kernel segment-sum vs
+     the split prep+RMW path
+Run: python benchmarks/bench_sweep_update.py [deep|wide|rmw|e2e|all]
 """
 
 import functools
@@ -127,6 +129,62 @@ def rmw_sweep(meta, n_ids, tag):
   os.environ.pop('EASYREC_PACKED_CHUNK_MB', None)
 
 
+def e2e_sweep(meta, n_ids, tag):
+  """End-to-end apply_packed_update (prep + RMW): fused vs split."""
+  key = jax.random.PRNGKey(0)
+  ids = jax.random.randint(key, (n_ids,), 0, meta.rows, jnp.int32)
+  grads = jax.random.normal(key, (n_ids, meta.dim), jnp.float32)
+  opt = sparse_lib.sparse_adam()
+  lr, st = jnp.float32(1e-3), jnp.int32(5)
+  table = jax.jit(lambda k: jax.random.normal(
+      k, (meta.phys_rows, meta.width), jnp.float32) * 0.01)(key)
+
+  ref = None
+  for fused, pipe, mb in [(0, 1, 12), (1, 0, 12), (1, 1, 12),
+                          (1, 1, 8), (1, 1, 16)]:
+    os.environ['EASYREC_PACKED_FUSED'] = str(fused)
+    os.environ['EASYREC_PACKED_PIPELINE'] = str(pipe)
+    os.environ['EASYREC_PACKED_CHUNK_MB'] = str(mb)
+
+    def kern(state, ids, grads):
+      return (pt.apply_packed_update(state[0], ids, grads,
+                                     opt.hypers(lr, st), opt.block_math,
+                                     meta, use_pallas=True),)
+    fn = jax.jit(kern, donate_argnums=(0,))
+    try:
+      state = (table + 0,)
+      for _ in range(3):
+        state = fn(state, ids, grads)
+      sync(state)
+      got = state[0]
+      if ref is None:
+        ref = got
+        dmsg = '(reference)'
+      else:
+        idx = jnp.asarray(
+            np.random.RandomState(0).randint(0, meta.phys_rows, 4096))
+        d = float(jnp.max(jnp.abs(jnp.take(got, idx, axis=0) -
+                                  jnp.take(ref, idx, axis=0))))
+        dmsg = f'(sampled maxdiff {d:.1e})'
+      state = (table + 0,)
+      for _ in range(3):
+        state = fn(state, ids, grads)
+      sync(state)
+      t0 = time.perf_counter()
+      for _ in range(10):
+        state = fn(state, ids, grads)
+      sync(state)
+      tk = (time.perf_counter() - t0) / 10
+      print(f'[{tag}] E2E fused={fused} pipe={pipe} chunk_mb={mb:2d}: '
+            f'{tk*1e3:8.2f} ms {dmsg}', flush=True)
+    except Exception as e:
+      print(f'[{tag}] E2E fused={fused} pipe={pipe} chunk_mb={mb:2d}: '
+            f'FAILED {type(e).__name__}: {str(e)[:160]}', flush=True)
+  for k in ('EASYREC_PACKED_FUSED', 'EASYREC_PACKED_PIPELINE',
+            'EASYREC_PACKED_CHUNK_MB'):
+    os.environ.pop(k, None)
+
+
 def main():
   which = sys.argv[1] if len(sys.argv) > 1 else 'all'
   n_ids = 4096 * 26
@@ -141,6 +199,9 @@ def main():
   if which in ('rmw', 'all'):
     rmw_sweep(deep, n_ids, 'rmw-deep')
     rmw_sweep(wide, n_ids, 'rmw-wide')
+  if which in ('e2e', 'all'):
+    e2e_sweep(deep, n_ids, 'e2e-deep')
+    e2e_sweep(wide, n_ids, 'e2e-wide')
 
 
 if __name__ == '__main__':

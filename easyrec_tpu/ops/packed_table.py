@@ -411,20 +411,10 @@ def _seg_sum_pallas(expanded: jnp.ndarray, flat: jnp.ndarray,
 
 # ----------------------------------------------------------- update prep
 
-def group_prep(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta,
-               use_pallas: bool = False, interpret: bool = False):
-  """Raw (duplicated) ids + grads [N, dim] -> (ugids [cap], gg
-  [cap, 8, part_width]) — fused sort + group dedup + lane expansion +
-  ONE sorted segment-sum (replaces dedup_sum + per-row scatters of the
-  plain path). With use_pallas the segment-sum runs as the Mosaic
-  segmented-sum kernel (_seg_sum_pallas) instead of an XLA scatter.
-
-  gg is COMPACT: gg[k, s, lane*dim + d] is the summed gradient for the
-  logical row at (group k, sublane s, lane); the kernel expands it to
-  combined part-0 positions with one static matmul. Padding slots target
-  the scratch group with zero gradients. cap = min(N, groups) truncates
-  small tables (the wide [26M, 1] table has only ~25k groups for ~106k
-  id slots)."""
+def _prep_sorted(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta):
+  """Shared head of the update prep: sort + group dedup + compact lane
+  expansion. Returns (ugids [cap], expanded [N, part_width], flat [N],
+  cap) with `flat` SORTED (dense group segment * 8 + sublane)."""
   n = ids.shape[0]
   order = jnp.argsort(ids)
   sids = jnp.take(ids, order)
@@ -466,17 +456,35 @@ def group_prep(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta,
         [expanded, jnp.zeros((n, pw - live), jnp.float32)], axis=1)
   # sids sorted => (gseg, sub) sorted => flat sorted; duplicates and
   # same-physical-row collisions sum in one pass.
-  #
-  # This segment-sum IS ~90% of group_prep (8.1 of 8.8 ms at bench
-  # shapes: an XLA scatter-add at the ~108 ns/row wall). The Mosaic
-  # segmented-sum kernel below (_seg_sum_pallas: dense-sequential
-  # output blocks + one-hot matmul accumulation) was built to beat it
-  # but measured SLOWER in three variants (11.1 / 12.3 / 42.5 ms —
-  # per-tile loop overhead and transposed-contraction lowering dominate;
-  # the sublane->lane relayout variant is pathological). Kept as an
-  # opt-in for future tuning; correctness is pinned by
-  # tests/test_packed_table.py::test_seg_sum_kernel_parity.
   flat = gseg * 8 + sub
+  return ugids, expanded, flat, cap
+
+
+def group_prep(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta,
+               use_pallas: bool = False, interpret: bool = False):
+  """Raw (duplicated) ids + grads [N, dim] -> (ugids [cap], gg
+  [cap, 8, part_width]) — fused sort + group dedup + lane expansion +
+  ONE sorted segment-sum (replaces dedup_sum + per-row scatters of the
+  plain path). With use_pallas the segment-sum runs as the Mosaic
+  segmented-sum kernel (_seg_sum_pallas) instead of an XLA scatter.
+
+  gg is COMPACT: gg[k, s, lane*dim + d] is the summed gradient for the
+  logical row at (group k, sublane s, lane); the kernel expands it to
+  combined part-0 positions with one static matmul. Padding slots target
+  the scratch group with zero gradients. cap = min(N, groups) truncates
+  small tables (the wide [26M, 1] table has only ~25k groups for ~106k
+  id slots).
+
+  The segment-sum IS ~90% of group_prep (8.1 of 8.8 ms at bench
+  shapes: an XLA scatter-add at the ~108 ns/row wall). The Mosaic
+  segmented-sum kernel (_seg_sum_pallas: dense-sequential output blocks
+  + one-hot matmul accumulation) is an opt-in alternative
+  (EASYREC_SEG_SUM_KERNEL=1); correctness is pinned by
+  tests/test_packed_table.py::test_seg_sum_kernel_parity. The fused RMW
+  kernel (_rmw_fused_pallas) skips this materialization entirely."""
+  ugids, expanded, flat, cap = _prep_sorted(ids, grads, meta)
+  pw = meta.part_width
+  _SEG_B = _seg_b()
   seg_kernel = (use_pallas and
                 _os.environ.get('EASYREC_SEG_SUM_KERNEL') == '1')
   # the kernel needs a whole number of seg_b-row output blocks; a
@@ -832,6 +840,230 @@ def _rmw_pallas(table: jnp.ndarray,
   return out.reshape(meta.phys_rows, w)
 
 
+def _rmw_fused_pallas(table: jnp.ndarray,
+                      ugids: jnp.ndarray,
+                      expanded: jnp.ndarray,
+                      flat: jnp.ndarray,
+                      hypers: jnp.ndarray,
+                      math_fn: Callable,
+                      meta: PackMeta,
+                      interpret: bool = False,
+                      predicate: bool = False):
+  """Pipelined RMW with the segmented gradient sum FUSED into the
+  kernel: gg never materializes in HBM (the separate segment-sum wrote
+  + re-read ~2x cap*8*part_width*4 bytes — 870 MB/step at bench shapes).
+
+  Per grid step i (chunk of `chunk` groups = cb flat gg rows), on top of
+  the _rmw_pallas pipelined phase order:
+    - after issuing chunk i+1's pulls, the kernel streams chunk i's
+      SORTED expanded-gradient rows (tile ranges precomputed with one
+      searchsorted) and accumulates them into a [cb, part_width] VMEM
+      acc with one-hot matmuls (bf16 hi+lo split, f32 acc — the
+      _seg_sum_pallas scheme), overlapping the group-pull DMAs;
+    - the optimizer math then reads compact grads from acc instead of a
+      streamed gg block.
+  Rows pulled in by tile ALIGNMENT or OVERRUN belong to neighbour
+  chunks: their cols fall outside [0, cb) so the one-hot contributes
+  zero. Sentinel padding rows carry flat == n_pad_groups*8 >= any
+  chunk's upper bound."""
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  _UNROLL, _CHUNK_MB = _unroll(), _chunk_mb()
+  T = _seg_t()
+  w = meta.width
+  pw = meta.part_width
+  per_chunk = 8 * w * 4
+  chunk = max(_LANE, min(_PAGE, (_CHUNK_MB << 20)
+                         // (4 * per_chunk) // _LANE * _LANE))
+  sub = min(chunk, max(32, (4 << 20) // (12 * per_chunk) // 32 * 32))
+  while chunk % sub:
+    sub -= 32
+  cb = chunk * 8
+  cap = ugids.shape[0]
+  pad = (-cap) % chunk
+  if pad:
+    ugids = jnp.concatenate(
+        [ugids, jnp.full((pad,), meta.groups, ugids.dtype)])
+  npg = ugids.shape[0]
+  nc = npg // chunk
+  live = (ugids < meta.groups).astype(jnp.int32)
+  gids_c = jnp.minimum(ugids.astype(jnp.int32), meta.groups - 1)
+  gid3 = jnp.zeros((nc, _PAGE), jnp.int32).at[:, :chunk].set(
+      gids_c.reshape(nc, chunk)).reshape(nc, 8, _LANE)
+  flag3 = jnp.zeros((nc, _PAGE), jnp.int32).at[:, :chunk].set(
+      live.reshape(nc, chunk)).reshape(nc, 8, _LANE)
+
+  # ---- expanded-gradient stream: payload rows [grads | flat | 0...],
+  # sentinel margin with flat == npg*8 (matches no chunk's [0, cb) window)
+  n = expanded.shape[0]
+  n8 = -(-n // 8) * 8
+  pwf = pw + 128
+  flat = flat.astype(jnp.int32)
+  exp2 = jnp.concatenate(
+      [expanded.astype(jnp.float32),
+       flat.astype(jnp.float32)[:, None],
+       jnp.zeros((n, 127), jnp.float32)], axis=1)
+  sent = jnp.zeros((1, pwf), jnp.float32).at[0, pw].set(float(npg * 8))
+  exp2 = jnp.concatenate(
+      [exp2, jnp.broadcast_to(sent, (n8 - n + 2 * T, pwf))], axis=0)
+
+  # ---- per-chunk tile schedule: one searchsorted over the sorted flat
+  bounds = jnp.arange(nc + 1, dtype=jnp.int32) * cb
+  starts = jnp.searchsorted(flat, bounds).astype(jnp.int32)
+  s_, e_ = starts[:-1], starts[1:]
+  empty = e_ <= s_
+  base = jnp.where(empty, jnp.int32(n8), (s_ // 8) * 8)
+  ntl = jnp.where(empty, 0, -(-(e_ - base) // T))
+  sched3 = jnp.zeros((nc, _PAGE), jnp.int32).at[:, 0].set(base) \
+      .at[:, 1].set(ntl).reshape(nc, 8, _LANE)
+
+  table3 = table.reshape(meta.groups, 8, w)
+  touch_m = jnp.asarray(_touch_matrix(w, meta.cc)).astype(jnp.bfloat16)
+  e0t = jnp.asarray(
+      _extract_matrix(w, meta.cc, meta.dim, 0, pw)).T  # [pw, W]
+
+  def gid_at(ref, k):
+    return ref[0, k // _LANE, k % _LANE]
+
+  def guarded_at(fref, k, body):
+    if predicate:
+      pl.when(fref[0, k // _LANE, k % _LANE] != 0)(body)
+    else:
+      body()
+
+  def kernel(*refs):
+    (gid_ref, gid_nref, flag_ref, flag_nref, flag_pref, sched_ref,
+     hyp_ref, tm_ref, e0t_ref, exp_ref, _in_tbl, out_ref, buf, acc,
+     tbuf, sem_in, sem_out, sem_t) = refs
+    hyp = lambda k: hyp_ref[0, k]   # noqa: E731
+    i = pl.program_id(0)
+    cur = jax.lax.rem(i, 2)
+    nxt = 1 - cur
+
+    def dma_loop(gref, fref, slot, is_pull, sem, action):
+      def lp(j, _):
+        for u in range(_UNROLL):
+          k = j * _UNROLL + u
+
+          def b(k=k):
+            g = gid_at(gref, k)
+            if is_pull:
+              c = pltpu.make_async_copy(out_ref.at[g], buf.at[slot, k],
+                                        sem.at[slot])
+            else:
+              c = pltpu.make_async_copy(buf.at[slot, k], out_ref.at[g],
+                                        sem.at[slot])
+            getattr(c, action)()
+          guarded_at(fref, k, b)
+        return 0
+      jax.lax.fori_loop(0, chunk // _UNROLL, lp, 0)
+
+    pl.when(i > 0)(lambda: dma_loop(gid_ref, flag_pref, nxt, False,
+                                    sem_out, 'wait'))
+    pl.when(i == 0)(lambda: dma_loop(gid_ref, flag_ref, cur, True,
+                                     sem_in, 'start'))
+    pl.when(i + 1 < nc)(lambda: dma_loop(gid_nref, flag_nref, nxt, True,
+                                         sem_in, 'start'))
+
+    # ---- in-kernel segmented sum for chunk i (pull DMAs in flight)
+    tbase = sched_ref[0, 0, 0]
+    ntl_i = sched_ref[0, 0, 1]
+    acc[...] = jnp.zeros((cb, pw), jnp.float32)
+
+    def tile_copy(j, slot):
+      return pltpu.make_async_copy(
+          exp_ref.at[pl.ds(pl.multiple_of(tbase + j * T, 8), T)],
+          tbuf.at[slot], sem_t.at[slot])
+
+    pl.when(ntl_i > 0)(lambda: tile_copy(0, 0).start())
+    pl.when(ntl_i > 1)(lambda: tile_copy(1, 1).start())
+
+    def gg_body(j, _):
+      slot = jax.lax.rem(j, 2)
+      tile_copy(j, slot).wait()
+      vals = tbuf[slot, :, :pw]
+      flatv = tbuf[slot, :, pw]
+      cols = flatv.astype(jnp.int32) - i * cb
+      iota = jax.lax.broadcasted_iota(jnp.int32, (T, cb), 1)
+      p1 = (cols[:, None] == iota).astype(jnp.bfloat16)
+      hi = vals.astype(jnp.bfloat16)
+      lo = (vals - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+      dn = (((0,), (0,)), ((), ()))
+      a = jax.lax.dot_general(p1, hi, dn,
+                              preferred_element_type=jnp.float32)
+      a = a + jax.lax.dot_general(p1, lo, dn,
+                                  preferred_element_type=jnp.float32)
+      acc[...] = acc[...] + a
+      pl.when(j + 2 < ntl_i)(lambda: tile_copy(j + 2, slot).start())
+      return 0
+
+    jax.lax.fori_loop(0, ntl_i, gg_body, 0)
+
+    dma_loop(gid_ref, flag_ref, cur, True, sem_in, 'wait')
+
+    tm = tm_ref[:]
+    e0t_m = e0t_ref[:]
+
+    def kroll(x, s):
+      return pltpu.roll(x, shift=s % w, axis=1)
+
+    def math_tile(s, _):
+      sl = pl.ds(s * sub, sub)
+      old = buf[cur, sl].reshape(sub * 8, w).astype(jnp.float32)
+      gc = acc[pl.ds(s * sub * 8, sub * 8)]
+      new = _math_and_mask(old, gc, hyp, math_fn, meta, tm, e0t_m,
+                           kroll)
+      buf[cur, sl] = new.reshape(sub, 8, w).astype(buf.dtype)
+      return 0
+
+    jax.lax.fori_loop(0, chunk // sub, math_tile, 0)
+
+    dma_loop(gid_ref, flag_ref, cur, False, sem_out, 'start')
+    pl.when(i == nc - 1)(lambda: dma_loop(gid_ref, flag_ref, cur, False,
+                                          sem_out, 'wait'))
+
+  id_spec = lambda ix: pl.BlockSpec((1, 8, _LANE), ix,          # noqa
+                                    memory_space=pltpu.SMEM)
+  cur_ix = lambda i: (i, 0, 0)                                  # noqa
+  nxt_ix = lambda i: (jnp.minimum(i + 1, nc - 1), 0, 0)         # noqa
+  prv_ix = lambda i: (jnp.maximum(i - 1, 0), 0, 0)              # noqa
+  fn = pl.pallas_call(
+      kernel,
+      grid=(nc,),
+      in_specs=[
+          id_spec(cur_ix), id_spec(nxt_ix), id_spec(cur_ix),
+          id_spec(nxt_ix), id_spec(prv_ix), id_spec(cur_ix),
+          pl.BlockSpec((8, _LANE), lambda i: (0, 0),
+                       memory_space=pltpu.SMEM),
+          pl.BlockSpec((w, w), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((pw, w), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec(memory_space=pl.ANY),
+          pl.BlockSpec(memory_space=pl.ANY),
+      ],
+      out_specs=pl.BlockSpec(memory_space=pl.ANY),
+      out_shape=jax.ShapeDtypeStruct(table3.shape, table3.dtype),
+      scratch_shapes=[pltpu.VMEM((2, chunk, 8, w), jnp.float32),
+                      pltpu.VMEM((cb, pw), jnp.float32),
+                      pltpu.VMEM((2, T, pwf), jnp.float32),
+                      pltpu.SemaphoreType.DMA((2,)),
+                      pltpu.SemaphoreType.DMA((2,)),
+                      pltpu.SemaphoreType.DMA((2,))],
+      input_output_aliases={10: 0},
+      compiler_params=pltpu.CompilerParams(
+          has_side_effects=True, dimension_semantics=('arbitrary',)),
+      interpret=interpret,
+  )
+  hyp_page = jnp.zeros((8, _LANE), jnp.float32)
+  hyp_page = hyp_page.at[0, :hypers.shape[0]].set(
+      hypers.astype(jnp.float32))
+  out = fn(gid3, gid3, flag3, flag3, flag3, sched3, hyp_page, touch_m,
+           e0t, exp2, table3)
+  return out.reshape(meta.phys_rows, w)
+
+
 def _rmw_xla(table, ugids, gg, hypers, math_fn, meta: PackMeta):
   """Fallback (CPU tests, unsupported backends): XLA group gather +
   shared math + group .set. Numerics identical to the kernel."""
@@ -874,6 +1106,12 @@ def apply_packed_update(table: jnp.ndarray,
   baked into the optimizer closure). math_fn = SparseOptimizer.block_math
   operating on compact per-part f32 views; hyp is a callable k->scalar.
   """
+  if ((use_pallas or interpret) and
+      _os.environ.get('EASYREC_PACKED_FUSED', '0') == '1'):
+    ugids, expanded, flat, _cap = _prep_sorted(ids, grads, meta)
+    return _rmw_fused_pallas(table, ugids, expanded, flat, hypers,
+                             math_fn, meta, interpret=interpret,
+                             predicate=predicate)
   ugids, gg = group_prep(ids, grads, meta, use_pallas=use_pallas,
                          interpret=interpret)
   if use_pallas or interpret:

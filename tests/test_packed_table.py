@@ -45,7 +45,7 @@ def test_pull_parity(dim, n_parts):
 
 
 def _run_both(optimizer, dim=16, rows=500, n_ids=137, steps=3,
-              interpret=False):
+              interpret=False, atol=1e-5):
   """Plain update_rows vs packed combined apply over a few steps."""
   n_parts = 1 + len(optimizer.slot_names)
   meta = pt.PackMeta(rows, dim, n_parts)
@@ -76,11 +76,11 @@ def _run_both(optimizer, dim=16, rows=500, n_ids=137, steps=3,
   got_w, got_slots = pt.unpack_host(np.asarray(packed), meta, rows)
   np.testing.assert_allclose(got_w[:rows - 1],
                              np.asarray(plain_w)[:rows - 1],
-                             rtol=0, atol=1e-5)
+                             rtol=0, atol=atol)
   for name, got in zip(optimizer.slot_names, got_slots):
     np.testing.assert_allclose(got[:rows - 1],
                                np.asarray(plain_s[name])[:rows - 1],
-                               rtol=0, atol=1e-5)
+                               rtol=0, atol=atol)
 
 
 @pytest.mark.parametrize('make_opt', [
@@ -98,6 +98,24 @@ def test_packed_update_parity_xla(make_opt):
 def test_packed_update_parity_interpret_kernel(dim):
   """The Mosaic kernel logic itself (interpret mode on CPU)."""
   _run_both(sparse_lib.sparse_adam(), dim=dim, steps=2, interpret=True)
+
+
+@pytest.mark.parametrize('dim', [1, 16])
+def test_packed_update_parity_interpret_pipelined(dim, monkeypatch):
+  """The software-pipelined RMW variant (double-slotted group buffer)."""
+  monkeypatch.setenv('EASYREC_PACKED_PIPELINE', '1')
+  _run_both(sparse_lib.sparse_adam(), dim=dim, steps=2, interpret=True)
+
+
+@pytest.mark.parametrize('dim', [1, 16])
+def test_packed_update_parity_interpret_fused(dim, monkeypatch):
+  """The fused RMW variant (in-kernel segmented gradient sum)."""
+  monkeypatch.setenv('EASYREC_PACKED_FUSED', '1')
+  _run_both(sparse_lib.sparse_adam(), dim=dim, steps=2, interpret=True)
+  # FTRL squares gradients: the in-kernel bf16 hi/lo-split segment-sum
+  # error (~2^-16 relative) amplifies to ~1e-4 absolute.
+  _run_both(sparse_lib.sparse_ftrl(), dim=dim, steps=2, interpret=True,
+            atol=3e-4)
 
 
 def test_group_prep_truncates_small_tables():
