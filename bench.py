@@ -25,6 +25,29 @@ import time
 import numpy as np
 
 
+def _arm_deadline():
+  """Fail fast (non-zero exit, no JSON) instead of hanging forever if
+  the remote TPU tunnel is unresponsive: backend init normally takes
+  seconds and the flagship compile ~10 min; 40 min means stuck.
+
+  A signal handler is not enough: a hung jax.devices()/compile blocks
+  the main thread inside native code, so Python-level handlers never
+  run. A daemon watchdog thread + os._exit always fires."""
+  import threading
+  limit = int(os.environ.get('BENCH_DEADLINE_S', 2400))
+
+  def _boom():
+    print('bench deadline (%ds) exceeded — TPU backend stuck?' % limit,
+          file=sys.stderr)
+    sys.stderr.flush()
+    os._exit(3)
+
+  t = threading.Timer(limit, _boom)
+  t.daemon = True
+  t.start()
+  return t
+
+
 def _rate(trainer, batches, warmup, steps):
   import jax
   state = trainer.init_state(batches[0])
@@ -44,6 +67,7 @@ def _rate(trainer, batches, warmup, steps):
 
 
 def main():
+  watchdog = _arm_deadline()
   import jax
   from easyrec_tpu.train.trainer import Trainer
   from easyrec_tpu.utils.flagship import criteo_deepfm_config
@@ -71,6 +95,7 @@ def main():
   except Exception as e:  # pragma: no cover
     print('cpu baseline failed: %s' % e, file=sys.stderr)
 
+  watchdog.cancel()
   print(json.dumps({
       'metric': 'criteo_deepfm_examples_per_sec_per_chip',
       'value': round(tpu_rate, 1),
