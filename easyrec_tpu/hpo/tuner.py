@@ -3,9 +3,11 @@
 Reference: easy_rec/python/hpo/{pai_hpo.py,emr_hpo.py} +
 utils/hpo_util.py (PAI AutoML GP tuner driving train jobs over a
 search_space.json and reading eval metrics). The TPU build replaces the
-platform service with a local sequential tuner (random / grid) over the
+platform service with a local sequential tuner over the
 same dotted-config-path search space; each trial is one
-train_and_evaluate run in a trial-numbered model_dir.
+train_and_evaluate run in a trial-numbered model_dir. Modes: random /
+grid / bayes (GP + expected improvement — the local analog of the PAI
+AutoML GP tuner).
 
 search_space.json — list of parameter specs:
   [{"name": "train_config.optimizer_config[0].adam_optimizer.learning_rate
@@ -26,6 +28,7 @@ import copy
 import itertools
 import json
 import logging
+import math
 import os
 from typing import Dict, List
 
@@ -61,8 +64,67 @@ def _grid_values(spec: dict, grid_points: int) -> List:
   return [float(v) for v in vals]
 
 
+def _encode(spec: dict, value) -> float:
+  """Map a sampled value into [0, 1] for the GP."""
+  t = spec.get('type', 'categorical').lower()
+  if t in ('categorical', 'enum', 'choice'):
+    cands = spec['candidates']
+    if len(cands) == 1:
+      return 0.0
+    return cands.index(value) / (len(cands) - 1)
+  lo, hi = float(spec['min']), float(spec['max'])
+  if spec.get('log_scale'):
+    lo, hi, value = np.log(lo), np.log(hi), np.log(float(value))
+  return float((float(value) - lo) / max(hi - lo, 1e-12))
+
+
+class _GPSampler:
+  """Gaussian-process expected-improvement proposer (RBF kernel).
+
+  Pure-numpy stand-in for the PAI AutoML GP tuner
+  (hpo/pai_hpo.py:28): fit on normalized-encoded finished trials,
+  propose the candidate (from a random pool) with the best EI.
+  """
+
+  def __init__(self, space: List[dict], rng: np.random.Generator,
+               pool: int = 256, length_scale: float = 0.3,
+               noise: float = 1e-4):
+    self.space = space
+    self.rng = rng
+    self.pool = pool
+    self.ls = length_scale
+    self.noise = noise
+
+  def _kern(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    return np.exp(-0.5 * d2 / self.ls ** 2)
+
+  def propose(self, xs: np.ndarray, ys: np.ndarray) -> Dict:
+    """xs: [n, d] encoded trials, ys: [n] scores (bigger better)."""
+    cands = [{s['name']: _sample_value(s, self.rng) for s in self.space}
+             for _ in range(self.pool)]
+    xc = np.array([[_encode(s, c[s['name']]) for s in self.space]
+                   for c in cands])
+    mu, std = np.mean(ys), max(float(np.std(ys)), 1e-8)
+    yn = (ys - mu) / std
+    k = self._kern(xs, xs) + self.noise * np.eye(len(xs))
+    kinv_y = np.linalg.solve(k, yn)
+    kc = self._kern(xc, xs)                     # [pool, n]
+    pred = kc @ kinv_y
+    kinv_kc = np.linalg.solve(k, kc.T)          # [n, pool]
+    var = np.clip(1.0 - np.einsum('pn,np->p', kc, kinv_kc), 1e-9, None)
+    sd = np.sqrt(var)
+    best = float(np.max(yn))
+    z = (pred - best) / sd
+    # EI = sd * (z * Phi(z) + phi(z))
+    phi = np.exp(-0.5 * z ** 2) / np.sqrt(2 * np.pi)
+    cdf = 0.5 * (1 + np.vectorize(math.erf)(z / np.sqrt(2)))
+    ei = sd * (z * cdf + phi)
+    return cands[int(np.argmax(ei))]
+
+
 class LocalTuner:
-  """Sequential random/grid search over dotted config paths."""
+  """Sequential random/grid/bayes search over dotted config paths."""
 
   def __init__(self, pipeline_config, search_space: List[dict],
                metric: str = 'auc', metric_bigger: bool = True,
@@ -84,8 +146,19 @@ class LocalTuner:
       grids = [_grid_values(s, self.grid_points) for s in self.space]
       for combo in itertools.product(*grids):
         yield dict(zip(names, combo))
-    else:
-      for _ in range(self.num_trials):
+      return
+    # random / bayes: lazy so bayes sees earlier trials' results
+    n_seed = max(2, min(4, self.num_trials // 2))
+    gp = _GPSampler(self.space, self.rng)
+    for i in range(self.num_trials):
+      done = [t for t in self.trials if np.isfinite(t[self.metric])]
+      if self.mode == 'bayes' and i >= n_seed and len(done) >= 2:
+        xs = np.array([[_encode(s, t['assignment'][s['name']])
+                        for s in self.space] for t in done])
+        ys = np.array([t[self.metric] if self.bigger else -t[self.metric]
+                       for t in done])
+        yield gp.propose(xs, ys)
+      else:
         yield {s['name']: _sample_value(s, self.rng) for s in self.space}
 
   def run(self) -> dict:
@@ -95,7 +168,7 @@ class LocalTuner:
     base_dir = self.base_config.model_dir
     best = None
     for i, assignment in enumerate(self._assignments()):
-      if self.mode == 'random' and i >= self.num_trials:
+      if self.mode != 'grid' and i >= self.num_trials:
         break
       config = copy.deepcopy(self.base_config)
       config_util.edit_config(config, dict(assignment))
@@ -135,7 +208,7 @@ def main(argv=None):
   parser.add_argument('--metric', default='auc')
   parser.add_argument('--metric_smaller_better', action='store_true')
   parser.add_argument('--mode', default='random',
-                      choices=['random', 'grid'])
+                      choices=['random', 'grid', 'bayes'])
   parser.add_argument('--num_trials', type=int, default=8)
   parser.add_argument('--grid_points', type=int, default=3)
   args = parser.parse_args(argv)

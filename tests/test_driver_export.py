@@ -67,6 +67,47 @@ def test_predictor_parity(run):
   np.testing.assert_allclose(serving_probs, driver_probs, atol=1e-5)
 
 
+def test_view_export_tool(run):
+  tmp, cfg_path, result = run
+  from easyrec_tpu.tools import view_export
+  summary = view_export.describe_export(result['export_dir'])
+  assert summary['meta']['model_class'] == 'DeepFM'
+  assert summary['meta']['outputs']
+  if 'variables' in summary:
+    assert summary['num_parameters'] > 0
+  smoke = view_export.smoke_predict(result['export_dir'])
+  assert 0.0 <= float(smoke['probs']) <= 1.0
+
+
+def test_predict_and_chk_tool(run, tmp_path):
+  tmp, cfg_path, result = run
+  from easyrec_tpu.tools import predict_and_chk
+  out = str(tmp_path / 'pred.csv')
+  eval_csv = os.path.join(tmp, 'eval.csv')
+  r = predict_and_chk.predict_and_check(result['export_dir'], eval_csv,
+                                        out)
+  assert r['num_predictions'] > 0
+  # self-comparison matches exactly
+  r2 = predict_and_chk.predict_and_check(
+      result['export_dir'], eval_csv, str(tmp_path / 'pred2.csv'),
+      cmp_path=out, cmp_key='probs', tol=1e-6)
+  assert r2['matched'], r2
+  # perturbed expectation fails the check
+  import csv as csv_lib
+  with open(out) as f:
+    rows = list(csv_lib.DictReader(f))
+  rows[0]['probs'] = str(float(rows[0]['probs']) + 0.5)
+  bad = str(tmp_path / 'bad.csv')
+  with open(bad, 'w', newline='') as f:
+    w = csv_lib.DictWriter(f, fieldnames=rows[0].keys())
+    w.writeheader()
+    w.writerows(rows)
+  r3 = predict_and_chk.predict_and_check(
+      result['export_dir'], eval_csv, str(tmp_path / 'pred3.csv'),
+      cmp_path=bad, cmp_key='probs', tol=1e-4)
+  assert not r3['matched']
+
+
 def test_cli_eval(run, capsys):
   tmp, cfg_path, result = run
   from easyrec_tpu import eval as eval_cli

@@ -31,6 +31,37 @@ def test_hpo_random_search(tmp_path):
   assert os.path.isdir(os.path.join(cfg.model_dir, 'hpo_trial_0'))
 
 
+def test_hpo_bayes_search(tmp_path, monkeypatch):
+  """GP-EI mode concentrates trials near the optimum of a synthetic
+  objective (driver monkeypatched: no real training)."""
+  from easyrec_tpu import main as driver
+  from easyrec_tpu.hpo.tuner import LocalTuner
+  cfg = get_configs_from_pipeline_file(
+      fixtures.write_pipeline(tmp_path, num_steps=1))
+
+  lr_key = ('train_config.optimizer_config[0].adam_optimizer.'
+            'learning_rate.constant_learning_rate.learning_rate')
+
+  def fake_train(config):
+    lr = (config.train_config.optimizer_config[0].adam_optimizer
+          .learning_rate.constant_learning_rate.learning_rate)
+    # peak at lr = 10^-2.5 ~= 3.16e-3
+    auc = 0.9 - (np.log10(lr) + 2.5) ** 2
+    return {'eval_metrics': {'auc': float(auc)}}
+
+  monkeypatch.setattr(driver, 'train_and_evaluate', fake_train)
+  space = [{'name': lr_key, 'type': 'double',
+            'min': 1e-4, 'max': 1e-1, 'log_scale': True}]
+  tuner = LocalTuner(cfg, space, metric='auc', mode='bayes',
+                     num_trials=10, seed=11)
+  summary = tuner.run()
+  assert len(summary['trials']) == 10
+  # GP trials (after the random seeds) should find the peak region
+  assert summary['best']['auc'] > 0.85, summary['best']
+  lr_best = summary['best']['assignment'][lr_key]
+  assert 1e-4 <= lr_best <= 1e-1
+
+
 def test_add_boundaries(tmp_path):
   from easyrec_tpu.tools.add_boundaries_to_config import add_boundaries
   cfg = get_configs_from_pipeline_file(

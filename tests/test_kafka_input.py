@@ -23,6 +23,24 @@ def broker():
   b.stop()
 
 
+def test_kafka_topic_tool_roundtrip(broker, tmp_path):
+  """tools/kafka_topic write+read roundtrip against the mock broker."""
+  from easyrec_tpu.tools import kafka_topic
+  servers = '127.0.0.1:%d' % broker.port
+  broker.create_topic('t0', 1)
+  src = tmp_path / 'in.csv'
+  lines = ['h1,h2', 'a,1', 'b,2', 'c,3']
+  src.write_text('\n'.join(lines) + '\n')
+  with open(src) as f:
+    n = kafka_topic.write_topic(servers, 't0', f, skip_header=True)
+  assert n == 3
+  got = [v.decode() for _, _, v in kafka_topic.read_topic(servers, 't0')]
+  assert got == ['a,1', 'b,2', 'c,3']
+  # max_messages truncates
+  got2 = list(kafka_topic.read_topic(servers, 't0', max_messages=2))
+  assert len(got2) == 2
+
+
 def _fill(broker, topic='ctr', partitions=2, rows=512, seed=3):
   rng = np.random.default_rng(seed)
   broker.create_topic(topic, partitions)
