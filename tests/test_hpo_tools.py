@@ -79,6 +79,43 @@ def test_add_boundaries(tmp_path):
   assert np.isfinite(result['eval_metrics']['loss'])
 
 
+def test_add_feature_info_to_config(tmp_path):
+  from easyrec_tpu.tools import add_feature_info_to_config as afi
+  cfg_path = str(tmp_path / 'samples' / 'din.config')
+  os.makedirs(os.path.dirname(cfg_path), exist_ok=True)
+  import shutil
+  shutil.copy('samples/multi_tower_din.config', cfg_path)
+  info = {
+      'uid': {'embedding_dim': 24, 'hash_bucket_size': 5000},
+      'age': {'embedding_dim': 4, 'boundary': [0.0, 18.0, 30.0, 60.0]},
+      'tags': {'message': 'DROP IT'},
+      'seq_cate': {'message': 'DROP IT'},
+      '__NUM_STEPS__': {'num_steps': 1234},
+  }
+  info_path = str(tmp_path / 'info.json')
+  with open(info_path, 'w') as f:
+    json.dump(info, f)
+  out_path = str(tmp_path / 'out.config')
+  afi.main(['--template_config_path', cfg_path,
+            '--output_config_path', out_path,
+            '--feature_info_path', info_path])
+
+  cfg = get_configs_from_pipeline_file(out_path)
+  from easyrec_tpu.config import config_util
+  feats = {fc.input_names[0]: fc
+           for fc in config_util.get_feature_configs(cfg)}
+  assert 'tags' not in feats and 'seq_cate' not in feats
+  assert feats['uid'].embedding_dim == 24
+  assert feats['uid'].hash_bucket_size == 5000
+  assert list(feats['age'].boundaries) == [0.0, 18.0, 30.0, 60.0]
+  assert cfg.train_config.num_steps == 1234
+  groups = {g.group_name: list(g.feature_names)
+            for g in cfg.model_config.feature_groups}
+  assert 'tags' not in groups['user']
+  att = cfg.model_config.seq_att_groups[0].seq_att_map[0]
+  assert 'seq_cate' not in list(att.hist_seq)
+
+
 def test_pre_check_catches_errors(tmp_path):
   from easyrec_tpu.tools.pre_check import check_config, check_data
   cfg = get_configs_from_pipeline_file(

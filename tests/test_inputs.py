@@ -122,6 +122,31 @@ model_config { model_class: "DummyModel" }
   assert batches[0]['feat.c1.ids'][4, 0] == 4 % 9
 
 
+def test_criteo_convert_roundtrip(tmp_path):
+  """tools/criteo_convert packs TSV into the CriteoInput binary layout."""
+  from easyrec_tpu.tools import criteo_convert
+  tsv = os.path.join(str(tmp_path), 'day_0.tsv')
+  with open(tsv, 'w') as f:
+    # label \t 13 dense ints \t 26 hex cats; row 1 has missing fields
+    f.write('1\t' + '\t'.join(str(i) for i in range(1, 14)) + '\t' +
+            '\t'.join('%08x' % (i * 17) for i in range(26)) + '\n')
+    f.write('0\t' + '\t'.join([''] * 13) + '\t' +
+            '\t'.join([''] * 26) + '\n')
+    f.write('1\t' + '\t'.join(['7'] * 13) + '\t' +
+            '\t'.join(['ffffffff'] * 26) + '\n')
+  out = os.path.join(str(tmp_path), 'day_0.bin')
+  n = criteo_convert.convert_file(tsv, out)
+  assert n == 3
+  recs = np.fromfile(out, np.int32).reshape(3, 40)
+  assert list(recs[:, 0]) == [1, 0, 1]
+  assert list(recs[0, 1:14]) == list(range(1, 14))
+  assert recs[0, 14] == 0 and recs[0, 15] == 17
+  assert (recs[1] == 0).all()                   # missing -> zeros
+  assert recs[2, 14] == -1                      # 0xffffffff wraps, ok:
+  # ids are re-hashed into bucket space downstream (negative % n >= 0)
+  assert (np.array([-1]) % 10)[0] == 9
+
+
 def test_skip_rows_resume(tmp_path):
   path = os.path.join(str(tmp_path), 'd.csv')
   with open(path, 'w') as f:
