@@ -59,6 +59,8 @@ def check_config(pipeline_config) -> List[str]:
       if fname not in feature_names:
         problems.append('feature group %r references unknown feature %r' %
                         (g.group_name, fname))
+  problems.extend(_check_stacked_group_dims(mc, feature_configs))
+
   if not problems:
     # the embedding layout enforces group-level constraints (e.g. a deep
     # feature must have an embedding_dim) — build it to surface them
@@ -71,6 +73,58 @@ def check_config(pipeline_config) -> List[str]:
       model_base.build_context(pipeline_config, specs)
     except Exception as e:
       problems.append('model/feature layout invalid: %s' % e)
+  return problems
+
+
+# model_class -> groups whose stacked embeddings must share one dim
+# (FM/attention/SENet field interactions run over a [B, F, D] stack).
+# group None = the model's default group choice; kind 'categorical'
+# means only embedding features participate in the stack.
+_STACKED_GROUPS = {
+    'DeepFM': [('deep', 'categorical')],
+    'FM': [('deep', 'categorical')],
+    'AutoInt': [(None, 'categorical')],
+    'DLRM': [('sparse', 'categorical')],
+    'DSSM_SENet': [('user', 'categorical'), ('item', 'categorical')],
+    'CMBF': [('text', 'categorical')],
+    'Uniter': [('text', 'categorical')],
+}
+
+
+def _check_stacked_group_dims(mc, feature_configs) -> List[str]:
+  """Equal-embedding-dim validation for field-interaction models."""
+  from easyrec_tpu.features import feature_spec as fs
+  if mc.model_class not in _STACKED_GROUPS:
+    return []
+  specs = {}
+  for fc in feature_configs:
+    try:
+      spec = fs.build_feature_spec(fc)
+    except Exception:
+      continue                          # reported by the caller already
+    specs[spec.name] = spec
+  groups = {g.group_name: list(g.feature_names)
+            for g in mc.feature_groups}
+  problems = []
+  for group_name, kind in _STACKED_GROUPS[mc.model_class]:
+    if group_name not in groups:
+      if group_name is None or not groups:
+        names = next(iter(groups.values()), [])
+      else:
+        continue                        # layout check reports it
+    else:
+      names = groups[group_name]
+    dims = {}
+    for n in names:
+      spec = specs.get(n)
+      if spec is not None and spec.kind == kind and spec.embedding_dim:
+        dims.setdefault(int(spec.embedding_dim), []).append(n)
+    if len(dims) > 1:
+      problems.append(
+          '%s stacks group %r for field interactions, which needs one '
+          'shared embedding_dim, but got %s' %
+          (mc.model_class, group_name or 'first',
+           {d: v for d, v in sorted(dims.items())}))
   return problems
 
 

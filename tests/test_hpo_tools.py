@@ -116,6 +116,20 @@ def test_add_feature_info_to_config(tmp_path):
   assert 'seq_cate' not in list(att.hist_seq)
 
 
+def test_pre_check_stacked_dims(tmp_path):
+  """DeepFM with mixed embedding dims in the fm-stacked group is
+  reported at config time (it would fail at trace time otherwise)."""
+  from easyrec_tpu.tools.pre_check import check_config
+  cfg = get_configs_from_pipeline_file(
+      fixtures.write_pipeline(tmp_path, num_steps=1))
+  assert check_config(cfg) == []
+  feats = {fc.input_names[0]: fc
+           for fc in cfg.feature_config.features or cfg.feature_configs}
+  feats['c1'].embedding_dim = 16
+  problems = check_config(cfg)
+  assert any('shared embedding_dim' in p for p in problems), problems
+
+
 def test_pre_check_catches_errors(tmp_path):
   from easyrec_tpu.tools.pre_check import check_config, check_data
   cfg = get_configs_from_pipeline_file(
