@@ -46,13 +46,18 @@ class CrossNet(nn.Module):
 
 
 class CrossNetV2(nn.Module):
-  """DCN-v2 cross layers: x_{l+1} = x0 * (W x_l + b) + x_l."""
+  """DCN-v2 cross layers: x_{l+1} = x0 * (W x_l + b) + x_l.
+
+  Pass `x` to start the recursion from a state other than x0 (the
+  backbone `recurrent` pattern feeds [x0, x_l] pairs through one
+  shared-parameter step)."""
   num_layers: int = 3
   projection_dim: int = 0   # low-rank when > 0
 
   @nn.compact
-  def __call__(self, x0):
-    x = x0
+  def __call__(self, x0, x=None):
+    if x is None:
+      x = x0
     d = x0.shape[-1]
     for i in range(self.num_layers):
       if self.projection_dim > 0:

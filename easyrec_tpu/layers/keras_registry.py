@@ -410,12 +410,31 @@ def _build_fm(p: Parameter, name: str):
   return _SingleInput(inner=inner, name=name)
 
 
+class _CrossAdapter(nn.Module):
+  """DCN-v2 Cross: a single tensor runs num_layers steps from x0; a
+  two-element list is the recurrent-block convention [x0, x_l] (one
+  shared-parameter step per call, reference dcn_backbone pattern)."""
+  num_layers: int = 1
+  projection_dim: int = 0
+
+  @nn.compact
+  def __call__(self, inputs, training: bool = False):
+    inner = IX.CrossNetV2(num_layers=self.num_layers,
+                          projection_dim=self.projection_dim)
+    if isinstance(inputs, (list, tuple)) and len(inputs) == 2:
+      return inner(inputs[0], inputs[1])
+    if isinstance(inputs, (list, tuple)):
+      inputs = jnp.concatenate(list(inputs), axis=-1) \
+          if len(inputs) > 1 else inputs[0]
+    return inner(inputs)
+
+
 @register_layer('Cross')
 def _build_cross(p: Parameter, name: str):
   # DCN-v2 cross layer (keras Cross); low_rank via projection_dim
-  inner = IX.CrossNetV2(num_layers=p.get_int('num_layers', 1) or 1,
-                        projection_dim=p.get_int('projection_dim', 0))
-  return _SingleInput(inner=inner, name=name)
+  return _CrossAdapter(num_layers=p.get_int('num_layers', 1) or 1,
+                       projection_dim=p.get_int('projection_dim', 0),
+                       name=name)
 
 
 @register_layer('CIN')

@@ -152,6 +152,50 @@ def test_backbone_multi_task(tmp_path):
   assert result['eval_metrics']['auc'] > 0.6
 
 
+RECURRENT_DCN_BODY = """
+  feature_groups {
+    group_name: "all"
+    feature_names: "d1" feature_names: "d2"
+    feature_names: "c1" feature_names: "c2" feature_names: "c3"
+    wide_deep: DEEP
+  }
+  backbone {
+    blocks {
+      name: "input"
+      inputs { feature_group_name: "all" }
+      input_layer {}
+    }
+    blocks {
+      name: "cross"
+      inputs { block_name: "input" input_fn: "lambda x: [x, x]" }
+      recurrent {
+        num_steps: 3
+        fixed_input_index: 0
+        keras_layer { class_name: "Cross" }
+      }
+    }
+    blocks {
+      name: "deep"
+      inputs { block_name: "input" }
+      keras_layer {
+        class_name: "MLP"
+        mlp { hidden_units: [16] use_bn: false }
+      }
+    }
+    concat_blocks: "cross"
+    concat_blocks: "deep"
+    top_mlp { hidden_units: [16, 8] use_bn: false }
+  }
+"""
+
+
+def test_backbone_recurrent_cross(tmp_path):
+  """DCN-v2 expressed as a recurrent Cross block (the reference's
+  dcn_backbone_on_taobao.config pattern: fixed x0 + 3 shared steps)."""
+  result = _train(tmp_path, RECURRENT_DCN_BODY, num_steps=120)
+  assert result['eval_metrics']['auc'] > 0.7, result['eval_metrics']
+
+
 def test_numeric_embedding_layers():
   """Periodic / AutoDis / NaryDis numeric embeddings produce the right
   shapes and gradients."""
