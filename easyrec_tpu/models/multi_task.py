@@ -48,19 +48,57 @@ class MultiTaskModel(BaseModel):
         ind = batch['label.%s' % tower.task_space_indicator_label]
         w = w * (tower.in_task_space_weight * (ind > 0) +
                  tower.out_task_space_weight * (ind <= 0))
-      lt = tower.loss_type
-      if lt == LossType.CLASSIFICATION:
-        if int(tower.num_class) > 1:
-          value = L.softmax_cross_entropy(label, logits, w)
-        else:
-          value = L.sigmoid_cross_entropy(label, logits, w)
-      elif lt == LossType.L2_LOSS:
-        value = L.l2_loss(label, logits, w)
-      else:
-        value = L.sigmoid_cross_entropy(label, logits, w)
-      losses['%s_loss_%s' % (LossType.Name(lt).lower(), name)] = value
-      total = total + tower.weight * value
+      tower_losses = list(tower.losses)
+      if not tower_losses:
+        lt = tower.loss_type
+        value = self._tower_loss(lt, None, tower, label, logits, w)
+        losses['%s_loss_%s' % (LossType.Name(lt).lower(), name)] = value
+        total = total + tower.weight * value
+        continue
+      # explicit per-tower loss list (multi_task_model.py:241-270)
+      for loss_cfg in tower_losses:
+        lt = loss_cfg.loss_type
+        if lt == LossType.ORDER_CALIBRATE_LOSS:
+          # cross-tower order calibration: a task's probability must not
+          # exceed its relation towers' (relu(p_t - p_rel), reference
+          # multi_task_model.py:241-251); plain mean, no sample weight
+          probs_t = outputs['probs_%s' % name]
+          for rel in list(getattr(tower, 'relation_tower_names', [])):
+            probs_r = outputs['probs_%s' % rel]
+            value = jnp.mean(jax.nn.relu(probs_t - probs_r))
+            losses['order_calibrate_loss_%s_%s' % (rel, name)] = value
+            total = total + loss_cfg.weight * value
+          continue
+        which = loss_cfg.WhichOneof('loss_param')
+        params = getattr(loss_cfg, which) if which else None
+        value = self._tower_loss(lt, params, tower, label, logits, w)
+        losses['%s_loss_%s' % (LossType.Name(lt).lower(), name)] = value
+        total = total + tower.weight * loss_cfg.weight * value
     return total, losses
+
+  def _tower_loss(self, lt, params, tower, label, logits, w):
+    if lt == LossType.L2_LOSS:
+      return L.l2_loss(label, logits, w)
+    if lt == LossType.SIGMOID_L2_LOSS:
+      squeezed = logits[..., 0] if logits.ndim > 1 else logits
+      return L.l2_loss(label, jax.nn.sigmoid(squeezed), w)
+    if lt == LossType.BINARY_FOCAL_LOSS:
+      kw = {}
+      if params is not None:
+        kw = dict(gamma=params.gamma,
+                  alpha=params.alpha if params.HasField('alpha') else None,
+                  label_smoothing=params.label_smoothing)
+      return L.binary_focal_loss(label, logits, w, **kw)
+    if lt == LossType.F1_REWEIGHTED_LOSS:
+      kw = {}
+      if params is not None:
+        kw = dict(f1_beta_square=params.f1_beta_square,
+                  label_smoothing=params.label_smoothing)
+      return L.f1_reweighted_loss(label, logits, w, **kw)
+    # CLASSIFICATION / CROSS_ENTROPY / fall-back
+    if int(tower.num_class) > 1:
+      return L.softmax_cross_entropy(label, logits, w)
+    return L.sigmoid_cross_entropy(label, logits, w)
 
   def metric_inputs(self, outputs, batch):
     # primary task drives the shared streaming metrics; per-task metrics

@@ -348,3 +348,40 @@ def test_model_trains(key):
   ms, eval_loss, mi = trainer.eval_step(state, sharded,
                                         trainer.metrics.init_states())
   assert np.isfinite(float(eval_loss))
+
+
+def test_dbmtl_order_calibrate_loss():
+  """ESMM-style order calibration: cvr tower's prob is pushed below its
+  ctr relation tower's (reference multi_task_model.py:241-251)."""
+  body = ALL_GROUP + """
+  dbmtl {
+    bottom_dnn { hidden_units: [16] use_bn: false }
+    task_towers {
+      tower_name: "ctr" label_name: "clk"
+      dnn { hidden_units: [8] use_bn: false }
+    }
+    task_towers {
+      tower_name: "cvr" label_name: "buy"
+      dnn { hidden_units: [8] use_bn: false }
+      relation_tower_names: "ctr"
+      relation_dnn { hidden_units: [8] use_bn: false }
+      losses { loss_type: CLASSIFICATION weight: 1.0 }
+      losses { loss_type: ORDER_CALIBRATE_LOSS weight: 0.5 }
+    }
+  }
+"""
+  text = DATA_SECTION + 'model_config {\n  model_class: "DBMTL"\n%s}\n' % body
+  cfg = get_configs_from_pipeline_str(text)
+  trainer = Trainer(cfg)
+  batch = synthetic_batch(trainer.specs, ['clk', 'buy'], 32, seed=3)
+  state = trainer.init_state(batch)
+  sharded = trainer.rules.shard_batch(batch)
+  losses = []
+  for _ in range(5):
+    state, loss_dict = trainer.train_step(state, sharded)
+    losses.append(float(loss_dict['total_loss']))
+  assert 'order_calibrate_loss_ctr_cvr' in loss_dict, loss_dict.keys()
+  assert 'classification_loss_cvr' in loss_dict, loss_dict.keys()
+  assert float(loss_dict['order_calibrate_loss_ctr_cvr']) >= 0.0
+  assert all(np.isfinite(losses)), losses
+  assert losses[-1] < losses[0], losses
