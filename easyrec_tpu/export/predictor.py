@@ -61,12 +61,20 @@ class Predictor:
 
     wanted = self.meta.get('outputs') if self.meta.get('tower') else None
 
+    rtp = bool(self.meta.get('export_rtp_outputs'))
+
     def apply_fn(batch, pulled):
       variables = {'params': params}
       if batch_stats:
         variables['batch_stats'] = batch_stats
       outputs = module.apply(variables, batch, pulled, False)
       exported = model.export_outputs(outputs)
+      if rtp and ('probs' in exported or 'y' in exported):
+        # RTP serving output (reference rank_model.py:153-211): one
+        # canonical 'rank_predict' tensor — probs for classification,
+        # y for regression
+        exported['rank_predict'] = exported.get('probs',
+                                                exported.get('y'))
       if wanted:   # split-tower export: only this tower's outputs
         exported = {k: v for k, v in exported.items() if k in wanted}
       return exported
@@ -219,6 +227,12 @@ class Predictor:
       if name not in columns:
         columns = dict(columns)
         columns[name] = np.array([''] * n, dtype=object)
+    echo = {}
+    if self.meta.get('export_features'):
+      # export_features (reference export.proto:13-59): serving answers
+      # carry the input feature values alongside the predictions
+      echo = {'feature_%s' % k: np.asarray(v)
+              for k, v in columns.items() if k in self.input_names}
     packed = tr.apply_transforms(self.transforms, columns)
     packed['sample_weight'] = np.ones(n, np.float32)
     # pad to the static batch size
@@ -234,10 +248,14 @@ class Predictor:
                    for k, v in chunk.items()}
         res = jax.device_get(self.predict_fn(chunk))
         out_chunks.append({k: np.asarray(v)[:m] for k, v in res.items()})
-      return {k: np.concatenate([c[k] for c in out_chunks])
-              for k in out_chunks[0]}
+      out = {k: np.concatenate([c[k] for c in out_chunks])
+             for k in out_chunks[0]}
+      out.update(echo)
+      return out
     res = jax.device_get(self.predict_fn(packed))
-    return {k: np.asarray(v)[:n] for k, v in res.items()}
+    out = {k: np.asarray(v)[:n] for k, v in res.items()}
+    out.update(echo)
+    return out
 
   def predict(self, inputs: Iterable[Dict[str, object]]) -> List[Dict]:
     """List of {input_name: value} dicts -> list of output dicts

@@ -67,14 +67,22 @@ def export_saved_model(trainer, state, export_base_dir: str,
              serving_state)
   ckptr.wait_until_finished()
 
+  ec = trainer.pipeline_config.export_config
+  outputs = set(_output_names(trainer))
+  if ec.export_rtp_outputs and ('probs' in outputs or 'y' in outputs):
+    outputs.add('rank_predict')
   meta = {
       'model_class': trainer.pipeline_config.model_config.model_class,
       'export_time': stamp,
       'global_step': int(np.asarray(state.step)),
-      'outputs': sorted(_output_names(trainer)),
+      'outputs': sorted(outputs),
       'inputs': _input_signature(trainer),
       'framework': 'easyrec_tpu',
       'big_model': bool(big_model),
+      # serving-side output options (reference export.proto:13-59 +
+      # _export_model_fn easy_rec_estimator.py:567-659)
+      'export_features': bool(ec.export_features),
+      'export_rtp_outputs': bool(ec.export_rtp_outputs),
   }
   if extra_meta:
     meta.update(extra_meta)

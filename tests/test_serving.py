@@ -82,3 +82,22 @@ def test_server_applies_incremental_updates(served):
                          [r['probs'] for r in fresh])
   assert client.status()['updates_applied'] == 1
   client.close()
+
+
+def test_export_rtp_outputs_and_features(tmp_path):
+  """export_config.export_rtp_outputs adds the canonical rank_predict
+  output; export_features echoes the input feature values (reference
+  export.proto + _export_model_fn outputs union)."""
+  from easyrec_tpu import main as driver
+  from easyrec_tpu.export.predictor import Predictor
+  cfg_path = fixtures.write_pipeline(
+      tmp_path, num_steps=30,
+      extra='export_config { export_rtp_outputs: true '
+            'export_features: true }\n')
+  result = driver.train_and_evaluate(cfg_path)
+  p = Predictor(result['export_dir'], batch_size=8)
+  assert 'rank_predict' in p.meta['outputs']
+  rows = [{'d1': '0.5', 'd2': '0.1', 'c1': 'u3', 'c2': 'v1', 'c3': 'w2'}]
+  out = p.predict(rows)[0]
+  assert np.allclose(float(out['rank_predict']), float(out['probs']))
+  assert out['feature_c1'] == 'u3' and out['feature_d1'] == '0.5'
