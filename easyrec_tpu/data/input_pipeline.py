@@ -609,6 +609,9 @@ class InputPipeline:
     for f in data_config.input_fields:
       if f.user_define_fn and f.input_name in self.label_fields:
         self._label_fns[f.input_name] = load_by_path(f.user_define_fn)
+    self._extra_label_fns = [
+        (fc.label_name, load_by_path(fc.label_func))
+        for fc in data_config.extra_label_func]
     self.num_epochs = data_config.num_epochs if mode == 'train' else 1
     # streaming sources never shuffle (reference kafka/datahub inputs
     # are FIFO too) — shuffling would scramble the exact resume offsets
@@ -684,6 +687,15 @@ class InputPipeline:
       if fn is not None:
         vals = np.asarray(fn(vals), dtype=np.float32)
       out['label.%s' % label] = vals.astype(np.float32)
+    # derived labels (reference input/input.py:925-931): each
+    # extra_label_func gets the label dict, returns a new label column
+    if self._extra_label_fns and self.mode != 'predict':
+      label_dict = {k.split('.', 1)[1]: v for k, v in out.items()
+                    if k.startswith('label.')}
+      for lbl_name, fn in self._extra_label_fns:
+        vals = np.asarray(fn(label_dict), dtype=np.float32)
+        out['label.%s' % lbl_name] = vals
+        label_dict[lbl_name] = vals
     if self.sample_weight_field:
       out['sample_weight'] = tr._to_float(columns[self.sample_weight_field])
     else:

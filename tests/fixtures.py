@@ -106,3 +106,10 @@ def write_pipeline(tmpdir, model_class='DeepFM', model_body=DEEPFM_BODY,
   with open(path, 'w') as f:
     f.write(text)
   return path
+
+
+def extra_label_and(label_dict):
+  """Test extra_label_func: conjunction of 'label' with d>threshold proxy
+  (here simply label * label, exercising the derived-label path)."""
+  base = label_dict['label']
+  return base * base

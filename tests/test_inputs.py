@@ -122,6 +122,26 @@ model_config { model_class: "DummyModel" }
   assert batches[0]['feat.c1.ids'][4, 0] == 4 % 9
 
 
+def test_extra_label_func(tmp_path):
+  """extra_label_func derives a new label column from the label dict
+  (reference input/input.py:925-931)."""
+  path = os.path.join(str(tmp_path), 'd.csv')
+  with open(path, 'w') as f:
+    for i in range(32):
+      f.write('%d,%.1f,c%d\n' % (i % 3, float(i), i % 5))
+  cfg = get_configs_from_pipeline_str(_data_config(
+      'CSVInput',
+      'extra_label_func {{ label_name: "squared" '
+      'label_func: "tests.fixtures.extra_label_and" }}').format(path=path))
+  pipe = InputPipeline(cfg.data_config,
+                       config_util.get_feature_configs(cfg), path,
+                       mode='eval')
+  batch = next(iter(pipe))
+  assert 'label.squared' in batch
+  np.testing.assert_allclose(batch['label.squared'],
+                             batch['label.label'] ** 2)
+
+
 def test_criteo_convert_roundtrip(tmp_path):
   """tools/criteo_convert packs TSV into the CriteoInput binary layout."""
   from easyrec_tpu.tools import criteo_convert
