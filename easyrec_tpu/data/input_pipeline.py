@@ -57,6 +57,30 @@ class BaseReader:
     raise NotImplementedError
 
 
+def _fill_defaults(columns: Dict[str, object], dc) -> Dict[str, object]:
+  """Replace nulls with each input field's default_val (reference
+  dataset.proto Field.default_val / input_utils type defaults)."""
+  import pyarrow as pa
+  import pyarrow.compute as pc
+  out = dict(columns)
+  for f in dc.input_fields:
+    col = out.get(f.input_name)
+    if col is None or not isinstance(col, (pa.Array, pa.ChunkedArray)):
+      continue
+    if not col.null_count:
+      continue
+    if f.input_type == FieldType.STRING:
+      fill = f.default_val or ''
+    elif f.input_type in (FieldType.FLOAT, FieldType.DOUBLE):
+      fill = float(f.default_val or 0.0)
+    elif f.input_type == FieldType.BOOL:
+      fill = (f.default_val or '').lower() in ('1', 'true')
+    else:
+      fill = int(float(f.default_val or 0))
+    out[f.input_name] = pc.fill_null(col, pa.scalar(fill, col.type))
+  return out
+
+
 @INPUTS.register('CSVInput')
 @INPUTS.register('CSVInputV2')
 @INPUTS.register('CSVInputEx')
@@ -121,7 +145,8 @@ class CSVReader(BaseReader):
           if keep.size == 0:
             continue
           table = table.take(pa.array(keep))
-        yield {name: table.column(name) for name in names}
+        yield _fill_defaults(
+            {name: table.column(name) for name in names}, dc)
 
 
 @INPUTS.register('ParquetInput')
@@ -151,7 +176,9 @@ class ParquetReader(BaseReader):
           if keep.size == 0:
             continue
           table = table.take(pa.array(keep))
-        yield {name: table.column(name) for name in cols}
+        yield _fill_defaults(
+            {name: table.column(name) for name in cols},
+            self.data_config)
 
 
 @INPUTS.register('TFRecordInput')

@@ -163,9 +163,16 @@ def jrc_loss(labels, logits2, session_ids, weights=1.0, alpha: float = 0.5):
   return alpha * ce + (1 - alpha) * ge_loss
 
 
-def ziln_loss(labels, logits3, weights=1.0, max_sigma: float = 5.0):
+def ziln_loss(labels, logits3, weights=1.0, max_sigma: float = 5.0,
+              max_log_clip_value: float = 20.0,
+              classification_weight: float = 1.0,
+              regression_weight: float = 1.0,
+              mu_regularization: float = 0.0,
+              sigma_regularization: float = 0.0):
   """Zero-inflated lognormal for LTV regression. logits3: [B, 3] =
-  (class logit, mu, sigma). Reference: loss/zero_inflated_lognormal.py."""
+  (class logit, mu, sigma). Reference: loss/zero_inflated_lognormal.py
+  + ZILNLoss params (protos: mu/sigma regularization, log clip,
+  classification/regression weights)."""
   labels = labels.astype(logits3.dtype)
   positive = (labels > 0).astype(logits3.dtype)
   class_logit = logits3[..., 0]
@@ -175,10 +182,17 @@ def ziln_loss(labels, logits3, weights=1.0, max_sigma: float = 5.0):
   sigma = jnp.minimum(jax.nn.softplus(logits3[..., 2]), max_sigma)
   sigma = jnp.maximum(sigma, 1e-6)
   safe_labels = positive * labels + (1 - positive)
-  log_l = jnp.log(safe_labels)
+  log_l = jnp.clip(jnp.log(safe_labels), -max_log_clip_value,
+                   max_log_clip_value)
   reg_loss = -positive * (-0.5 * jnp.square((log_l - mu) / sigma) -
                           jnp.log(sigma * safe_labels * 2.5066282746))
-  return _weighted_mean(class_loss + reg_loss, weights)
+  total = _weighted_mean(classification_weight * class_loss +
+                         regression_weight * reg_loss, weights)
+  if mu_regularization:
+    total = total + mu_regularization * jnp.mean(jnp.square(mu))
+  if sigma_regularization:
+    total = total + sigma_regularization * jnp.mean(jnp.square(sigma))
+  return total
 
 
 def kl_divergence_loss(soft_labels, logits, weights=1.0,

@@ -273,7 +273,15 @@ class RankModel(BaseModel):
       alpha = params.alpha if params is not None else 0.5
       return L.jrc_loss(labels, logits, sess, weights, alpha=alpha)
     if lt == LossType.ZILN_LOSS:
-      return L.ziln_loss(labels, logits, weights)
+      kw = {}
+      if params is not None:
+        kw = dict(max_sigma=params.max_sigma,
+                  max_log_clip_value=params.max_log_clip_value,
+                  classification_weight=params.classification_weight,
+                  regression_weight=params.regression_weight,
+                  mu_regularization=params.mu_regularization,
+                  sigma_regularization=params.sigma_regularization)
+      return L.ziln_loss(labels, logits, weights, **kw)
     if lt == LossType.LISTWISE_RANK_LOSS:
       sess = self._session(batch, params, required=True)
       kw = dict(temperature=params.temperature,

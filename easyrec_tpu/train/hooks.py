@@ -15,7 +15,11 @@ from typing import Dict, Optional
 
 
 class EarlyStopper:
-  """Metric-based early stopping (export_config.enable_early_stop)."""
+  """Metric-based early stopping (export_config.enable_early_stop).
+
+  export_config.early_stop_func switches to a user function loaded by
+  dotted path, called as fn(eval_results, early_stop_params) -> bool
+  (reference compat/early_stopping.py custom_early_stop_hook:285)."""
 
   def __init__(self, export_config):
     self.enabled = bool(export_config.enable_early_stop)
@@ -24,9 +28,19 @@ class EarlyStopper:
     self.max_check_steps = int(export_config.max_check_steps) or 10000
     self.best_value: Optional[float] = None
     self.best_step: int = 0
+    self.custom_fn = None
+    if export_config.early_stop_func:
+      from easyrec_tpu.utils.registry import load_by_path
+      self.custom_fn = load_by_path(export_config.early_stop_func)
+      self.custom_params = export_config.early_stop_params
+      self.enabled = True
 
   def should_stop(self, step: int, metrics: Dict[str, float]) -> bool:
-    if not self.enabled or self.metric not in metrics:
+    if not self.enabled:
+      return False
+    if self.custom_fn is not None:
+      return bool(self.custom_fn(dict(metrics), self.custom_params))
+    if self.metric not in metrics:
       return False
     value = metrics[self.metric]
     improved = self.best_value is None or (

@@ -416,6 +416,12 @@ class Trainer:
         # DummyInput streams forever (perf-testing input, reference
         # input/dummy_input.py); an unbounded eval would never end
         max_batches = 50
+    if max_batches is None and int(self.eval_config.num_examples):
+      # eval_config.num_examples caps the evaluated sample count
+      # (reference eval.proto num_examples)
+      bs = int(self.data_config.eval_batch_size) or \
+          int(self.data_config.batch_size)
+      max_batches = max(1, -(-int(self.eval_config.num_examples) // bs))
     metric_states = self.metrics.init_states()
     host_needed = bool(self.metrics.host_fields)
     buffers = {'labels': [], 'probs': []} if host_needed else None
@@ -485,6 +491,10 @@ class Trainer:
     num_steps = num_steps or (tc.num_steps or None)
     log_every = log_every or max(int(tc.log_step_count_steps), 1)
     save_every = int(tc.save_checkpoints_steps) or 1000
+    # time-based checkpoint cadence (reference train.proto
+    # save_checkpoints_secs; either trigger saves)
+    save_secs = int(tc.save_checkpoints_secs)
+    last_save_time = [time.time()]
 
     train_pipe = self.train_input()
     train_iter = iter(train_pipe)
@@ -639,7 +649,10 @@ class Trainer:
         if stop_signal is not None and stop_signal.should_stop():
           logging.warning('stop-signal file found; stopping training')
           stop_training = True
-      if manager is not None and step % save_every == 0:
+      save_due = step % save_every == 0 or (
+          save_secs and time.time() - last_save_time[0] >= save_secs)
+      if manager is not None and save_due:
+        last_save_time[0] = time.time()
         if self.ev_plan:
           from easyrec_tpu.features import ev as ev_lib2
           # TTL eviction sweep at checkpoint cadence (features/ev.py)
@@ -666,9 +679,13 @@ class Trainer:
                 step, online,
                 lambda d: export_saved_model(self, state, d))
           if stopper is not None and stopper.should_stop(step, online):
-            logging.info('early stopping at step %d (no %s improvement '
-                         'for %d steps)', step, stopper.metric,
-                         stopper.max_check_steps)
+            if stopper.custom_fn is not None:
+              logging.info('early stopping at step %d (early_stop_func '
+                           'returned True)', step)
+            else:
+              logging.info('early stopping at step %d (no %s improvement '
+                           'for %d steps)', step, stopper.metric,
+                           stopper.max_check_steps)
             stop_training = True
       if publisher is not None and step % incr_every == 0:
         publisher.publish(state, step)

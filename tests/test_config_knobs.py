@@ -1,0 +1,123 @@
+"""Long-tail config knobs: default_val fill, eval num_examples cap,
+save_checkpoints_secs, custom early_stop_func, ZILN loss params."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from easyrec_tpu.config import (get_configs_from_pipeline_file,
+                                get_configs_from_pipeline_str)
+from easyrec_tpu.config import config_util
+from easyrec_tpu.data.input_pipeline import InputPipeline
+from tests import fixtures
+
+
+def test_default_val_fills_missing(tmp_path):
+  path = os.path.join(str(tmp_path), 'd.csv')
+  with open(path, 'w') as f:
+    f.write('1,0.5,c1\n')
+    f.write('0,,c2\n')          # missing numeric -> default_val
+    f.write('1,2.5,c3\n')
+  text = """
+train_input_path: "%s"
+eval_input_path: "%s"
+data_config {
+  batch_size: 4
+  num_epochs: 1
+  shuffle: false
+  label_fields: "label"
+  input_fields { input_name: "label" input_type: FLOAT }
+  input_fields { input_name: "num" input_type: FLOAT
+                 default_val: "7.5" }
+  input_fields { input_name: "cat" input_type: STRING }
+  input_type: CSVInput
+}
+feature_config {
+  features { input_names: "num" feature_type: RawFeature }
+  features { input_names: "cat" feature_type: IdFeature
+              embedding_dim: 4 hash_bucket_size: 50 }
+}
+model_config { model_class: "DummyModel" }
+""" % (path, path)
+  cfg = get_configs_from_pipeline_str(text)
+  pipe = InputPipeline(cfg.data_config,
+                       config_util.get_feature_configs(cfg), path,
+                       mode='eval')
+  batch = next(iter(pipe))
+  np.testing.assert_allclose(batch['feat.num.dense'][:3, 0],
+                             [0.5, 7.5, 2.5])
+
+
+def test_eval_num_examples_caps_batches(tmp_path):
+  cfg = get_configs_from_pipeline_file(
+      fixtures.write_pipeline(tmp_path, num_steps=5, batch_size=64))
+  cfg.data_config.eval_batch_size = 64
+  cfg.eval_config.num_examples = 128          # -> 2 batches
+  from easyrec_tpu.train.trainer import Trainer
+  trainer = Trainer(cfg)
+  from easyrec_tpu.utils.synthetic import synthetic_batch
+  batch = synthetic_batch(trainer.specs, ['label'], 64, seed=1)
+  state = trainer.init_state(batch)
+
+  consumed = []
+
+  def counting_iter():
+    for i in range(100):
+      consumed.append(i)
+      yield batch
+  trainer.evaluate(state, eval_iter=counting_iter())
+  assert len(consumed) == 2, consumed
+
+
+def test_save_checkpoints_secs(tmp_path):
+  cfg_path = fixtures.write_pipeline(
+      tmp_path, num_steps=40,
+      extra='')
+  cfg = get_configs_from_pipeline_file(cfg_path)
+  cfg.train_config.save_checkpoints_steps = 100000   # never by step
+  cfg.train_config.save_checkpoints_secs = 1
+  from easyrec_tpu.train.trainer import Trainer
+  trainer = Trainer(cfg)
+  result = trainer.fit()
+  ckpt_dir = os.path.join(cfg.model_dir, 'checkpoints')
+  steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+  # a time-triggered save happened before the final forced save
+  assert len(steps) >= 2, steps
+  assert steps[0] < result['global_step'], steps
+
+
+def stop_when_good(eval_results, params):
+  return eval_results.get('auc', 0.0) > float(params)
+
+
+def test_custom_early_stop_func(tmp_path):
+  cfg_path = fixtures.write_pipeline(
+      tmp_path, num_steps=400,
+      extra='export_config { '
+            'early_stop_func: "tests.test_config_knobs.stop_when_good" '
+            'early_stop_params: "0.55" }\n')
+  cfg = get_configs_from_pipeline_file(cfg_path)
+  cfg.train_config.save_checkpoints_steps = 50  # eval cadence
+  from easyrec_tpu.train.trainer import Trainer
+  trainer = Trainer(cfg)
+  result = trainer.fit()
+  # the synthetic data reaches auc>0.55 quickly -> stops well before 400
+  assert result['global_step'] < 400, result['global_step']
+
+
+def test_ziln_loss_params():
+  import jax.numpy as jnp
+  from easyrec_tpu.losses.losses import ziln_loss
+  rng = np.random.default_rng(0)
+  labels = jnp.asarray(rng.uniform(0, 10, 64) *
+                       (rng.uniform(size=64) > 0.4))
+  logits = jnp.asarray(rng.normal(size=(64, 3)), jnp.float32)
+  base = float(ziln_loss(labels, logits))
+  reg = float(ziln_loss(labels, logits, mu_regularization=1.0,
+                        sigma_regularization=1.0))
+  assert reg > base
+  half = float(ziln_loss(labels, logits, classification_weight=0.5,
+                         regression_weight=0.5))
+  assert abs(half - base / 2) < 1e-4
