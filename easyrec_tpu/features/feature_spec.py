@@ -151,8 +151,11 @@ def build_feature_spec(config: FeatureConfig,
     seq_len = int(config.max_seq_len) or DEFAULT_MAX_SEQ_LEN
     sub = config.sub_feature_type
     if sub == FeatureType.RawFeature and not list(config.boundaries):
+      # numeric sequence: each position is raw_input_dim floats split by
+      # seq_multi_sep (reference input/input.py:677-747 raw seq parse)
       return FeatureSpec(
           name=name, kind='sequence', num_ids=seq_len, seq_is_dense=True,
+          value_dim=max(int(config.raw_input_dim), 1),
           embedding_dim=emb_dim, config=config)
     return FeatureSpec(
         name=name, kind='sequence', num_ids=seq_len,

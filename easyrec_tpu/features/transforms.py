@@ -378,19 +378,26 @@ class SequenceTransform(BaseTransform):
     sep = config.separator or '|'
     L = spec.num_ids
     if spec.seq_is_dense:
+      # numeric sequence -> [B, L, N]: positions split by `separator`,
+      # each position's N sub-values by `seq_multi_sep` (reference
+      # input/input.py raw seq parse w/ seq_multi_sep)
       strs = _to_numpy_str(col)
       n = strs.shape[0]
-      vals = np.zeros((n, L), dtype=np.float32)
+      sub_sep = config.seq_multi_sep or None
+      N = spec.value_dim
+      vals = np.zeros((n, L, N), dtype=np.float32)
       mask = np.zeros((n, L), dtype=np.float32)
       for i, s in enumerate(strs):
         if not s:
           continue
         parts = s.split(sep)[:L]
         for j, piece in enumerate(parts):
-          try:
-            vals[i, j] = float(piece)
-          except ValueError:
-            pass
+          subs = piece.split(sub_sep) if sub_sep else [piece]
+          for k, sub in enumerate(subs[:N]):
+            try:
+              vals[i, j, k] = float(sub)
+            except ValueError:
+              pass
           mask[i, j] = 1.0
       return {spec.dense_key: vals, spec.mask_key: mask}
     if config.hash_bucket_size > 0:

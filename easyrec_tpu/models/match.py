@@ -371,7 +371,8 @@ class _MINDModule(nn.Module):
     cfg = ctx.model_config.mind
     # history sequences from the 'hist' group (sequence features)
     hist_names = [f for f in ctx.group_features('hist')
-                  if ctx.specs[f].kind == 'sequence']
+                  if ctx.specs[f].kind == 'sequence' and
+                  f != cfg.time_id_fea]
     seqs, mask = [], None
     for h in hist_names:
       s, m = il.sequence_embedding(pulled, batch, h)
@@ -385,6 +386,14 @@ class _MINDModule(nn.Module):
         len(cfg.pre_capsule_dnn.hidden_units):
       hist = DNN.from_config(cfg.pre_capsule_dnn, name='pre_capsule')(
           hist, training)
+    if cfg.time_id_fea:
+      # time-id softmax weighting of the history (mind.py:95-101): the
+      # dim-1 time embedding is masked to -inf on padding and its
+      # per-position softmax reweights the sequence
+      t, tmask = il.sequence_embedding(pulled, batch, cfg.time_id_fea)
+      neg = (tmask.astype(hist.dtype) * 2 - 1) * 1e32
+      t = jnp.minimum(t, neg[:, :, None])
+      hist = hist * jax.nn.softmax(t, axis=1)
     caps = cfg.capsule_config
     interests, caps_mask = CapsuleLayer(
         max_k=int(caps.max_k) or 5,

@@ -160,6 +160,11 @@ class InputLayer:
                          batch: Dict[str, jnp.ndarray],
                          fname: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """([B, L, dim], mask [B, L]) for one sequence feature."""
+    spec = self.specs[fname]
+    if spec.seq_is_dense:
+      # numeric sequence: values come straight from the batch [B, L, N]
+      mask = batch['feat.%s.mask' % fname]
+      return batch[spec.dense_key] * mask[:, :, None], mask
     key, use = self.layout.feature_use[(fname, 'deep')]
     rows = jax.lax.slice_in_dim(pulled[key], use.start, use.start + use.k,
                                 axis=1)

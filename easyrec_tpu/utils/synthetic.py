@@ -33,7 +33,7 @@ def synthetic_batch(specs: Dict[str, FeatureSpec],
     elif spec.kind == 'sequence':
       if spec.seq_is_dense:
         batch[spec.dense_key] = rng.random(
-            (batch_size, spec.num_ids)).astype(np.float32)
+            (batch_size, spec.num_ids, spec.value_dim)).astype(np.float32)
         batch[spec.mask_key] = np.ones((batch_size, spec.num_ids),
                                        np.float32)
       else:

@@ -385,3 +385,123 @@ def test_dbmtl_order_calibrate_loss():
   assert float(loss_dict['order_calibrate_loss_ctr_cvr']) >= 0.0
   assert all(np.isfinite(losses)), losses
   assert losses[-1] < losses[0], losses
+
+
+MIND_TIME_ID_SECTION = DATA_SECTION.replace(
+    'input_fields { input_name: "seq_cate" input_type: STRING }',
+    'input_fields { input_name: "seq_cate" input_type: STRING }\n'
+    '  input_fields { input_name: "seq_time" input_type: STRING }').replace(
+    'features { input_names: "seq_cate" feature_type: SequenceFeature\n'
+    '             embedding_dim: 8 hash_bucket_size: 40 max_seq_len: 6 }',
+    'features { input_names: "seq_cate" feature_type: SequenceFeature\n'
+    '             embedding_dim: 8 hash_bucket_size: 40 max_seq_len: 6 }\n'
+    '  features { input_names: "seq_time" feature_type: SequenceFeature\n'
+    '             embedding_dim: 1 hash_bucket_size: 40 max_seq_len: 6 }')
+
+
+def test_mind_time_id_weighting():
+  """MIND time_id_fea softmax-reweights the history sequence
+  (reference mind.py:95-101: dim-1 time embedding, padding masked)."""
+  assert 'seq_time' in MIND_TIME_ID_SECTION  # replace() took effect
+  body = """
+  feature_groups {
+    group_name: "user"
+    feature_names: "uid" feature_names: "age"
+    wide_deep: DEEP
+  }
+  feature_groups {
+    group_name: "item"
+    feature_names: "iid" feature_names: "cate"
+    wide_deep: DEEP
+  }
+  feature_groups {
+    group_name: "hist"
+    feature_names: "seq_cate" feature_names: "seq_time"
+    wide_deep: DEEP
+  }
+  mind {
+    user_dnn { hidden_units: [16] use_bn: false }
+    item_dnn { hidden_units: [16] use_bn: false }
+    concat_dnn { hidden_units: [16] use_bn: false }
+    capsule_config { max_k: 3 max_seq_len: 6 high_dim: 8 }
+    item_id: "iid"
+    time_id_fea: "seq_time"
+  }
+  loss_type: SOFTMAX_CROSS_ENTROPY
+"""
+  text = MIND_TIME_ID_SECTION + \
+      'model_config {\n  model_class: "MIND"\n%s}\n' % body
+  cfg = get_configs_from_pipeline_str(text)
+  trainer = Trainer(cfg)
+  batch = synthetic_batch(trainer.specs, ['clk', 'buy'], 32, seed=3)
+  state = trainer.init_state(batch)
+  sharded = trainer.rules.shard_batch(batch)
+  losses = []
+  for _ in range(5):
+    state, loss_dict = trainer.train_step(state, sharded)
+    losses.append(float(loss_dict['total_loss']))
+  assert all(np.isfinite(losses)), losses
+  assert losses[-1] < losses[0], losses
+
+
+def test_numeric_raw_sequence_feature():
+  """SequenceFeature with sub_feature_type RawFeature + seq_multi_sep:
+  '0.1;0.2|0.3;0.4' -> [B, L, raw_input_dim] dense sequence consumed by
+  a tower via the default masked-mean combiner (reference
+  dbmtl_on_multi_numeric_raw_sequence_feature_taobao.config)."""
+  section = DATA_SECTION.replace(
+      'input_fields { input_name: "seq_cate" input_type: STRING }',
+      'input_fields { input_name: "seq_cate" input_type: STRING }\n'
+      '  input_fields { input_name: "seq_price" input_type: STRING }'
+  ).replace(
+      'features { input_names: "seq_cate" feature_type: SequenceFeature\n'
+      '             embedding_dim: 8 hash_bucket_size: 40 max_seq_len: 6 }',
+      'features { input_names: "seq_cate" feature_type: SequenceFeature\n'
+      '             embedding_dim: 8 hash_bucket_size: 40 max_seq_len: 6 }\n'
+      '  features { input_names: "seq_price" feature_type: SequenceFeature\n'
+      '             sub_feature_type: RawFeature raw_input_dim: 2\n'
+      '             separator: "|" seq_multi_sep: ";" max_seq_len: 6 }')
+  assert 'seq_price' in section
+  body = """
+  feature_groups {
+    group_name: "user"
+    feature_names: "uid" feature_names: "seq_price"
+    wide_deep: DEEP
+  }
+  feature_groups {
+    group_name: "item"
+    feature_names: "iid" feature_names: "cate"
+    wide_deep: DEEP
+  }
+  multi_tower {
+    towers { input: "user" dnn { hidden_units: [16, 8] use_bn: false } }
+    towers { input: "item" dnn { hidden_units: [16, 8] use_bn: false } }
+    final_dnn { hidden_units: [16] use_bn: false }
+  }
+"""
+  text = section + 'model_config {\n  model_class: "MultiTower"\n%s}\n' % body
+  cfg = get_configs_from_pipeline_str(text)
+  trainer = Trainer(cfg)
+
+  # transform-level check: two-level parse
+  from easyrec_tpu.features import transforms as tr
+  t = [x for x in trainer.specs.values() if x.name == 'seq_price'][0]
+  cols = {'seq_price': np.array(['0.1;0.2|0.3;0.4', '', '5;6'],
+                                dtype=object)}
+  out = tr.build_transforms({'seq_price': t})[0](cols)
+  vals, mask = out[t.dense_key], out[t.mask_key]
+  assert vals.shape == (3, 6, 2)
+  np.testing.assert_allclose(vals[0, 0], [0.1, 0.2])
+  np.testing.assert_allclose(vals[0, 1], [0.3, 0.4])
+  np.testing.assert_allclose(vals[2, 0], [5.0, 6.0])
+  np.testing.assert_allclose(mask[:, 0], [1, 0, 1])
+
+  batch = synthetic_batch(trainer.specs, ['clk', 'buy'], 32, seed=3)
+  state = trainer.init_state(batch)
+  sharded = trainer.rules.shard_batch(batch)
+  losses = []
+  for _ in range(5):
+    state, loss_dict = trainer.train_step(state, sharded)
+    losses.append(float(loss_dict['total_loss']))
+  assert all(np.isfinite(losses)), losses
+  assert losses[-1] < losses[0], losses
