@@ -94,6 +94,21 @@ class DNN(nn.Module):
     return x
 
 
+def _kernel_init(name: str):
+  table = {
+      'glorot_uniform': nn.initializers.glorot_uniform(),
+      'glorot_normal': nn.initializers.glorot_normal(),
+      'he_uniform': nn.initializers.he_uniform(),
+      'he_normal': nn.initializers.he_normal(),
+      'lecun_uniform': nn.initializers.lecun_uniform(),
+      'lecun_normal': nn.initializers.lecun_normal(),
+      'zeros': nn.initializers.zeros_init(),
+      'ones': nn.initializers.ones_init(),
+  }
+  return table.get((name or 'glorot_uniform').lower(),
+                   nn.initializers.glorot_uniform())
+
+
 class MLP(nn.Module):
   """Extended MLP used by the backbone DSL (protos/dnn.proto MLP)."""
   hidden_units: Sequence[int]
@@ -104,6 +119,8 @@ class MLP(nn.Module):
   use_bias: bool = False
   dropout_ratio: Sequence[float] = ()
   use_final_bias: bool = False
+  use_bn_after_activation: bool = False
+  kernel_initializer: str = 'glorot_uniform'
   compute_dtype: jnp.dtype = jnp.float32
 
   @classmethod
@@ -116,6 +133,10 @@ class MLP(nn.Module):
                use_bias=cfg.use_bias,
                dropout_ratio=tuple(cfg.dropout_ratio),
                use_final_bias=cfg.use_final_bias,
+               use_bn_after_activation=getattr(
+                   cfg, 'use_bn_after_activation', False),
+               kernel_initializer=getattr(cfg, 'initializer', '')
+               or 'he_uniform',
                name=name, **kwargs)
 
   @nn.compact
@@ -126,9 +147,10 @@ class MLP(nn.Module):
       is_last = (i == n - 1)
       use_bias = self.use_final_bias if is_last else self.use_bias
       x = nn.Dense(units, use_bias=use_bias, dtype=self.compute_dtype,
+                   kernel_init=_kernel_init(self.kernel_initializer),
                    name='dense_%d' % i)(x)
       use_bn = self.use_final_bn if is_last else self.use_bn
-      if use_bn:
+      if use_bn and not self.use_bn_after_activation:
         x = nn.BatchNorm(use_running_average=not training, momentum=0.99,
                          dtype=self.compute_dtype, name='bn_%d' % i)(x)
       act_name = self.final_activation if is_last else self.activation
@@ -137,6 +159,10 @@ class MLP(nn.Module):
         x = Dice(name='dice_%d' % i)(x, training)
       else:
         x = act(x)
+      if use_bn and self.use_bn_after_activation:
+        # PPNet-style post-activation BN (reference keras/ppnet.py:166)
+        x = nn.BatchNorm(use_running_average=not training, momentum=0.99,
+                         dtype=self.compute_dtype, name='bn_%d' % i)(x)
       if i < len(self.dropout_ratio) and self.dropout_ratio[i] > 0:
         x = nn.Dropout(self.dropout_ratio[i], deterministic=not training)(x)
     return x

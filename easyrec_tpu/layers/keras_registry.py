@@ -235,6 +235,9 @@ def _build_mlp(p: Parameter, name: str):
              use_bias=p.get_bool('use_bias', False),
              dropout_ratio=tuple(p.get_list('dropout_ratio')),
              use_final_bias=p.get_bool('use_final_bias', False),
+             use_bn_after_activation=p.get_bool('use_bn_after_activation',
+                                                False),
+             kernel_initializer=p.get_str('initializer', 'he_uniform'),
              name=name)
 
 

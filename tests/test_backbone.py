@@ -288,3 +288,22 @@ KERAS_FALLBACK_BODY = """
 def test_backbone_keras_fallback_layers(tmp_path):
   result = _train(tmp_path, KERAS_FALLBACK_BODY)
   assert result['eval_metrics']['auc'] > 0.7, result['eval_metrics']
+
+
+def test_mlp_bn_after_activation_and_initializer():
+  import jax
+  import jax.numpy as jnp
+  from easyrec_tpu.layers.dnn import MLP
+  x = jnp.ones((4, 8))
+  m = MLP(hidden_units=(16, 8), use_bn=True, use_final_bn=True,
+          use_bn_after_activation=True, kernel_initializer='zeros')
+  vars_ = m.init(jax.random.PRNGKey(0), x, True)
+  # zeros initializer -> all kernels zero
+  k = vars_['params']['dense_0']['kernel']
+  assert float(jnp.abs(k).max()) == 0.0
+  y, _ = m.apply(vars_, x, True, mutable=['batch_stats'])
+  assert np.isfinite(np.asarray(y)).all()
+  # default initializer path still works, pre-activation BN
+  m2 = MLP(hidden_units=(16, 8))
+  vars2 = m2.init(jax.random.PRNGKey(0), x, True)
+  assert float(jnp.abs(vars2['params']['dense_0']['kernel']).max()) > 0
