@@ -49,7 +49,8 @@ def sigmoid_l2_loss(labels, logits, weights=1.0):
 
 
 def binary_focal_loss(labels, logits, weights=1.0, gamma: float = 2.0,
-                      alpha=None, label_smoothing: float = 0.0):
+                      alpha=None, label_smoothing: float = 0.0,
+                      ohem_ratio: float = 1.0):
   labels = labels.astype(logits.dtype)
   if label_smoothing > 0:
     labels = labels * (1 - label_smoothing) + 0.5 * label_smoothing
@@ -61,6 +62,10 @@ def binary_focal_loss(labels, logits, weights=1.0, gamma: float = 2.0,
   if alpha is not None:
     a_t = alpha * labels + (1 - alpha) * (1 - labels)
     mod = mod * a_t
+  if ohem_ratio < 1.0:
+    w = jnp.broadcast_to(jnp.asarray(weights, logits.dtype),
+                         logits.shape)
+    return _ohem_mean(mod * ce, w, ohem_ratio)
   return _weighted_mean(mod * ce, weights)
 
 
@@ -74,6 +79,22 @@ def f1_reweighted_loss(labels, logits, weights=1.0,
   per = -(f1_beta_square * labels_f * jnp.log(p + 1e-9) +
           (1 - labels_f) * jnp.log(1 - p + 1e-9) * (1 - p))
   return _weighted_mean(per, weights)
+
+
+def _ohem_mean(per, weights, ohem_ratio: float):
+  """Online hard example mining (reference loss/focal_loss.py:79-93):
+  keep the top ceil(ratio * n_valid) weighted losses (and only positive
+  ones), mean over the kept set. Static-shape formulation: sort the
+  full array and gate by the cumulative count of valid entries."""
+  flat = (per * weights).ravel()
+  valid = ((jnp.asarray(weights) > 0) & (per > 0)).ravel()
+  valid_f = valid.astype(flat.dtype)
+  order = jnp.argsort(-flat)
+  sorted_loss = flat[order]
+  sorted_valid = valid_f[order]
+  n_keep = jnp.ceil(jnp.sum(valid_f) * ohem_ratio)
+  keep = sorted_valid * (jnp.cumsum(sorted_valid) <= n_keep)
+  return jnp.sum(sorted_loss * keep) / jnp.maximum(jnp.sum(keep), 1.0)
 
 
 def _pairwise_diffs(scores, labels, weights, session_ids=None):
@@ -92,28 +113,35 @@ def _pairwise_diffs(scores, labels, weights, session_ids=None):
 
 
 def pairwise_loss(labels, logits, weights=1.0, margin: float = 0.0,
-                  session_ids=None, temperature: float = 1.0):
+                  session_ids=None, temperature: float = 1.0,
+                  ohem_ratio: float = 1.0):
   diff, pair_w = _pairwise_diffs(logits / temperature, labels, weights,
                                  session_ids)
   per = jnp.log1p(jnp.exp(-(diff - margin)))
+  if ohem_ratio < 1.0:
+    return _ohem_mean(per, pair_w, ohem_ratio)
   return jnp.sum(per * pair_w) / jnp.maximum(jnp.sum(pair_w), 1e-9)
 
 
 def pairwise_logistic_loss(labels, logits, weights=1.0,
                            temperature: float = 1.0,
-                           hinge_margin=None, session_ids=None):
+                           hinge_margin=None, session_ids=None,
+                           ohem_ratio: float = 1.0):
   diff, pair_w = _pairwise_diffs(logits / temperature, labels, weights,
                                  session_ids)
   if hinge_margin is not None:
     keep = (diff < hinge_margin).astype(diff.dtype)
     pair_w = pair_w * keep
   per = jnp.log1p(jnp.exp(-diff))
+  if ohem_ratio < 1.0:
+    return _ohem_mean(per, pair_w, ohem_ratio)
   return jnp.sum(per * pair_w) / jnp.maximum(jnp.sum(pair_w), 1e-9)
 
 
 def pairwise_focal_loss(labels, logits, weights=1.0, gamma: float = 2.0,
                         alpha=None, hinge_margin: float = 1.0,
-                        temperature: float = 1.0, session_ids=None):
+                        temperature: float = 1.0, session_ids=None,
+                        ohem_ratio: float = 1.0):
   diff, pair_w = _pairwise_diffs(logits / temperature, labels, weights,
                                  session_ids)
   keep = (diff < hinge_margin).astype(diff.dtype)
@@ -122,19 +150,46 @@ def pairwise_focal_loss(labels, logits, weights=1.0, gamma: float = 2.0,
   per = -jnp.power(1 - p, gamma) * jnp.log(p + 1e-9)
   if alpha is not None:
     per = per * alpha
+  if ohem_ratio < 1.0:
+    return _ohem_mean(per, pair_w, ohem_ratio)
   return jnp.sum(per * pair_w) / jnp.maximum(jnp.sum(pair_w), 1e-9)
 
 
 def pairwise_hinge_loss(labels, logits, weights=1.0, margin: float = 1.0,
-                        temperature: float = 1.0, session_ids=None):
-  diff, pair_w = _pairwise_diffs(logits / temperature, labels, weights,
-                                 session_ids)
-  per = jnp.maximum(0.0, margin - diff)
+                        temperature: float = 1.0, session_ids=None,
+                        label_is_logits: bool = True,
+                        use_label_margin: bool = True,
+                        use_exponent: bool = False,
+                        ohem_ratio: float = 1.0):
+  """Reference loss/pairwise_loss.py pairwise_hinge_loss: the margin is
+  the label difference by default (use_label_margin), labels scale with
+  temperature when they are logits, and use_exponent applies
+  relu(exp(diff) - 1)."""
+  labels = labels.astype(logits.dtype)
+  scores = logits / temperature
+  lbl = labels / temperature if label_is_logits else labels
+  if use_exponent:
+    lbl = jax.nn.sigmoid(lbl)
+    scores = jax.nn.sigmoid(scores)
+  diff, pair_w = _pairwise_diffs(scores, lbl, weights, session_ids)
+  if use_label_margin:
+    hinge_in = (lbl[:, None] - lbl[None, :]) - diff
+  else:
+    hinge_in = margin - diff
+  if use_exponent:
+    per = jax.nn.relu(jnp.exp(jnp.clip(hinge_in, -88.0, 88.0)) - 1.0)
+  else:
+    per = jax.nn.relu(hinge_in)
+  if ohem_ratio < 1.0:
+    return _ohem_mean(per, pair_w, ohem_ratio)
   return jnp.sum(per * pair_w) / jnp.maximum(jnp.sum(pair_w), 1e-9)
 
 
-def jrc_loss(labels, logits2, session_ids, weights=1.0, alpha: float = 0.5):
-  """Joint ranking & calibration (CIKM'22). logits2: [B, 2]."""
+def jrc_loss(labels, logits2, session_ids, weights=1.0, alpha: float = 0.5,
+             same_label_loss: bool = True):
+  """Joint ranking & calibration (CIKM'22). logits2: [B, 2].
+  same_label_loss=False removes same-label competitors from each
+  sample's in-session softmax (reference loss/jrc_loss.py:72-85)."""
   labels = labels.astype(jnp.int32)
   ce = softmax_cross_entropy(labels, logits2, weights)
   # in-session listwise: for each sample, softmax its class logit over the
@@ -143,6 +198,10 @@ def jrc_loss(labels, logits2, session_ids, weights=1.0, alpha: float = 0.5):
   same = (session_ids[:, None] == session_ids[None, :]).astype(
       logits2.dtype)
   mask_diag = same
+  if not same_label_loss:
+    eye = jnp.eye(b, dtype=bool)
+    same_lbl = (labels[:, None] == labels[None, :]) & ~eye
+    mask_diag = mask_diag * (1.0 - same_lbl.astype(logits2.dtype))
   logits_pos = logits2[:, 1]
   logits_neg = logits2[:, 0]
 
@@ -211,8 +270,14 @@ def kl_divergence_loss(soft_labels, logits, weights=1.0,
 
 def listwise_rank_loss(labels, logits, session_ids, weights=1.0,
                        temperature: float = 1.0,
-                       label_is_logits: bool = False):
-  """Softmax CE of in-session score distribution vs label distribution."""
+                       label_is_logits: bool = False,
+                       transform_fn: str = ''):
+  """Softmax CE of in-session score distribution vs label distribution.
+  transform_fn (dotted path) preprocesses the label vector (reference
+  loss/listwise_loss.py)."""
+  if transform_fn:
+    from easyrec_tpu.utils.registry import load_by_path
+    labels = load_by_path(transform_fn)(labels)
   same = (session_ids[:, None] == session_ids[None, :])
   scores = jnp.where(same, (logits / temperature)[None, :], -1e9)
   logp = jax.nn.log_softmax(scores, axis=1)
@@ -224,6 +289,25 @@ def listwise_rank_loss(labels, logits, session_ids, weights=1.0,
     target = lbl / jnp.maximum(lbl.sum(axis=1, keepdims=True), 1e-9)
   per = -jnp.sum(target * logp, axis=1)
   return _weighted_mean(per, weights)
+
+
+def listwise_distill_loss(labels, logits, session_ids, weights=1.0,
+                          temperature: float = 1.0,
+                          label_clip_max_value: float = 512.0,
+                          transform_fn: str = ''):
+  """Distill a teacher's ranking positions: labels are positions
+  (1 = best); default transform log1p(max) - log(pos) converts them to
+  relevance (reference loss/listwise_loss.py:102-150; scale_logits'
+  learned affine lives model-side, not in this pure fn)."""
+  lbl = jnp.clip(labels.astype(logits.dtype), 1.0, label_clip_max_value)
+  if transform_fn:
+    from easyrec_tpu.utils.registry import load_by_path
+    lbl = load_by_path(transform_fn)(lbl)
+  else:
+    lbl = jnp.log1p(label_clip_max_value) - jnp.log(lbl)
+  return listwise_rank_loss(lbl, logits, session_ids, weights,
+                            temperature=temperature,
+                            label_is_logits=False)
 
 
 def circle_loss(embeddings, labels, weights=1.0, margin: float = 0.25,

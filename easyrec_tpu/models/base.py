@@ -228,7 +228,8 @@ class RankModel(BaseModel):
       if params is not None:
         kw = dict(gamma=params.gamma,
                   alpha=params.alpha if params.HasField('alpha') else None,
-                  label_smoothing=params.label_smoothing)
+                  label_smoothing=params.label_smoothing,
+                  ohem_ratio=params.ohem_ratio)
       return L.binary_focal_loss(labels, logits, weights, **kw)
     if lt == LossType.F1_REWEIGHTED_LOSS:
       kw = {}
@@ -238,7 +239,8 @@ class RankModel(BaseModel):
       return L.f1_reweighted_loss(labels, logits, weights, **kw)
     if lt == LossType.PAIR_WISE_LOSS:
       sess = self._session(batch, params)
-      kw = dict(margin=params.margin, temperature=params.temperature) \
+      kw = dict(margin=params.margin,
+                temperature=params.temperature) \
           if params is not None else {}
       return L.pairwise_loss(labels, logits, weights, session_ids=sess,
                              **kw)
@@ -248,7 +250,8 @@ class RankModel(BaseModel):
       if params is not None:
         kw = dict(temperature=params.temperature,
                   hinge_margin=params.hinge_margin
-                  if params.HasField('hinge_margin') else None)
+                  if params.HasField('hinge_margin') else None,
+                  ohem_ratio=params.ohem_ratio)
       return L.pairwise_logistic_loss(labels, logits, weights,
                                       session_ids=sess, **kw)
     if lt == LossType.PAIRWISE_FOCAL_LOSS:
@@ -258,20 +261,27 @@ class RankModel(BaseModel):
         kw = dict(gamma=params.gamma,
                   alpha=params.alpha if params.HasField('alpha') else None,
                   hinge_margin=params.hinge_margin,
-                  temperature=params.temperature)
+                  temperature=params.temperature,
+                  ohem_ratio=params.ohem_ratio)
       return L.pairwise_focal_loss(labels, logits, weights,
                                    session_ids=sess, **kw)
     if lt == LossType.PAIRWISE_HINGE_LOSS:
       sess = self._session(batch, params)
       kw = {}
       if params is not None:
-        kw = dict(temperature=params.temperature, margin=params.margin)
+        kw = dict(temperature=params.temperature, margin=params.margin,
+                  label_is_logits=params.label_is_logits,
+                  use_label_margin=params.use_label_margin,
+                  use_exponent=params.use_exponent,
+                  ohem_ratio=params.ohem_ratio)
       return L.pairwise_hinge_loss(labels, logits, weights,
                                    session_ids=sess, **kw)
     if lt == LossType.JRC_LOSS:
       sess = self._session(batch, params, required=True)
       alpha = params.alpha if params is not None else 0.5
-      return L.jrc_loss(labels, logits, sess, weights, alpha=alpha)
+      same_lbl = params.same_label_loss if params is not None else True
+      return L.jrc_loss(labels, logits, sess, weights, alpha=alpha,
+                        same_label_loss=same_lbl)
     if lt == LossType.ZILN_LOSS:
       kw = {}
       if params is not None:
@@ -285,9 +295,17 @@ class RankModel(BaseModel):
     if lt == LossType.LISTWISE_RANK_LOSS:
       sess = self._session(batch, params, required=True)
       kw = dict(temperature=params.temperature,
-                label_is_logits=params.label_is_logits) \
+                label_is_logits=params.label_is_logits,
+                transform_fn=params.transform_fn) \
           if params is not None else {}
       return L.listwise_rank_loss(labels, logits, sess, weights, **kw)
+    if lt == LossType.LISTWISE_DISTILL_LOSS:
+      sess = self._session(batch, params, required=True)
+      kw = dict(temperature=params.temperature,
+                label_clip_max_value=params.label_clip_max_value,
+                transform_fn=params.transform_fn) \
+          if params is not None else {}
+      return L.listwise_distill_loss(labels, logits, sess, weights, **kw)
     raise ValueError('unsupported loss type %s for rank model' % lt)
 
   def _session(self, batch, params, required: bool = False):
