@@ -142,8 +142,14 @@ def build_feature_spec(config: FeatureConfig,
                        config=config)
 
   if ftype == FeatureType.ComboFeature:
+    # combo_input_seps: multi-valued inputs cross-producted per row
+    # (reference input/input.py:378-430 sparse_cross) — static cap on
+    # crosses via max_multi_len (default 8)
+    n_ids = 1
+    if list(config.combo_input_seps):
+      n_ids = int(config.max_multi_len) or 8
     return FeatureSpec(
-        name=name, kind='categorical', num_ids=1,
+        name=name, kind='categorical', num_ids=n_ids,
         table_name=table_name, rows=table_rows(config),
         embedding_dim=emb_dim, combiner=combiner, config=config)
 

@@ -280,23 +280,56 @@ class RawTransform(BaseTransform):
 
 
 class ComboTransform(BaseTransform):
-  """Cross of several inputs, hashed into one id."""
+  """Cross of several inputs, hashed into ids.
+
+  With combo_input_seps, each input is split by its own separator and
+  the per-row cross product of values is emitted (reference
+  input/input.py:378-430 sparse_cross), capped at spec.num_ids."""
 
   def __call__(self, columns):
+    import itertools
     spec, config = self.spec, self.config
     join = config.combo_join_sep or '\x1d'
     cols = [_to_numpy_str(columns[name]) for name in config.input_names]
     n = cols[0].shape[0]
-    joined = np.empty(n, dtype=object)
+    seps = list(config.combo_input_seps)
+    use_vocab = bool(config.num_buckets or config.vocab_list or
+                     config.vocab_file)
+    if not seps:
+      joined = np.empty(n, dtype=object)
+      for i in range(n):
+        joined[i] = join.join(str(c[i]) for c in cols)
+      ids = _lookup_ids(joined, config, spec.rows) if use_vocab else \
+          hashing.hash_strings(joined, spec.rows)
+      return {
+          spec.ids_key: ids.astype(np.int32)[:, None],
+          spec.weights_key: np.ones((n, 1), np.float32),
+      }
+    K = spec.num_ids
+    flat, pos = [], []
+    counts = np.zeros(n, dtype=np.int32)
     for i in range(n):
-      joined[i] = join.join(str(c[i]) for c in cols)
-    ids = _lookup_ids(joined, config, spec.rows) if (
-        config.num_buckets or config.vocab_list or config.vocab_file) else \
-        hashing.hash_strings(joined, spec.rows)
-    nonempty = np.ones(n, dtype=np.float32)
+      parts = []
+      for c, sep in zip(cols, seps + [''] * (len(cols) - len(seps))):
+        s = str(c[i])
+        parts.append(s.split(sep) if sep and s else [s])
+      for j, combo in enumerate(itertools.product(*parts)):
+        if j >= K:
+          break
+        flat.append(join.join(combo))
+        pos.append((i, j))
+        counts[i] = j + 1
+    ids = np.zeros((n, K), dtype=np.int64)
+    if flat:
+      arr = np.array(flat, dtype=object)
+      hashed = _lookup_ids(arr, config, spec.rows) if use_vocab else \
+          hashing.hash_strings(arr, spec.rows)
+      for (i, j), h in zip(pos, hashed):
+        ids[i, j] = h
+    weights = (np.arange(K)[None, :] < counts[:, None]).astype(np.float32)
     return {
-        spec.ids_key: ids.astype(np.int32)[:, None],
-        spec.weights_key: nonempty[:, None],
+        spec.ids_key: ids.astype(np.int32),
+        spec.weights_key: weights,
     }
 
 

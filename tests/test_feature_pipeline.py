@@ -180,3 +180,36 @@ def test_csv_pipeline_sharding(cfg, tmp_path):
     seen.append(n)
   assert sum(seen) == 40
   assert seen[0] == 20
+
+
+def test_combo_input_seps_cross():
+  """combo_input_seps: per-input splits cross-producted per row
+  (reference input/input.py:378-430 sparse_cross)."""
+  import numpy as np
+  from easyrec_tpu.features import feature_spec as fs
+  from easyrec_tpu.features import transforms as tr
+  from easyrec_tpu.protos import data_pb2
+
+  fc = data_pb2.FeatureConfig()
+  fc.input_names.extend(['a', 'b'])
+  fc.feature_name = 'ab'
+  fc.feature_type = fc.ComboFeature
+  fc.embedding_dim = 4
+  fc.hash_bucket_size = 1000
+  fc.combo_join_sep = '_'
+  fc.combo_input_seps.extend(['|', ','])
+  fc.max_multi_len = 6
+  spec = fs.build_feature_spec(fc)
+  assert spec.num_ids == 6
+  t = tr.build_transforms({'ab': spec})[0]
+  out = t({'a': np.array(['x|y', 'z', ''], dtype=object),
+           'b': np.array(['1,2', '3', '4'], dtype=object)})
+  ids, w = out[spec.ids_key], out[spec.weights_key]
+  assert ids.shape == (3, 6)
+  # row 0: x_1, x_2, y_1, y_2 -> 4 crosses
+  np.testing.assert_allclose(w[0], [1, 1, 1, 1, 0, 0])
+  np.testing.assert_allclose(w[1], [1, 0, 0, 0, 0, 0])
+  # same cross hashes identically across rows
+  from easyrec_tpu.ops import hashing
+  exp = hashing.hash_strings(np.array(['x_1'], dtype=object), spec.rows)
+  assert ids[0, 0] == exp[0]
