@@ -166,9 +166,30 @@ class _MultiTowerModule(nn.Module):
 
   def _din_tower(self, tower, batch, pulled, training):
     query, hist, mask = self._seq_group_tensors(tower.input, batch, pulled)
+    group = self.ctx.seq_att_groups[tower.input]
+    need_key = getattr(group, 'need_key_feature', True)
+    if not need_key:
+      # no target key: the masked mean of the history is the query
+      # (reference seq_input_layer need_key_feature=false)
+      denom = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
+      query = (hist * mask[:, :, None]).sum(axis=1) / denom
+    elif query.shape[-1] != hist.shape[-1]:
+      if not getattr(group, 'allow_key_transform', False):
+        raise ValueError(
+            'seq_att group %r: key dim %d != hist dim %d; set '
+            'allow_key_transform to project the key'
+            % (tower.input, query.shape[-1], hist.shape[-1]))
+      query = nn.Dense(hist.shape[-1],
+                       name='key_transform_%s' % tower.input)(query)
     att = DinAttention(
         attention_dims=tuple(tower.dnn.hidden_units)[:-1] or (32,),
         name='din_%s' % tower.input)(query, hist, mask, training)
+    seq_dnn = getattr(group, 'seq_dnn', None)
+    if seq_dnn is not None and len(seq_dnn.hidden_units):
+      att = DNN.from_config(seq_dnn, name='seq_dnn_%s' % tower.input)(
+          att, training)
+    if not need_key:
+      return att
     return jnp.concatenate([att, query], axis=1)
 
   def _bst_tower(self, tower, batch, pulled, training):

@@ -505,3 +505,60 @@ def test_numeric_raw_sequence_feature():
     losses.append(float(loss_dict['total_loss']))
   assert all(np.isfinite(losses)), losses
   assert losses[-1] < losses[0], losses
+
+
+def test_din_key_transform_and_seq_dnn():
+  """seq_att group options: allow_key_transform projects a mismatched
+  key to the history dim; seq_dnn post-processes the attention output;
+  need_key_feature=false drops the key (mean-pooled query)."""
+  section = DATA_SECTION.replace(
+      'features { input_names: "cate" feature_type: IdFeature\n'
+      '             embedding_dim: 8 hash_bucket_size: 40 }',
+      'features { input_names: "cate" feature_type: IdFeature\n'
+      '             embedding_dim: 12 hash_bucket_size: 40 }')
+  body = USER_ITEM_GROUPS + """
+  seq_att_groups {
+    group_name: "din"
+    seq_att_map { key: "cate" hist_seq: "seq_cate" }
+    allow_key_transform: true
+    seq_dnn { hidden_units: [8] use_bn: false }
+  }
+  multi_tower {
+    towers { input: "user" dnn { hidden_units: [16, 8] use_bn: false } }
+    din_towers { input: "din" dnn { hidden_units: [8, 1] } }
+    final_dnn { hidden_units: [16] use_bn: false }
+  }
+"""
+  # key dim 12 vs hist dim 8 -> transform required and allowed
+  text = section + 'model_config {\n  model_class: "MultiTowerDIN"\n%s}\n' \
+      % body
+  cfg = get_configs_from_pipeline_str(text)
+  trainer = Trainer(cfg)
+  batch = synthetic_batch(trainer.specs, ['clk', 'buy'], 32, seed=3)
+  state = trainer.init_state(batch)
+  sharded = trainer.rules.shard_batch(batch)
+  losses = []
+  for _ in range(5):
+    state, loss_dict = trainer.train_step(state, sharded)
+    losses.append(float(loss_dict['total_loss']))
+  assert all(np.isfinite(losses)) and losses[-1] < losses[0], losses
+
+  # without allow_key_transform the mismatch is a clear error
+  bad = text.replace('allow_key_transform: true', '')
+  cfg_bad = get_configs_from_pipeline_str(bad)
+  trainer_bad = Trainer(cfg_bad)
+  import pytest as _pytest
+  with _pytest.raises(ValueError, match='allow_key_transform'):
+    b = synthetic_batch(trainer_bad.specs, ['clk', 'buy'], 32, seed=3)
+    trainer_bad.init_state(b)
+
+  # need_key_feature=false: no key needed at all
+  nk = text.replace('allow_key_transform: true',
+                    'need_key_feature: false')
+  cfg_nk = get_configs_from_pipeline_str(nk)
+  trainer_nk = Trainer(cfg_nk)
+  b = synthetic_batch(trainer_nk.specs, ['clk', 'buy'], 32, seed=3)
+  state = trainer_nk.init_state(b)
+  sharded = trainer_nk.rules.shard_batch(b)
+  _, loss_dict = trainer_nk.train_step(state, sharded)
+  assert np.isfinite(float(loss_dict['total_loss']))
