@@ -301,8 +301,18 @@ class _DBMTLModule(nn.Module):
     ctx = self.ctx
     il = ctx.input_layer
     cfg = ctx.model_config.dbmtl
-    group = next(iter(ctx.groups))
-    x = il.group_concat(pulled, batch, ctx.group_features(group))
+    if cfg.HasField('bottom_cmbf'):
+      # multimodal bottom (reference dbmtl.py + dbmtl_cmbf configs)
+      from easyrec_tpu.models.rank_extra import CMBFEncoder
+      x = CMBFEncoder(ctx, cfg.bottom_cmbf, name='bottom_cmbf')(
+          batch, pulled, training)
+    elif cfg.HasField('bottom_uniter'):
+      from easyrec_tpu.models.rank_extra import UniterEncoder
+      x = UniterEncoder(ctx, cfg.bottom_uniter, name='bottom_uniter')(
+          batch, pulled, training)
+    else:
+      group = next(iter(ctx.groups))
+      x = il.group_concat(pulled, batch, ctx.group_features(group))
     if cfg.HasField('bottom_dnn') and len(cfg.bottom_dnn.hidden_units):
       x = DNN.from_config(cfg.bottom_dnn, name='bottom_dnn')(x, training)
     towers = list(cfg.task_towers)

@@ -147,18 +147,17 @@ def _other_features(ctx, pulled, batch):
   return None
 
 
-class _CMBFModule(nn.Module):
-  """Cross-Modal-Based Fusion: per-modality self attention, then
-  bidirectional cross-modal attention (reference model/cmbf.py,
-  layers/cmbf.py)."""
+class CMBFEncoder(nn.Module):
+  """Cross-Modal-Based Fusion encoder: per-modality self attention +
+  bidirectional cross-modal attention -> fused vector (reference
+  model/cmbf.py, layers/cmbf.py). Reused as DBMTL's bottom_cmbf."""
   ctx: Any
-  num_logits: int
+  cfg: Any        # CMBFTower proto
 
   @nn.compact
   def __call__(self, batch, pulled, training: bool = False):
     ctx = self.ctx
-    cfg = ctx.model_config.cmbf.config
-    final_dnn = ctx.model_config.cmbf.final_dnn
+    cfg = self.cfg
 
     img = _image_tokens(ctx, batch, int(cfg.image_feature_patch_num) or 1,
                         'cmbf')
@@ -210,9 +209,20 @@ class _CMBFModule(nn.Module):
         other = DNN.from_config(cfg.other_feature_dnn,
                                 name='other_dnn')(other, training)
       parts.append(other)
-    h = jnp.concatenate(parts, axis=-1)
-    if len(final_dnn.hidden_units):
-      h = DNN.from_config(final_dnn, name='final_dnn')(h, training)
+    return jnp.concatenate(parts, axis=-1)
+
+
+class _CMBFModule(nn.Module):
+  ctx: Any
+  num_logits: int
+
+  @nn.compact
+  def __call__(self, batch, pulled, training: bool = False):
+    cmbf = self.ctx.model_config.cmbf
+    h = CMBFEncoder(self.ctx, cmbf.config, name='encoder')(
+        batch, pulled, training)
+    if len(cmbf.final_dnn.hidden_units):
+      h = DNN.from_config(cmbf.final_dnn, name='final_dnn')(h, training)
     return {'raw_logits': nn.Dense(self.num_logits, name='logits')(h)}
 
 
@@ -225,17 +235,17 @@ class CMBF(RankModel):
     return _WithPrediction(self, _CMBFModule(self.ctx, self.logits_dim()))
 
 
-class _UniterModule(nn.Module):
-  """UNITER-style single-stream fusion: one transformer over concatenated
-  [image tokens; text tokens] (reference model/uniter.py)."""
+class UniterEncoder(nn.Module):
+  """UNITER-style single-stream fusion encoder: one transformer over
+  concatenated [image tokens; text tokens] -> fused vector (reference
+  model/uniter.py). Reused as DBMTL's bottom_uniter."""
   ctx: Any
-  num_logits: int
+  cfg: Any       # UniterTower proto
 
   @nn.compact
   def __call__(self, batch, pulled, training: bool = False):
     ctx = self.ctx
-    uniter = ctx.model_config.uniter
-    cfg = uniter.config
+    cfg = self.cfg
     d = int(cfg.hidden_size) or 64
 
     img = _image_tokens(ctx, batch, 1, 'uniter')
@@ -265,7 +275,18 @@ class _UniterModule(nn.Module):
         other = DNN.from_config(cfg.other_feature_dnn,
                                 name='other_dnn')(other, training)
       parts.append(other)
-    h = jnp.concatenate(parts, axis=-1)
+    return jnp.concatenate(parts, axis=-1)
+
+
+class _UniterModule(nn.Module):
+  ctx: Any
+  num_logits: int
+
+  @nn.compact
+  def __call__(self, batch, pulled, training: bool = False):
+    uniter = self.ctx.model_config.uniter
+    h = UniterEncoder(self.ctx, uniter.config, name='encoder')(
+        batch, pulled, training)
     if len(uniter.final_dnn.hidden_units):
       h = DNN.from_config(uniter.final_dnn, name='final_dnn')(h, training)
     return {'raw_logits': nn.Dense(self.num_logits, name='logits')(h)}

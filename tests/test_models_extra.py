@@ -195,3 +195,57 @@ def test_metric_learning_trains():
     losses.append(float(loss_dict['total_loss']))
   assert all(np.isfinite(losses)), losses
   assert losses[-1] < losses[0], losses
+
+
+def test_dbmtl_cmbf_bottom():
+  """DBMTL with a CMBF multimodal bottom (reference
+  dbmtl_cmbf_on_movielens.config): the fused image+text encoding feeds
+  the task towers."""
+  body = """
+  feature_groups {
+    group_name: "image" feature_names: "img_vec" wide_deep: DEEP
+  }
+  feature_groups {
+    group_name: "text"
+    feature_names: "cate" feature_names: "title" wide_deep: DEEP
+  }
+  feature_groups {
+    group_name: "other"
+    feature_names: "uid" feature_names: "age" wide_deep: DEEP
+  }
+  dbmtl {
+    bottom_cmbf {
+      multi_head_num: 2
+      image_multi_head_num: 2
+      text_multi_head_num: 2
+      text_head_size: 8
+      image_head_size: 8
+      image_feature_patch_num: 4
+      text_self_attention_layer_num: 1
+      cross_modal_layer_num: 1
+      other_feature_dnn { hidden_units: [8] use_bn: false }
+    }
+    bottom_dnn { hidden_units: [16] use_bn: false }
+    task_towers {
+      tower_name: "ctr" label_name: "clk"
+      dnn { hidden_units: [8] use_bn: false }
+    }
+    task_towers {
+      tower_name: "cvr" label_name: "clk"
+      dnn { hidden_units: [8] use_bn: false }
+      relation_tower_names: "ctr"
+      relation_dnn { hidden_units: [8] use_bn: false }
+    }
+  }
+"""
+  text = DATA_SECTION + 'model_config {\n  model_class: "DBMTL"\n%s}\n' % body
+  cfg = get_configs_from_pipeline_str(text)
+  trainer = Trainer(cfg)
+  batch = synthetic_batch(trainer.specs, ['clk'], 32, seed=3)
+  state = trainer.init_state(batch)
+  sharded = trainer.rules.shard_batch(batch)
+  losses = []
+  for _ in range(6):
+    state, loss_dict = trainer.train_step(state, sharded)
+    losses.append(float(loss_dict['total_loss']))
+  assert all(np.isfinite(losses)) and losses[-1] < losses[0], losses
