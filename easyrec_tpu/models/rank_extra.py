@@ -91,16 +91,24 @@ class RocketLaunching(RankModel):
     total = l_light + l_booster + hint
     cfg = self.config.rocket_launching
     if cfg.feature_based_distillation and outputs.get('light_hidden'):
+      from easyrec_tpu.protos import common_pb2
+      use_cosine = (cfg.feature_distillation_function ==
+                    common_pb2.Similarity.Value('COSINE'))
       sims = []
       for lh, bh in zip(outputs['light_hidden'],
                         outputs['booster_hidden']):
         bh = jax.lax.stop_gradient(bh)
         if lh.shape == bh.shape:
-          ln = lh / jnp.maximum(
-              jnp.linalg.norm(lh, axis=-1, keepdims=True), 1e-9)
-          bn = bh / jnp.maximum(
-              jnp.linalg.norm(bh, axis=-1, keepdims=True), 1e-9)
-          sims.append(1.0 - jnp.mean(jnp.sum(ln * bn, axis=-1)))
+          if use_cosine:
+            ln = lh / jnp.maximum(
+                jnp.linalg.norm(lh, axis=-1, keepdims=True), 1e-9)
+            bn = bh / jnp.maximum(
+                jnp.linalg.norm(bh, axis=-1, keepdims=True), 1e-9)
+            sims.append(1.0 - jnp.mean(jnp.sum(ln * bn, axis=-1)))
+          else:
+            # euclidean hint (reference rocket_launching.py:55-58)
+            sims.append(jnp.sqrt(
+                jnp.mean(jnp.square(lh - bh)) + 1e-12))
       if sims:
         fd = sum(sims) / len(sims)
         losses['feature_distill'] = fd

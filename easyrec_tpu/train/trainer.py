@@ -558,6 +558,8 @@ class Trainer:
                                        pack_metas=self.pack_metas)
       incr_every = int(ic.sparse_save_steps or ic.dense_save_steps or
                        save_every)
+      incr_secs = int(ic.sparse_save_secs or ic.dense_save_secs or 0)
+      last_incr_time = [time.time()]
       publisher.publish(state, int(np.asarray(state.step)))  # base snapshot
 
     from easyrec_tpu.train.hooks import (BestExporter, DeadlineStopper,
@@ -687,7 +689,11 @@ class Trainer:
                            'for %d steps)', step, stopper.metric,
                            stopper.max_check_steps)
             stop_training = True
-      if publisher is not None and step % incr_every == 0:
+      if publisher is not None and (
+          step % incr_every == 0 or
+          (incr_secs and
+           time.time() - last_incr_time[0] >= incr_secs)):
+        last_incr_time[0] = time.time()
         publisher.publish(state, step)
 
     if first is not None and not (num_steps and step >= num_steps):

@@ -249,3 +249,20 @@ def test_dbmtl_cmbf_bottom():
     state, loss_dict = trainer.train_step(state, sharded)
     losses.append(float(loss_dict['total_loss']))
   assert all(np.isfinite(losses)) and losses[-1] < losses[0], losses
+
+
+def test_rocket_euclidean_feature_distillation():
+  body = MODEL_CONFIGS['RocketLaunching'].replace(
+      'feature_based_distillation: true',
+      'feature_based_distillation: true\n'
+      '    feature_distillation_function: INNER_PRODUCT')
+  text = DATA_SECTION + \
+      'model_config {\n  model_class: "RocketLaunching"\n%s}\n' % body
+  cfg = get_configs_from_pipeline_str(text)
+  trainer = Trainer(cfg)
+  batch = synthetic_batch(trainer.specs, ['clk'], 32, seed=3)
+  state = trainer.init_state(batch)
+  sharded = trainer.rules.shard_batch(batch)
+  state, loss_dict = trainer.train_step(state, sharded)
+  assert 'feature_distill' in loss_dict
+  assert np.isfinite(float(loss_dict['total_loss']))
