@@ -127,3 +127,122 @@ def hitrate_at_k(index: KnnIndex, user_embeddings: np.ndarray,
     total += len(q)
   return {'hitrate@%d' % k: hits / max(total, 1), 'total': total,
           'hits': hits}
+
+
+# ---------------------------------------------------------------------------
+# approximate IVF index (faiss IVFFlat analog, tools/faiss_index_pai.py:31)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_fit(emb: jnp.ndarray, n_clusters: int, n_iters: int,
+                seed: int = 0) -> jnp.ndarray:
+  """Lloyd's k-means on device (L2 assignments); returns centroids."""
+  n, d = emb.shape
+  key = jax.random.PRNGKey(seed)
+  init_rows = jax.random.choice(key, n, (n_clusters,), replace=False)
+  centroids = emb[init_rows]
+
+  def step(c, _):
+    # assign: argmin ||x - c||^2 = argmax (2 x.c - ||c||^2)
+    sq = jnp.sum(jnp.square(c), axis=1)
+    assign = jnp.argmax(2.0 * emb @ c.T - sq[None, :], axis=1)
+    one_hot = jax.nn.one_hot(assign, c.shape[0], dtype=emb.dtype)
+    counts = one_hot.sum(axis=0)
+    sums = one_hot.T @ emb
+    new_c = sums / jnp.maximum(counts[:, None], 1.0)
+    # keep empty clusters where they were
+    new_c = jnp.where(counts[:, None] > 0, new_c, c)
+    return new_c, None
+
+  centroids, _ = jax.lax.scan(step, centroids, None, length=n_iters)
+  return centroids
+
+
+class IvfIndex:
+  """Approximate MIPS: k-means coarse quantizer + per-cluster buckets.
+
+  The faiss IVFFlat analog (reference tools/faiss_index_pai.py builds
+  'IVF<k>,Flat' indexes): queries probe the nprobe nearest centroids
+  and score only those clusters' members. All shapes static: clusters
+  are padded to the max cluster size, invalid slots score -inf.
+  For corpora where the exact KnnIndex matmul is too large, this cuts
+  scored rows to ~nprobe/n_clusters of the corpus.
+  """
+
+  def __init__(self, item_embeddings: np.ndarray,
+               item_ids: Optional[np.ndarray] = None,
+               metric: str = 'ip', n_clusters: int = 64,
+               n_iters: int = 10, seed: int = 0):
+    n, d = item_embeddings.shape
+    n_clusters = min(n_clusters, n)
+    self.metric = metric
+    self.num_items = n
+    self.ids = item_ids if item_ids is not None else np.arange(n)
+    emb = np.asarray(item_embeddings, np.float32)
+    if metric == 'cos':
+      emb = emb / np.maximum(
+          np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
+    centroids = np.asarray(
+        jax.jit(_kmeans_fit, static_argnums=(1, 2))(
+            jnp.asarray(emb), n_clusters, n_iters, seed))
+    sq = np.sum(np.square(centroids), axis=1)
+    assign = np.argmax(2.0 * emb @ centroids.T - sq[None, :], axis=1)
+    cap = max(int(np.bincount(assign, minlength=n_clusters).max()), 1)
+    buckets = np.zeros((n_clusters, cap, d), np.float32)
+    bucket_rows = np.zeros((n_clusters, cap), np.int64)
+    valid = np.zeros((n_clusters, cap), np.float32)
+    fill = np.zeros(n_clusters, np.int64)
+    for row, c in enumerate(assign):
+      j = fill[c]
+      buckets[c, j] = emb[row]
+      bucket_rows[c, j] = row
+      valid[c, j] = 1.0
+      fill[c] = j + 1
+    self.centroids = jnp.asarray(centroids)
+    self.buckets = jnp.asarray(buckets)
+    self.bucket_rows = jnp.asarray(bucket_rows)
+    self.bucket_valid = jnp.asarray(valid)
+    self._search = {}
+
+  def _build_search(self, k: int, nprobe: int):
+    metric = self.metric
+    centroids, buckets = self.centroids, self.buckets
+    bucket_rows, bucket_valid = self.bucket_rows, self.bucket_valid
+
+    @jax.jit
+    def run(q):
+      if metric == 'cos':
+        q = _normalize(q)
+      csq = jnp.sum(jnp.square(centroids), axis=1)
+      c_scores = 2.0 * q @ centroids.T - csq[None, :]   # L2 quantizer
+      _, probe = jax.lax.top_k(c_scores, nprobe)        # [B, nprobe]
+      cand = buckets[probe]                             # [B, np, cap, D]
+      rows = bucket_rows[probe]                         # [B, np, cap]
+      val = bucket_valid[probe]
+      if metric == 'l2':
+        sq = jnp.sum(jnp.square(cand), axis=-1)
+        scores = 2.0 * jnp.einsum('bd,bpcd->bpc', q, cand) - sq
+      else:
+        scores = jnp.einsum('bd,bpcd->bpc', q, cand)
+      scores = jnp.where(val > 0, scores, -jnp.inf)
+      b = scores.shape[0]
+      flat = scores.reshape(b, -1)
+      best_s, pos = jax.lax.top_k(flat, k)
+      best_rows = jnp.take_along_axis(rows.reshape(b, -1), pos, axis=1)
+      return best_s, best_rows
+
+    return run
+
+  def search(self, queries: np.ndarray, k: int,
+             nprobe: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+    k = min(k, self.num_items)
+    nprobe = min(nprobe, self.centroids.shape[0])
+    key = (k, nprobe)
+    if key not in self._search:
+      self._search[key] = self._build_search(k, nprobe)
+    s, idx = self._search[key](jnp.asarray(queries, jnp.float32))
+    return np.asarray(s), np.asarray(idx)
+
+  def search_ids(self, queries: np.ndarray, k: int, nprobe: int = 8):
+    scores, idx = self.search(queries, k, nprobe)
+    return scores, self.ids[idx]

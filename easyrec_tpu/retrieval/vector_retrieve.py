@@ -36,12 +36,28 @@ def read_embedding_table(path: str, delimiter: str = ',',
 
 
 class VectorRetrieve:
-  """Query-batch KNN over a document embedding table."""
+  """Query-batch KNN over a document embedding table.
 
-  def __init__(self, doc_ids, doc_embeddings, metric: str = 'ip'):
-    self.index = KnnIndex(doc_embeddings, item_ids=doc_ids, metric=metric)
+  index_type 'flat' = exact sharded MIPS; 'ivf' = k-means IVF
+  (faiss 'IVF<k>,Flat' analog, tools/faiss_index_pai.py:31)."""
+
+  def __init__(self, doc_ids, doc_embeddings, metric: str = 'ip',
+               index_type: str = 'flat', n_clusters: int = 64,
+               nprobe: int = 8):
+    if index_type == 'ivf':
+      from easyrec_tpu.retrieval.knn import IvfIndex
+      self.index = IvfIndex(doc_embeddings, item_ids=doc_ids,
+                            metric=metric, n_clusters=n_clusters)
+      self._nprobe = nprobe
+    else:
+      self.index = KnnIndex(doc_embeddings, item_ids=doc_ids,
+                            metric=metric)
+      self._nprobe = None
 
   def search(self, query_embeddings, k: int):
+    if self._nprobe is not None:
+      return self.index.search_ids(query_embeddings, k,
+                                   nprobe=self._nprobe)
     return self.index.search_ids(query_embeddings, k)
 
 
@@ -55,6 +71,10 @@ def main(argv=None):
   parser.add_argument('--top_k', type=int, default=5)
   parser.add_argument('--attr_delimiter', default=',')
   parser.add_argument('--vector_sep', default='|')
+  parser.add_argument('--index_type', default='flat',
+                      choices=['flat', 'ivf'])
+  parser.add_argument('--n_clusters', type=int, default=64)
+  parser.add_argument('--nprobe', type=int, default=8)
   args = parser.parse_args(argv)
 
   metric = {'inner_product': 'ip', 'l2': 'l2', 'cosine': 'cos'}[
@@ -65,7 +85,9 @@ def main(argv=None):
   q_ids, q_emb = read_embedding_table(args.query_table,
                                       args.attr_delimiter,
                                       args.vector_sep)
-  retr = VectorRetrieve(doc_ids, doc_emb, metric)
+  retr = VectorRetrieve(doc_ids, doc_emb, metric,
+                        index_type=args.index_type,
+                        n_clusters=args.n_clusters, nprobe=args.nprobe)
   scores, ids = retr.search(q_emb, args.top_k)
   with open(args.output_table, 'w') as f:
     f.write('query,doc,score\n')

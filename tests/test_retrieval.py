@@ -81,3 +81,31 @@ def test_vector_retrieve_cli(tmp_path):
   # each query's top hit is its own doc
   assert lines[1].startswith('q3,d3,')
   assert lines[4].startswith('q7,d7,')
+
+
+def test_ivf_index_recall_vs_exact():
+  """IvfIndex (k-means IVF, faiss IVFFlat analog): high recall vs the
+  exact index at modest nprobe, exact at nprobe=n_clusters."""
+  import numpy as np
+  from easyrec_tpu.retrieval.knn import IvfIndex, KnnIndex
+  rng = np.random.default_rng(0)
+  # clustered corpus so IVF has structure to find
+  centers = rng.normal(size=(16, 32)) * 3
+  items = (centers[rng.integers(0, 16, 2000)] +
+           rng.normal(size=(2000, 32))).astype(np.float32)
+  queries = (centers[rng.integers(0, 16, 64)] +
+             rng.normal(size=(64, 32))).astype(np.float32)
+
+  exact = KnnIndex(items, metric='ip')
+  ivf = IvfIndex(items, metric='ip', n_clusters=32, n_iters=8)
+  _, true_idx = exact.search(queries, 10)
+  _, ivf_idx = ivf.search(queries, 10, nprobe=8)
+  recall = np.mean([len(set(a) & set(b)) / 10.0
+                    for a, b in zip(true_idx, ivf_idx)])
+  assert recall > 0.9, recall
+
+  # probing every cluster = exact
+  _, all_idx = ivf.search(queries, 10, nprobe=32)
+  full_recall = np.mean([len(set(a) & set(b)) / 10.0
+                         for a, b in zip(true_idx, all_idx)])
+  assert full_recall == 1.0, full_recall
