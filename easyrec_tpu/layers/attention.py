@@ -123,21 +123,35 @@ class BSTEncoder(nn.Module):
   hidden_dropout: float = 0.1
   attention_dropout: float = 0.1
   output_all_tokens: bool = False
+  # where the target token sits in the sequence: 'head' | 'tail' | ''
+  # (reference layers/keras/bst.py target_item_position); when no
+  # target is given, reserve_target_position keeps its position slot
+  target_item_position: str = 'head'
+  reserve_target_position: bool = True
 
   @nn.compact
   def __call__(self, seq, mask, target=None, training: bool = False):
-    # seq [B, L, D], optional target [B, D] prepended at position 0
+    # seq [B, L, D], optional target [B, D] at head or tail
     x = nn.Dense(self.hidden_size, name='input_proj')(seq)
-    if target is not None:
+    tgt_idx = 0
+    if target is not None and self.target_item_position in ('head',
+                                                            'tail'):
       t = nn.Dense(self.hidden_size, name='target_proj')(target)
-      x = jnp.concatenate([t[:, None, :], x], axis=1)
-      mask = jnp.concatenate(
-          [jnp.ones((mask.shape[0], 1), mask.dtype), mask], axis=1)
+      ones = jnp.ones((mask.shape[0], 1), mask.dtype)
+      if self.target_item_position == 'tail':
+        x = jnp.concatenate([x, t[:, None, :]], axis=1)
+        mask = jnp.concatenate([mask, ones], axis=1)
+        tgt_idx = x.shape[1] - 1
+      else:
+        x = jnp.concatenate([t[:, None, :], x], axis=1)
+        mask = jnp.concatenate([ones, mask], axis=1)
     if self.use_position:
       L = x.shape[1]
       pos = self.param('position_emb', nn.initializers.normal(0.02),
                        (self.max_position, self.hidden_size))
-      x = x + pos[None, :L, :]
+      start = 1 if (target is None and self.reserve_target_position
+                    and self.target_item_position == 'head') else 0
+      x = x + pos[None, start:start + L, :]
     for i in range(self.num_layers):
       x = TransformerBlock(
           hidden_size=self.hidden_size, num_heads=self.num_heads,
@@ -148,4 +162,4 @@ class BSTEncoder(nn.Module):
     x = x * mask[:, :, None]
     if self.output_all_tokens:
       return x.reshape(x.shape[0], -1)
-    return x[:, 0, :]
+    return x[:, tgt_idx, :]

@@ -105,6 +105,8 @@ class _BSTAdapter(nn.Module):
   hidden_dropout: float = 0.1
   attention_dropout: float = 0.1
   output_all_tokens: bool = False
+  target_item_position: str = 'head'
+  reserve_target_position: bool = True
 
   @nn.compact
   def __call__(self, inputs, training: bool = False):
@@ -118,6 +120,8 @@ class _BSTAdapter(nn.Module):
         hidden_dropout=self.hidden_dropout,
         attention_dropout=self.attention_dropout,
         output_all_tokens=self.output_all_tokens,
+        target_item_position=self.target_item_position,
+        reserve_target_position=self.reserve_target_position,
         name='bst')(seq, mask, target, training)
 
 
@@ -498,6 +502,8 @@ def _build_bst(p: Parameter, name: str):
       hidden_dropout=p.get_float('hidden_dropout_prob', 0.1),
       attention_dropout=p.get_float('attention_probs_dropout_prob', 0.1),
       output_all_tokens=p.get_bool('output_all_token_embeddings', False),
+      target_item_position=p.get_str('target_item_position', 'head'),
+      reserve_target_position=p.get_bool('reserve_target_position', True),
       name=name)
 
 

@@ -307,3 +307,27 @@ def test_mlp_bn_after_activation_and_initializer():
   m2 = MLP(hidden_units=(16, 8))
   vars2 = m2.init(jax.random.PRNGKey(0), x, True)
   assert float(jnp.abs(vars2['params']['dense_0']['kernel']).max()) > 0
+
+
+def test_bst_target_position_options():
+  import jax
+  import jax.numpy as jnp
+  from easyrec_tpu.layers.attention import BSTEncoder
+  rng = np.random.default_rng(0)
+  seq = jnp.asarray(rng.normal(size=(4, 6, 8)), jnp.float32)
+  mask = jnp.ones((4, 6), jnp.float32)
+  tgt = jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)
+  outs = {}
+  for pos in ('head', 'tail'):
+    m = BSTEncoder(hidden_size=16, target_item_position=pos)
+    v = m.init(jax.random.PRNGKey(0), seq, mask, tgt)
+    outs[pos] = np.asarray(m.apply(v, seq, mask, tgt,
+                                   rngs={'dropout': jax.random.PRNGKey(1)}))
+    assert outs[pos].shape == (4, 16)
+    assert np.isfinite(outs[pos]).all()
+  # no target + reserved position slot still works
+  m = BSTEncoder(hidden_size=16, reserve_target_position=True)
+  v = m.init(jax.random.PRNGKey(0), seq, mask, None)
+  out = m.apply(v, seq, mask, None,
+                rngs={'dropout': jax.random.PRNGKey(1)})
+  assert np.isfinite(np.asarray(out)).all()
