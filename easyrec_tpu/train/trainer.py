@@ -490,6 +490,8 @@ class Trainer:
     tc = self.train_config
     num_steps = num_steps or (tc.num_steps or None)
     log_every = log_every or max(int(tc.log_step_count_steps), 1)
+    summary_every = int(tc.save_summary_steps) \
+        if tc.HasField('save_summary_steps') else log_every
     save_every = int(tc.save_checkpoints_steps) or 1000
     # time-based checkpoint cadence (reference train.proto
     # save_checkpoints_secs; either trigger saves)
@@ -509,6 +511,17 @@ class Trainer:
     if checkpoint and self.model_dir:
       manager = ckpt_lib.CheckpointManager(
           self.model_dir, max_to_keep=int(tc.keep_checkpoint_max) or 10)
+      if tc.write_graph:
+        # graph.pbtxt analog (reference CheckpointSaverHook writes the
+        # graph def): the train step's StableHLO dump
+        try:
+          lowered = self.train_step.lower(state,
+                                          self.rules.shard_batch(first))
+          with open(os.path.join(self.model_dir,
+                                 'train_step.hlo.txt'), 'w') as f:
+            f.write(lowered.as_text())
+        except Exception as e:  # never block training on a debug dump
+          logging.warning('write_graph failed: %s', e)
       restored = manager.restore_latest(state)
       if restored is not None:
         state = restored
@@ -627,6 +640,13 @@ class Trainer:
       state, loss_dict = self.train_step(state, sharded)
       step += 1
       window_examples += batch['sample_weight'].shape[0]
+      if summary is not None and summary_every != log_every and \
+          step % summary_every == 0:
+        # train_config.save_summary_steps: TB cadence decoupled from
+        # console logging
+        summary.add_scalars({'loss/%s' % k: float(v)
+                             for k, v in loss_dict.items()}, step)
+        summary.flush()
       if step % log_every == 0:
         loss_val = float(loss_dict['total_loss'])
         dt = time.time() - t0
@@ -634,7 +654,7 @@ class Trainer:
         logging.info('step %d: loss=%.5f (%.1f ex/s)', step, loss_val, rate)
         history.append({'step': step, 'loss': loss_val,
                         'examples_per_sec': rate})
-        if summary is not None:
+        if summary is not None and step % summary_every == 0:
           scalars = {'loss/%s' % k: float(v) for k, v in loss_dict.items()}
           scalars['global_step/examples_per_sec'] = rate
           summary.add_scalars(scalars, step)
