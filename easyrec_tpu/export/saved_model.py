@@ -57,7 +57,9 @@ def export_saved_model(trainer, state, export_base_dir: str,
     bm.write_kv_store(export_dir, tables)
     tables = {}
   serving_state = {
-      'params': jax.device_get(state.params),
+      'params': jax.device_get(trainer.eval_params(state)
+                               if hasattr(trainer, 'eval_params')
+                               else state.params),
       'batch_stats': jax.device_get(state.batch_stats),
       'tables': tables,
       'step': np.asarray(state.step),

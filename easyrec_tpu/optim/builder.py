@@ -11,8 +11,10 @@ Reference builder: easy_rec/python/builders/optimizer_builder.py:28-145.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import optax
 
 from easyrec_tpu.optim import schedules
@@ -79,6 +81,38 @@ def _sparse_from_config(which: str, cfg) -> sparse_lib.SparseOptimizer:
   raise ValueError('unsupported optimizer %s' % which)
 
 
+class ParamEmaState(NamedTuple):
+  ema: object
+
+
+def param_ema(decay: float) -> optax.GradientTransformation:
+  """Track an exponential moving average of the POST-update params
+  (reference Optimizer.use_moving_average / moving_average_decay:
+  tf.train.ExponentialMovingAverage applied after optimize_loss).
+  The EMA rides in the optimizer state; eval/export reads it via
+  Trainer.eval_params."""
+
+  def init_fn(params):
+    return ParamEmaState(ema=jax.tree_util.tree_map(jnp.asarray, params))
+
+  def update_fn(updates, state, params=None):
+    new_p = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    ema = jax.tree_util.tree_map(
+        lambda e, p: decay * e + (1.0 - decay) * p, state.ema, new_p)
+    return updates, ParamEmaState(ema=ema)
+
+  return optax.GradientTransformation(init_fn, update_fn)
+
+
+def find_param_ema(opt_state):
+  """Return the EMA param tree from an optax state, or None."""
+  for leaf in jax.tree_util.tree_leaves(
+      opt_state, is_leaf=lambda x: isinstance(x, ParamEmaState)):
+    if isinstance(leaf, ParamEmaState):
+      return leaf.ema
+  return None
+
+
 def build_optimizer(opt_config: train_pb2.Optimizer,
                     clip_norm: float = 0.0) -> OptimizerPair:
   which = opt_config.WhichOneof('optimizer')
@@ -92,6 +126,9 @@ def build_optimizer(opt_config: train_pb2.Optimizer,
   dense = _dense_from_config(which, cfg, schedule)
   if clip_norm and clip_norm > 0:
     dense = optax.chain(optax.clip_by_global_norm(clip_norm), dense)
+  if opt_config.use_moving_average:
+    dense = optax.chain(dense,
+                        param_ema(float(opt_config.moving_average_decay)))
   sparse = _sparse_from_config(which, cfg)
   mult = opt_config.embedding_learning_rate_multiplier \
       if opt_config.HasField('embedding_learning_rate_multiplier') else 1.0

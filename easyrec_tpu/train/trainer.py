@@ -342,18 +342,26 @@ class Trainer:
 
     return jax.jit(train_step, donate_argnums=(0,))
 
+  def eval_params(self, state: TrainState):
+    """Params for eval/export: the EMA weights when an optimizer sets
+    use_moving_average (reference tf.train.ExponentialMovingAverage in
+    eval/export graphs), else the live params."""
+    ema = opt_builder.find_param_ema(state.opt_state)
+    return ema if ema is not None else state.params
+
   def _build_eval_step(self):
     model = self.model
     module = self.module
     layout = self.layout
     metrics = self.metrics
+    eval_params = self.eval_params
 
     pack_metas = self.pack_metas
 
     def eval_step(state: TrainState, batch, metric_states):
       packs = emb_ops.pack_all_views(layout, batch)
       pulled = emb_ops.pull_embeddings(state.tables, packs, pack_metas)
-      variables = {'params': state.params}
+      variables = {'params': eval_params(state)}
       if state.batch_stats:
         variables['batch_stats'] = state.batch_stats
       outputs = module.apply(variables, batch, pulled, False)

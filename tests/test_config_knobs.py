@@ -121,3 +121,44 @@ def test_ziln_loss_params():
   half = float(ziln_loss(labels, logits, classification_weight=0.5,
                          regression_weight=0.5))
   assert abs(half - base / 2) < 1e-4
+
+
+def test_use_moving_average_ema_params(tmp_path):
+  """Optimizer.use_moving_average keeps an EMA of the dense params in
+  the optimizer state; eval/export read it via Trainer.eval_params."""
+  cfg = get_configs_from_pipeline_file(
+      fixtures.write_pipeline(tmp_path, num_steps=30))
+  opt = cfg.train_config.optimizer_config[0]
+  opt.use_moving_average = True
+  opt.moving_average_decay = 0.9
+  from easyrec_tpu.train.trainer import Trainer
+  from easyrec_tpu.optim.builder import find_param_ema
+  import jax
+  trainer = Trainer(cfg)
+  from easyrec_tpu.utils.synthetic import synthetic_batch
+  batch = synthetic_batch(trainer.specs, ['label'], 64, seed=1)
+  state = trainer.init_state(batch)
+  sharded = trainer.rules.shard_batch(batch)
+  for _ in range(5):
+    state, _ = trainer.train_step(state, sharded)
+  ema = find_param_ema(state.opt_state)
+  assert ema is not None
+  live = jax.tree_util.tree_leaves(state.params)
+  avg = jax.tree_util.tree_leaves(trainer.eval_params(state))
+  diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+           for a, b in zip(live, avg)]
+  assert max(diffs) > 0, 'EMA should lag the live params'
+  # eval + export consume the EMA without errors
+  metrics = trainer.evaluate(state, eval_iter=[batch])
+  assert np.isfinite(metrics['auc'])
+
+
+def test_no_moving_average_keeps_live_params(tmp_path):
+  cfg = get_configs_from_pipeline_file(
+      fixtures.write_pipeline(tmp_path, num_steps=5))
+  from easyrec_tpu.train.trainer import Trainer
+  from easyrec_tpu.utils.synthetic import synthetic_batch
+  trainer = Trainer(cfg)
+  batch = synthetic_batch(trainer.specs, ['label'], 32, seed=1)
+  state = trainer.init_state(batch)
+  assert trainer.eval_params(state) is state.params
