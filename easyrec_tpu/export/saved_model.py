@@ -96,6 +96,15 @@ def export_saved_model(trainer, state, export_base_dir: str,
     os.makedirs(asset_dir, exist_ok=True)
     for path in assets:
       shutil.copy(path, asset_dir)
+
+  # exports_to_keep (reference export.proto: Latest exporter GC):
+  # prune older timestamped exports beyond the configured count
+  keep = max(int(ec.exports_to_keep), 1)
+  stamps = sorted(d for d in os.listdir(export_base_dir)
+                  if d.isdigit() and
+                  os.path.isdir(os.path.join(export_base_dir, d)))
+  for old in stamps[:-keep]:
+    shutil.rmtree(os.path.join(export_base_dir, old), ignore_errors=True)
   return export_dir
 
 

@@ -77,7 +77,8 @@ def _sparse_from_config(which: str, cfg) -> sparse_lib.SparseOptimizer:
     return sparse_lib.sparse_ftrl(
         learning_rate_power=cfg.learning_rate_power,
         initial_accumulator=cfg.initial_accumulator_value,
-        l1=cfg.l1_reg, l2=cfg.l2_reg)
+        l1=cfg.l1_reg, l2=cfg.l2_reg,
+        l2_shrinkage=cfg.l2_shrinkage_reg)
   raise ValueError('unsupported optimizer %s' % which)
 
 

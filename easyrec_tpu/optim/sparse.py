@@ -165,7 +165,8 @@ def sparse_adam(b1: float = 0.9, b2: float = 0.999,
 
 def sparse_ftrl(learning_rate_power: float = -0.5,
                 initial_accumulator: float = 0.1,
-                l1: float = 0.0, l2: float = 0.0) -> SparseOptimizer:
+                l1: float = 0.0, l2: float = 0.0,
+                l2_shrinkage: float = 0.0) -> SparseOptimizer:
   def init(table):
     return {'accum': jnp.full_like(table, initial_accumulator),
             'z': jnp.zeros_like(table)}
@@ -176,7 +177,9 @@ def sparse_ftrl(learning_rate_power: float = -0.5,
     acc_new = acc_old + jnp.square(ug)
     p = -learning_rate_power
     sigma = (jnp.power(acc_new, p) - jnp.power(acc_old, p)) / lr
-    z_rows = jnp.take(state['z'], uids, axis=0) + ug - sigma * w
+    # l2_shrinkage (TF FTRL): shrunk gradient feeds z, raw feeds accum
+    gz = ug + 2.0 * l2_shrinkage * w if l2_shrinkage else ug
+    z_rows = jnp.take(state['z'], uids, axis=0) + gz - sigma * w
     accum = state['accum'].at[uids].set(acc_new.astype(table.dtype))
     z = state['z'].at[uids].set(z_rows.astype(table.dtype))
     w_new = jnp.where(
@@ -193,7 +196,8 @@ def sparse_ftrl(learning_rate_power: float = -0.5,
     acc_new = acc + jnp.square(g)
     p = -learning_rate_power
     sigma = (jnp.power(acc_new, p) - jnp.power(acc, p)) / lr
-    z_new = z + g - sigma * w
+    gz = g + 2.0 * l2_shrinkage * w if l2_shrinkage else g
+    z_new = z + gz - sigma * w
     w_new = jnp.where(
         jnp.abs(z_new) <= l1,
         0.0,

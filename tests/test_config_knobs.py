@@ -162,3 +162,44 @@ def test_no_moving_average_keeps_live_params(tmp_path):
   batch = synthetic_batch(trainer.specs, ['label'], 32, seed=1)
   state = trainer.init_state(batch)
   assert trainer.eval_params(state) is state.params
+
+
+def test_ftrl_l2_shrinkage():
+  import jax.numpy as jnp
+  from easyrec_tpu.optim.sparse import sparse_ftrl
+  table = jnp.ones((10, 4), jnp.float32)
+  uids = jnp.array([1, 3])
+  grads = jnp.full((2, 4), 0.5, jnp.float32)
+  lr, step = jnp.float32(0.1), jnp.int32(1)
+  base = sparse_ftrl()
+  shrunk = sparse_ftrl(l2_shrinkage=0.5)
+  t1, _ = base.update_rows(table, base.init(table), uids, grads, lr,
+                           step)
+  t2, _ = shrunk.update_rows(table, shrunk.init(table), uids, grads, lr,
+                             step)
+  # shrinkage adds 2*l2s*w to the z-gradient -> different update
+  assert float(jnp.abs(t1[1] - t2[1]).max()) > 0
+  # untouched rows identical
+  assert float(jnp.abs(t1[0] - t2[0]).max()) == 0
+
+
+def test_exports_to_keep_gc(tmp_path):
+  import time as _time
+  cfg = get_configs_from_pipeline_file(
+      fixtures.write_pipeline(tmp_path, num_steps=5))
+  cfg.export_config.exports_to_keep = 2
+  from easyrec_tpu.train.trainer import Trainer
+  from easyrec_tpu.export.saved_model import export_saved_model
+  from easyrec_tpu.utils.synthetic import synthetic_batch
+  trainer = Trainer(cfg)
+  batch = synthetic_batch(trainer.specs, ['label'], 32, seed=1)
+  state = trainer.init_state(batch)
+  base = os.path.join(str(tmp_path), 'exports')
+  dirs = []
+  for _ in range(3):
+    dirs.append(export_saved_model(trainer, state, base))
+    _time.sleep(1.1)        # distinct timestamps
+  stamps = sorted(d for d in os.listdir(base) if d.isdigit())
+  assert len(stamps) == 2, stamps
+  assert os.path.basename(dirs[-1]) in stamps
+  assert os.path.basename(dirs[0]) not in stamps
