@@ -329,10 +329,12 @@ class RankModel(BaseModel):
         which = loss.WhichOneof('loss_param')
         out.append({'type': loss.loss_type, 'weight': loss.weight,
                     'params': getattr(loss, which) if which else None,
+                    'learn': bool(loss.learn_loss_weight),
                     'name': loss.loss_name or
                     LossType.Name(loss.loss_type)})
       return out
     return [{'type': self.loss_type, 'weight': 1.0, 'params': None,
+             'learn': False,
              'name': LossType.Name(self.loss_type)}]
 
   def _kd_losses(self, outputs, batch, weights):
@@ -398,23 +400,32 @@ class RankModel(BaseModel):
     weights = self.sample_weights(batch)
     losses = {}
     terms = []
+    learn_flags = []
     for cfg in self._loss_configs():
       value = self._single_loss(cfg, labels, outputs, weights, batch)
       losses[cfg['name']] = value
       terms.append((value, cfg['weight'], cfg['type']))
+      learn_flags.append(cfg.get('learn', False))
     for name, (value, w) in self._kd_losses(outputs, batch,
                                             weights).items():
       losses[name] = value
       terms.append((value, w, None))
+      learn_flags.append(False)
     strategy = self.config.loss_weight_strategy
     Strategy = models_pb2.EasyRecModel.LossWeightStrategy
     if strategy == Strategy.Uncertainty and 'uncertainty_w' in outputs \
             and len(terms) > 1:
       # learned homoscedastic weights: exp(-u)*L + 0.5*u, halved for L2
-      # losses (reference rank_model.py:302-318)
+      # losses (reference rank_model.py:302-318). When some losses set
+      # learn_loss_weight explicitly, ONLY those are learned; the rest
+      # keep their fixed weight (rank_model.py:303-320).
+      any_explicit = any(learn_flags)
       u = outputs['uncertainty_w']
       total = 0.0
-      for i, (value, _, lt) in enumerate(terms):
+      for i, (value, w, lt) in enumerate(terms):
+        if any_explicit and not learn_flags[i]:
+          total = total + w * value
+          continue
         scale = 0.5 if lt in (LossType.L2_LOSS,
                               LossType.SIGMOID_L2_LOSS) else 1.0
         total = total + scale * jnp.exp(-u[i]) * value + 0.5 * u[i]

@@ -75,3 +75,36 @@ def test_listwise_distill_loss():
   assert np.isfinite(good) and np.isfinite(bad)
   # scores aligned with teacher relevance beat anti-aligned scores
   assert good < bad, (good, bad)
+
+
+def test_learn_loss_weight_selective(tmp_path):
+  """Under Uncertainty strategy, only losses with learn_loss_weight get
+  learned weights; the rest keep fixed weights (rank_model.py:303-320)."""
+  from easyrec_tpu.config import get_configs_from_pipeline_file
+  from easyrec_tpu.train.trainer import Trainer
+  from easyrec_tpu.utils.synthetic import synthetic_batch
+  from tests import fixtures
+  cfg = get_configs_from_pipeline_file(
+      fixtures.write_pipeline(
+          tmp_path, num_steps=5,
+          extra=''))
+  mc = cfg.model_config
+  l1 = mc.losses.add()
+  l1.loss_type = 0  # CLASSIFICATION
+  l1.learn_loss_weight = True
+  l2 = mc.losses.add()
+  l2.loss_type = 10  # BINARY_FOCAL_LOSS
+  l2.weight = 2.0
+  mc.loss_weight_strategy = mc.Uncertainty
+  trainer = Trainer(cfg)
+  batch = synthetic_batch(trainer.specs, ['label'], 32, seed=1)
+  state = trainer.init_state(batch)
+  sharded = trainer.rules.shard_batch(batch)
+  state, loss_dict = trainer.train_step(state, sharded)
+  assert np.isfinite(float(loss_dict['total_loss']))
+  # the learned-uncertainty param exists
+  import jax
+  names = [p for p, _ in
+           jax.tree_util.tree_leaves_with_path(state.params)]
+  flat = str(names)
+  assert 'loss_uncertainty' in flat, flat
