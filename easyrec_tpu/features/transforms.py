@@ -140,6 +140,35 @@ class IdTransform(BaseTransform):
     }
 
 
+def _list_rows(col):
+  """Arrow list/large_list/fixed_size_list column -> python rows, else
+  None (parquet multi-value columns, reference parquet_input.py packs
+  these natively)."""
+  try:
+    import pyarrow as pa
+  except ImportError:
+    return None
+  if isinstance(col, pa.ChunkedArray):
+    col = col.combine_chunks()
+  if isinstance(col, pa.Array) and (
+      pa.types.is_list(col.type) or pa.types.is_large_list(col.type) or
+      pa.types.is_fixed_size_list(col.type)):
+    return col.to_pylist()
+  return None
+
+
+def _lists_to_strings(col, sep: str):
+  """Join a list column's rows with the feature separator so the
+  string-splitting transforms work unchanged; None if not a list col."""
+  rows = _list_rows(col)
+  if rows is None:
+    return None
+  out = np.empty(len(rows), dtype=object)
+  for i, r in enumerate(rows):
+    out[i] = '' if not r else sep.join(str(v) for v in r)
+  return out
+
+
 class TagTransform(BaseTransform):
   """Multi-value tags 'a|b|c', optionally weighted 'a:0.5|b:2'."""
 
@@ -147,6 +176,9 @@ class TagTransform(BaseTransform):
     spec, config = self.spec, self.config
     col = columns[config.input_names[0]]
     sep = config.separator or '|'
+    joined = _lists_to_strings(col, sep)
+    if joined is not None:
+      col = joined
     k = spec.num_ids
     if config.kv_separator:
       strs = _to_numpy_str(col)
@@ -239,6 +271,13 @@ class RawTransform(BaseTransform):
     col = columns[config.input_names[0]]
     if raw_dim == 1:
       vals = _to_float(col)[:, None]
+    elif _list_rows(col) is not None:
+      rows = _list_rows(col)
+      vals = np.zeros((len(rows), raw_dim), dtype=np.float32)
+      for i, r in enumerate(rows):
+        if r:
+          m = min(raw_dim, len(r))
+          vals[i, :m] = np.asarray(r[:m], dtype=np.float32)
     else:
       strs = _to_numpy_str(col)
       sep = config.separator or '|'
@@ -409,6 +448,9 @@ class SequenceTransform(BaseTransform):
     spec, config = self.spec, self.config
     col = columns[config.input_names[0]]
     sep = config.separator or '|'
+    joined = _lists_to_strings(col, sep)
+    if joined is not None:
+      col = joined
     L = spec.num_ids
     if spec.seq_is_dense:
       # numeric sequence -> [B, L, N]: positions split by `separator`,

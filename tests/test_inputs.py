@@ -214,3 +214,63 @@ def test_multihost_row_sharding(tmp_path):
     seen.append(set(vals))
   assert seen[0] & seen[1] == set()
   assert seen[0] | seen[1] == set(float(i) for i in range(100))
+
+
+def test_parquet_list_columns(tmp_path):
+  """Parquet multi-value (list) columns feed tag/sequence/raw-vector
+  features directly (reference parquet_input packs these natively)."""
+  import pyarrow as pa
+  import pyarrow.parquet as pq
+  n = 40
+  rng = np.random.default_rng(0)
+  labels = (rng.uniform(size=n) > 0.5).astype(np.float32)
+  tags = [['t%d' % rng.integers(10) for _ in range(rng.integers(1, 4))]
+          for _ in range(n)]
+  seqs = [['c%d' % rng.integers(8) for _ in range(rng.integers(1, 5))]
+          for _ in range(n)]
+  vecs = [rng.normal(size=3).tolist() for _ in range(n)]
+  table = pa.table({
+      'label': pa.array(labels),
+      'tags': pa.array(tags, type=pa.list_(pa.string())),
+      'seq': pa.array(seqs, type=pa.list_(pa.string())),
+      'vec': pa.array(vecs, type=pa.list_(pa.float64())),
+  })
+  path = os.path.join(str(tmp_path), 'd.parquet')
+  pq.write_table(table, path)
+
+  text = """
+train_input_path: "%s"
+eval_input_path: "%s"
+data_config {
+  batch_size: 16
+  num_epochs: 1
+  shuffle: false
+  label_fields: "label"
+  input_fields { input_name: "label" input_type: FLOAT }
+  input_fields { input_name: "tags" input_type: STRING }
+  input_fields { input_name: "seq" input_type: STRING }
+  input_fields { input_name: "vec" input_type: STRING }
+  input_type: ParquetInput
+}
+feature_config {
+  features { input_names: "tags" feature_type: TagFeature
+             embedding_dim: 4 hash_bucket_size: 50 max_multi_len: 4 }
+  features { input_names: "seq" feature_type: SequenceFeature
+             embedding_dim: 4 hash_bucket_size: 30 max_seq_len: 5 }
+  features { input_names: "vec" feature_type: RawFeature
+             raw_input_dim: 3 }
+}
+model_config { model_class: "DummyModel" }
+""" % (path, path)
+  cfg = get_configs_from_pipeline_str(text)
+  pipe = InputPipeline(cfg.data_config,
+                       config_util.get_feature_configs(cfg), path,
+                       mode='eval')
+  batch = next(iter(pipe))
+  # tag count matches source list length
+  w = batch['feat.tags.weights']
+  assert int(w[0].sum()) == len(tags[0])
+  m = batch['feat.seq.mask']
+  assert int(m[0].sum()) == min(len(seqs[0]), 5)
+  np.testing.assert_allclose(batch['feat.vec.dense'][0], vecs[0],
+                             rtol=1e-6)
