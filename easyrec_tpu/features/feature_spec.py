@@ -122,6 +122,23 @@ def build_feature_spec(config: FeatureConfig,
         is_weighted=bool(config.kv_separator) or len(config.input_names) > 1,
         config=config)
 
+  if ftype == FeatureType.LookupFeature and (
+      config.hash_bucket_size > 0 or config.num_buckets > 0 or
+      config.vocab_list or config.vocab_file or
+      int(config.lookup_max_sel_elem_num) > 1):
+    # kv-map lookup with an id scheme or multi-selection (reference
+    # input/input.py:941 _lookup_preprocess, lookup_max_sel_elem_num)
+    n_sel = max(int(config.lookup_max_sel_elem_num), 1)
+    if (config.hash_bucket_size > 0 or config.num_buckets > 0 or
+        config.vocab_list or config.vocab_file or
+        list(config.boundaries)):
+      return FeatureSpec(
+          name=name, kind='categorical', num_ids=n_sel,
+          table_name=table_name, rows=table_rows(config),
+          embedding_dim=emb_dim, combiner=combiner, config=config)
+    return FeatureSpec(name=name, kind='dense', value_dim=n_sel,
+                       config=config)
+
   if ftype in (FeatureType.RawFeature, FeatureType.ExprFeature,
                FeatureType.LookupFeature):
     raw_dim = max(int(config.raw_input_dim), 1)

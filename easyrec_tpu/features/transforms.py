@@ -373,47 +373,68 @@ class ComboTransform(BaseTransform):
 
 
 class LookupTransform(BaseTransform):
-  """inputs = [kv_map_field, key_field]; selects map[key]."""
+  """inputs = [key_field, kv_map_field] (reference input order,
+  input/input.py:941): selects the map values whose key matches, up to
+  lookup_max_sel_elem_num of them."""
 
   def __call__(self, columns):
     spec, config = self.spec, self.config
-    maps = _to_numpy_str(columns[config.input_names[0]])
-    keys = _to_numpy_str(columns[config.input_names[1]])
+    keys = _to_numpy_str(columns[config.input_names[0]])
+    maps = _to_numpy_str(columns[config.input_names[1]])
     sep = config.separator or '|'
     kv = config.kv_separator or ':'
     n = maps.shape[0]
-    vals = np.empty(n, dtype=object)
+    n_sel = spec.num_ids if spec.kind == 'categorical' else spec.value_dim
+    sel = np.empty((n, n_sel), dtype=object)
+    sel.fill('')
+    counts = np.zeros(n, dtype=np.int32)
     for i in range(n):
-      found = ''
-      if maps[i]:
-        key = keys[i]
-        for piece in maps[i].split(sep):
-          pk, _, pv = piece.partition(kv)
-          if pk == key:
-            found = pv
+      if not maps[i]:
+        continue
+      key = keys[i]
+      j = 0
+      for piece in maps[i].split(sep):
+        pk, _, pv = piece.partition(kv)
+        if pk == key:
+          sel[i, j] = pv
+          j += 1
+          if j >= n_sel:
             break
-      vals[i] = found
+      counts[i] = j
+    mask = (np.arange(n_sel)[None, :] < counts[:, None]).astype(np.float32)
     if spec.kind == 'dense':
-      return {spec.dense_key: _to_float(vals)[:, None]}
+      vals = np.zeros((n, n_sel), dtype=np.float32)
+      for i in range(n):
+        for j in range(counts[i]):
+          try:
+            vals[i, j] = float(sel[i, j])
+          except ValueError:
+            pass
+      return {spec.dense_key: vals}
     if list(config.boundaries):
-      f = _to_float(vals)[:, None]
+      f = np.zeros((n, n_sel), dtype=np.float64)
+      for i in range(n):
+        for j in range(counts[i]):
+          try:
+            f[i, j] = float(sel[i, j])
+          except ValueError:
+            pass
       bounds = np.asarray(config.boundaries, dtype=np.float64)
       ids = np.searchsorted(bounds, f, side='right')
       return {
           spec.ids_key: ids.astype(np.int32),
-          spec.weights_key: np.ones_like(f, dtype=np.float32),
+          spec.weights_key: mask,
       }
+    flat = sel.ravel()
     if config.hash_bucket_size > 0:
-      ids = hashing.hash_strings(vals, int(config.hash_bucket_size))
-      weights = (vals != '').astype(np.float32)
-      return {
-          spec.ids_key: ids.astype(np.int32)[:, None],
-          spec.weights_key: weights[:, None],
-      }
-    # raw-projection of the numeric value
-    f = _to_float(vals)[:, None]
-    ids = np.zeros((n, 1), dtype=np.int32)
-    return {spec.ids_key: ids, spec.weights_key: f}
+      ids = hashing.hash_strings(flat, int(config.hash_bucket_size))
+    else:
+      ids = _lookup_ids(flat, config, spec.rows)
+    ids = ids.reshape(n, n_sel)
+    return {
+        spec.ids_key: (ids * (mask > 0)).astype(np.int32),
+        spec.weights_key: mask,
+    }
 
 
 class ExprTransform(BaseTransform):

@@ -108,7 +108,8 @@ def _convert_one(fg_feature: dict, embedding_dim: int,
   elif ftype in ('lookup_feature', 'match_feature'):
     fc.feature_type = FeatureType.LookupFeature
     del fc.input_names[:]
-    for key in ('map', 'key', 'user', 'item', 'category'):
+    # transform contract: input_names = [key, map] (reference order)
+    for key in ('key', 'map', 'user', 'item', 'category'):
       if key in fg_feature:
         fc.input_names.append(_expr_column(fg_feature[key]))
     if not fc.input_names:

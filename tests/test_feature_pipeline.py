@@ -213,3 +213,44 @@ def test_combo_input_seps_cross():
   from easyrec_tpu.ops import hashing
   exp = hashing.hash_strings(np.array(['x_1'], dtype=object), spec.rows)
   assert ids[0, 0] == exp[0]
+
+
+def test_lookup_feature_multi_select():
+  """LookupFeature: inputs [key, kv_map] (reference order), values whose
+  key matches selected up to lookup_max_sel_elem_num."""
+  import numpy as np
+  from easyrec_tpu.features import feature_spec as fs
+  from easyrec_tpu.features import transforms as tr
+  from easyrec_tpu.protos import data_pb2
+
+  fc = data_pb2.FeatureConfig()
+  fc.input_names.extend(['k', 'm'])
+  fc.feature_name = 'lk'
+  fc.feature_type = fc.LookupFeature
+  fc.embedding_dim = 4
+  fc.hash_bucket_size = 100
+  fc.lookup_max_sel_elem_num = 3
+  spec = fs.build_feature_spec(fc)
+  assert spec.kind == 'categorical' and spec.num_ids == 3
+  t = tr.build_transforms({'lk': spec})[0]
+  out = t({'k': np.array(['a', 'b', 'z'], dtype=object),
+           'm': np.array(['a:x|b:y|a:w|a:q2|a:q3', 'b:u', 'a:v'],
+                         dtype=object)})
+  ids, w = out[spec.ids_key], out[spec.weights_key]
+  np.testing.assert_allclose(w, [[1, 1, 1], [1, 0, 0], [0, 0, 0]])
+  from easyrec_tpu.ops import hashing
+  exp = hashing.hash_strings(np.array(['x', 'w'], dtype=object), spec.rows)
+  assert ids[0, 0] == exp[0] and ids[0, 1] == exp[1]
+
+  # numeric dense lookup (no id scheme): float values, padded
+  fc2 = data_pb2.FeatureConfig()
+  fc2.input_names.extend(['k', 'm'])
+  fc2.feature_name = 'lkd'
+  fc2.feature_type = fc2.LookupFeature
+  fc2.lookup_max_sel_elem_num = 2
+  spec2 = fs.build_feature_spec(fc2)
+  assert spec2.kind == 'dense' and spec2.value_dim == 2
+  t2 = tr.build_transforms({'lkd': spec2})[0]
+  out2 = t2({'k': np.array(['a', 'c'], dtype=object),
+             'm': np.array(['a:1.5|a:2.5|a:9', 'b:3'], dtype=object)})
+  np.testing.assert_allclose(out2[spec2.dense_key], [[1.5, 2.5], [0, 0]])
