@@ -199,7 +199,9 @@ class TFRecordReader(BaseReader):
     row = 0
     for path in paths:
       buf = []
-      for payload in tfrecord.read_records(path):
+      for payload in tfrecord.read_records(
+          path,
+          compression=self.data_config.data_compression_type or ''):
         if (not self.data_config.file_shard) and self.shard_num > 1 and \
             row % self.shard_num != self.shard_index:
           row += 1

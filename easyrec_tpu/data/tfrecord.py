@@ -48,9 +48,14 @@ def _masked_crc(data: bytes) -> int:
   return ((((crc >> 15) | (crc << 17)) + _MASK_DELTA) & 0xFFFFFFFF)
 
 
-def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
-  """Yield raw record payloads from a TFRecord file."""
-  with open(path, 'rb') as f:
+def read_records(path: str, verify_crc: bool = False,
+                 compression: str = '') -> Iterator[bytes]:
+  """Yield raw record payloads from a TFRecord file. GZIP handled via
+  data_config.data_compression_type or a .gz suffix."""
+  import gzip
+  opener = gzip.open if (compression.upper() == 'GZIP' or
+                         path.endswith('.gz')) else open
+  with opener(path, 'rb') as f:
     while True:
       header = f.read(12)
       if len(header) < 12:

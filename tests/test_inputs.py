@@ -274,3 +274,26 @@ model_config { model_class: "DummyModel" }
   assert int(m[0].sum()) == min(len(seqs[0]), 5)
   np.testing.assert_allclose(batch['feat.vec.dense'][0], vecs[0],
                              rtol=1e-6)
+
+
+def test_tfrecord_gzip(tmp_path):
+  """GZIP TFRecords via data_compression_type / .gz suffix."""
+  import gzip
+  from easyrec_tpu.data import tfrecord
+  plain = os.path.join(str(tmp_path), 'd.tfrecord')
+  rows = [{'label': float(i % 2), 'num': i * 1.0, 'cat': 'c%d' % (i % 3)}
+          for i in range(30)]
+  tfrecord.write_records(
+      plain, (tfrecord.columns_to_example(r) for r in rows))
+  gz = plain + '.gz'
+  with open(plain, 'rb') as f, gzip.open(gz, 'wb') as g:
+    g.write(f.read())
+  assert len(list(tfrecord.read_records(gz))) == 30
+  cfg = get_configs_from_pipeline_str(
+      _data_config('TFRecordInput',
+                   'data_compression_type: "GZIP"').format(path=gz))
+  pipe = InputPipeline(cfg.data_config,
+                       config_util.get_feature_configs(cfg), gz,
+                       mode='eval')
+  total = sum(int((b['sample_weight'] > 0).sum()) for b in pipe)
+  assert total == 30
