@@ -140,8 +140,8 @@ def e2e_sweep(meta, n_ids, tag):
       k, (meta.phys_rows, meta.width), jnp.float32) * 0.01)(key)
 
   ref = None
-  for fused, pipe, mb in [(0, 1, 12), (1, 0, 12), (1, 1, 12),
-                          (1, 1, 8), (1, 1, 16)]:
+  for fused, pipe, mb in [(0, 0, 12), (0, 1, 12), (1, 0, 12),
+                          (1, 1, 12), (1, 1, 8), (1, 1, 16)]:
     os.environ['EASYREC_PACKED_FUSED'] = str(fused)
     os.environ['EASYREC_PACKED_PIPELINE'] = str(pipe)
     os.environ['EASYREC_PACKED_CHUNK_MB'] = str(mb)
