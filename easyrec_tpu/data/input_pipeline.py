@@ -58,8 +58,10 @@ class BaseReader:
 
 
 def _fill_defaults(columns: Dict[str, object], dc) -> Dict[str, object]:
-  """Replace nulls with each input field's default_val (reference
-  dataset.proto Field.default_val / input_utils type defaults)."""
+  """Replace missing values with each input field's default_val
+  (reference dataset.proto Field.default_val): nulls for scalar typed
+  columns, and empty strings for STRING fields with an explicit
+  default (csv empty cells parse as '' rather than null)."""
   import pyarrow as pa
   import pyarrow.compute as pc
   out = dict(columns)
@@ -67,17 +69,28 @@ def _fill_defaults(columns: Dict[str, object], dc) -> Dict[str, object]:
     col = out.get(f.input_name)
     if col is None or not isinstance(col, (pa.Array, pa.ChunkedArray)):
       continue
+    typ = col.type
+    if (pa.types.is_list(typ) or pa.types.is_large_list(typ) or
+        pa.types.is_fixed_size_list(typ)):
+      continue        # multi-value columns handle their own padding
+    if f.input_type == FieldType.STRING:
+      if not f.HasField('default_val'):
+        continue
+      fill = f.default_val
+      col = pc.fill_null(col, pa.scalar(fill, typ))
+      if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        col = pc.if_else(pc.equal(col, ''), pa.scalar(fill, typ), col)
+      out[f.input_name] = col
+      continue
     if not col.null_count:
       continue
-    if f.input_type == FieldType.STRING:
-      fill = f.default_val or ''
-    elif f.input_type in (FieldType.FLOAT, FieldType.DOUBLE):
+    if f.input_type in (FieldType.FLOAT, FieldType.DOUBLE):
       fill = float(f.default_val or 0.0)
     elif f.input_type == FieldType.BOOL:
       fill = (f.default_val or '').lower() in ('1', 'true')
     else:
       fill = int(float(f.default_val or 0))
-    out[f.input_name] = pc.fill_null(col, pa.scalar(fill, col.type))
+    out[f.input_name] = pc.fill_null(col, pa.scalar(fill, typ))
   return out
 
 

@@ -122,19 +122,29 @@ def build_feature_spec(config: FeatureConfig,
         is_weighted=bool(config.kv_separator) or len(config.input_names) > 1,
         config=config)
 
+  # lookup_max_sel_elem_num defaults to 10 in the proto: only an
+  # EXPLICIT setting opts into multi-selection
+  explicit_sel = (ftype == FeatureType.LookupFeature and
+                  config.HasField('lookup_max_sel_elem_num'))
   if ftype == FeatureType.LookupFeature and (
       config.hash_bucket_size > 0 or config.num_buckets > 0 or
-      config.vocab_list or config.vocab_file or
-      int(config.lookup_max_sel_elem_num) > 1):
+      config.vocab_list or config.vocab_file or explicit_sel):
     # kv-map lookup with an id scheme or multi-selection (reference
     # input/input.py:941 _lookup_preprocess, lookup_max_sel_elem_num)
-    n_sel = max(int(config.lookup_max_sel_elem_num), 1)
+    n_sel = max(int(config.lookup_max_sel_elem_num), 1) \
+        if explicit_sel else 1
     if (config.hash_bucket_size > 0 or config.num_buckets > 0 or
         config.vocab_list or config.vocab_file or
         list(config.boundaries)):
       return FeatureSpec(
           name=name, kind='categorical', num_ids=n_sel,
           table_name=table_name, rows=table_rows(config),
+          embedding_dim=emb_dim, combiner=combiner, config=config)
+    if emb_dim > 0:
+      # raw-projection numeric lookup: iota ids weighted by values
+      return FeatureSpec(
+          name=name, kind='categorical', num_ids=n_sel,
+          table_name=table_name, rows=n_sel, is_weighted=True,
           embedding_dim=emb_dim, combiner=combiner, config=config)
     return FeatureSpec(name=name, kind='dense', value_dim=n_sel,
                        config=config)

@@ -271,8 +271,8 @@ class RawTransform(BaseTransform):
     col = columns[config.input_names[0]]
     if raw_dim == 1:
       vals = _to_float(col)[:, None]
-    elif _list_rows(col) is not None:
-      rows = _list_rows(col)
+    elif (_lr := _list_rows(col)) is not None:
+      rows = _lr
       vals = np.zeros((len(rows), raw_dim), dtype=np.float32)
       for i, r in enumerate(rows):
         if r:
@@ -424,6 +424,22 @@ class LookupTransform(BaseTransform):
       return {
           spec.ids_key: ids.astype(np.int32),
           spec.weights_key: mask,
+      }
+    if not (config.hash_bucket_size > 0 or config.num_buckets > 0 or
+            config.vocab_list or config.vocab_file):
+      # raw-projection numeric lookup: iota ids weighted by the values
+      # (reference feature_column raw-projection trick)
+      weights = np.zeros((n, n_sel), dtype=np.float32)
+      for i in range(n):
+        for j in range(counts[i]):
+          try:
+            weights[i, j] = float(sel[i, j])
+          except ValueError:
+            pass
+      ids = np.broadcast_to(np.arange(n_sel, dtype=np.int32), (n, n_sel))
+      return {
+          spec.ids_key: np.ascontiguousarray(ids),
+          spec.weights_key: weights,
       }
     flat = sel.ravel()
     if config.hash_bucket_size > 0:

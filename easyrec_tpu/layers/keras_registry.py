@@ -429,7 +429,15 @@ class _CrossAdapter(nn.Module):
     inner = IX.CrossNetV2(num_layers=self.num_layers,
                           projection_dim=self.projection_dim)
     if isinstance(inputs, (list, tuple)) and len(inputs) == 2:
-      return inner(inputs[0], inputs[1])
+      x0, x = inputs
+      if x0.shape[-1] != x.shape[-1]:
+        raise ValueError(
+            'Cross with two inputs is the [x0, x_l] pair convention '
+            '(reference dcn_backbone recurrent pattern) and needs equal '
+            'dims, got %d vs %d; concatenate the inputs into one block '
+            'first if you want a plain cross over their concat'
+            % (x0.shape[-1], x.shape[-1]))
+      return inner(x0, x)
     if isinstance(inputs, (list, tuple)):
       inputs = jnp.concatenate(list(inputs), axis=-1) \
           if len(inputs) > 1 else inputs[0]

@@ -87,7 +87,8 @@ class MultiTaskModel(BaseModel):
       if params is not None:
         kw = dict(gamma=params.gamma,
                   alpha=params.alpha if params.HasField('alpha') else None,
-                  label_smoothing=params.label_smoothing)
+                  label_smoothing=params.label_smoothing,
+                  ohem_ratio=params.ohem_ratio)
       return L.binary_focal_loss(label, logits, w, **kw)
     if lt == LossType.F1_REWEIGHTED_LOSS:
       kw = {}

@@ -189,7 +189,7 @@ class IvfIndex:
     assign = np.argmax(2.0 * emb @ centroids.T - sq[None, :], axis=1)
     cap = max(int(np.bincount(assign, minlength=n_clusters).max()), 1)
     buckets = np.zeros((n_clusters, cap, d), np.float32)
-    bucket_rows = np.zeros((n_clusters, cap), np.int64)
+    bucket_rows = np.full((n_clusters, cap), -1, np.int64)
     valid = np.zeros((n_clusters, cap), np.float32)
     fill = np.zeros(n_clusters, np.int64)
     for row, c in enumerate(assign):
@@ -235,8 +235,12 @@ class IvfIndex:
 
   def search(self, queries: np.ndarray, k: int,
              nprobe: int = 8) -> Tuple[np.ndarray, np.ndarray]:
-    k = min(k, self.num_items)
+    """Returns (scores, item rows); rows are -1 where fewer than k
+    valid candidates fell inside the probed clusters."""
     nprobe = min(nprobe, self.centroids.shape[0])
+    # the candidate pool is nprobe clusters x cap slots
+    pool = nprobe * self.buckets.shape[1]
+    k = min(k, self.num_items, pool)
     key = (k, nprobe)
     if key not in self._search:
       self._search[key] = self._build_search(k, nprobe)
@@ -245,4 +249,5 @@ class IvfIndex:
 
   def search_ids(self, queries: np.ndarray, k: int, nprobe: int = 8):
     scores, idx = self.search(queries, k, nprobe)
-    return scores, self.ids[idx]
+    ids = np.where(idx >= 0, np.asarray(self.ids)[np.maximum(idx, 0)], -1)
+    return scores, ids

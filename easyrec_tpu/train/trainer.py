@@ -519,9 +519,10 @@ class Trainer:
     if checkpoint and self.model_dir:
       manager = ckpt_lib.CheckpointManager(
           self.model_dir, max_to_keep=int(tc.keep_checkpoint_max) or 10)
-      if tc.write_graph:
+      if tc.write_graph and tc.HasField('write_graph'):
         # graph.pbtxt analog (reference CheckpointSaverHook writes the
-        # graph def): the train step's StableHLO dump
+        # graph def): the train step's StableHLO dump. Explicit opt-in
+        # only — the dump costs a full extra trace of the train step
         try:
           lowered = self.train_step.lower(state,
                                           self.rules.shard_batch(first))
@@ -648,10 +649,9 @@ class Trainer:
       state, loss_dict = self.train_step(state, sharded)
       step += 1
       window_examples += batch['sample_weight'].shape[0]
-      if summary is not None and summary_every != log_every and \
-          step % summary_every == 0:
-        # train_config.save_summary_steps: TB cadence decoupled from
-        # console logging
+      if summary is not None and step % summary_every == 0:
+        # ONE summary site (train_config.save_summary_steps decouples
+        # the TB cadence from console logging without double-writing)
         summary.add_scalars({'loss/%s' % k: float(v)
                              for k, v in loss_dict.items()}, step)
         summary.flush()
@@ -662,10 +662,9 @@ class Trainer:
         logging.info('step %d: loss=%.5f (%.1f ex/s)', step, loss_val, rate)
         history.append({'step': step, 'loss': loss_val,
                         'examples_per_sec': rate})
-        if summary is not None and step % summary_every == 0:
-          scalars = {'loss/%s' % k: float(v) for k, v in loss_dict.items()}
-          scalars['global_step/examples_per_sec'] = rate
-          summary.add_scalars(scalars, step)
+        if summary is not None:
+          summary.add_scalars(
+              {'global_step/examples_per_sec': rate}, step)
           summary.flush()
         t0 = time.time()
         window_examples = 0

@@ -203,3 +203,42 @@ def test_exports_to_keep_gc(tmp_path):
   assert len(stamps) == 2, stamps
   assert os.path.basename(dirs[-1]) in stamps
   assert os.path.basename(dirs[0]) not in stamps
+
+
+def test_default_val_fills_empty_strings(tmp_path):
+  """STRING default_val applies to empty csv cells (they parse as ''
+  rather than null; code-review regression)."""
+  path = os.path.join(str(tmp_path), 'd.csv')
+  with open(path, 'w') as f:
+    f.write('1,0.5,c1\n')
+    f.write('0,0.1,\n')
+  text = """
+train_input_path: "%s"
+eval_input_path: "%s"
+data_config {
+  batch_size: 4
+  num_epochs: 1
+  shuffle: false
+  label_fields: "label"
+  input_fields { input_name: "label" input_type: FLOAT }
+  input_fields { input_name: "num" input_type: FLOAT }
+  input_fields { input_name: "cat" input_type: STRING
+                 default_val: "unknown" }
+  input_type: CSVInput
+}
+feature_config {
+  features { input_names: "num" feature_type: RawFeature }
+  features { input_names: "cat" feature_type: IdFeature
+              embedding_dim: 4 hash_bucket_size: 50 }
+}
+model_config { model_class: "DummyModel" }
+""" % (path, path)
+  cfg = get_configs_from_pipeline_str(text)
+  pipe = InputPipeline(cfg.data_config,
+                       config_util.get_feature_configs(cfg), path,
+                       mode='eval')
+  batch = next(iter(pipe))
+  from easyrec_tpu.ops import hashing
+  exp = hashing.hash_strings(np.array(['unknown'], dtype=object), 50)
+  assert batch['feat.cat.ids'][1, 0] == exp[0]
+  assert batch['feat.cat.weights'][1, 0] == 1.0

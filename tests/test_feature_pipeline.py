@@ -254,3 +254,28 @@ def test_lookup_feature_multi_select():
   out2 = t2({'k': np.array(['a', 'c'], dtype=object),
              'm': np.array(['a:1.5|a:2.5|a:9', 'b:3'], dtype=object)})
   np.testing.assert_allclose(out2[spec2.dense_key], [[1.5, 2.5], [0, 0]])
+
+
+def test_lookup_raw_projection_default_sel():
+  """A lookup feature with embedding_dim and NO id scheme keeps the
+  raw-projection behavior; the proto's default
+  lookup_max_sel_elem_num=10 must NOT silently change the spec
+  (code-review regression)."""
+  import numpy as np
+  from easyrec_tpu.features import feature_spec as fs
+  from easyrec_tpu.features import transforms as tr
+  from easyrec_tpu.protos import data_pb2
+
+  fc = data_pb2.FeatureConfig()
+  fc.input_names.extend(['k', 'm'])
+  fc.feature_name = 'lk'
+  fc.feature_type = fc.LookupFeature
+  fc.embedding_dim = 8            # no hash/vocab/boundaries, sel unset
+  spec = fs.build_feature_spec(fc)
+  assert spec.kind == 'categorical' and spec.num_ids == 1
+  assert spec.is_weighted and spec.rows == 1
+  t = tr.build_transforms({'lk': spec})[0]
+  out = t({'k': np.array(['a', 'b'], dtype=object),
+           'm': np.array(['a:2.5|b:9', 'a:1'], dtype=object)})
+  np.testing.assert_allclose(out[spec.weights_key], [[2.5], [0.0]])
+  np.testing.assert_allclose(out[spec.ids_key], [[0], [0]])

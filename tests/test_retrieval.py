@@ -109,3 +109,23 @@ def test_ivf_index_recall_vs_exact():
   full_recall = np.mean([len(set(a) & set(b)) / 10.0
                          for a, b in zip(true_idx, all_idx)])
   assert full_recall == 1.0, full_recall
+
+
+def test_ivf_k_clamped_to_pool_and_padding_rows():
+  """k larger than the probed candidate pool is clamped, and
+  under-filled pools return -1 rows instead of fabricating item 0
+  (code-review regression)."""
+  import numpy as np
+  from easyrec_tpu.retrieval.knn import IvfIndex
+  rng = np.random.default_rng(1)
+  items = rng.normal(size=(100, 8)).astype(np.float32)
+  ivf = IvfIndex(items, metric='ip', n_clusters=20, n_iters=4)
+  q = rng.normal(size=(3, 8)).astype(np.float32)
+  scores, rows = ivf.search(q, k=5000, nprobe=2)
+  assert rows.shape[1] <= 2 * ivf.buckets.shape[1]
+  # any slot beyond the valid candidates is -1 with -inf score
+  invalid = rows < 0
+  if invalid.any():
+    assert np.all(np.isneginf(scores[invalid]))
+  _, ids = ivf.search_ids(q, k=5000, nprobe=2)
+  assert ((ids >= -1)).all()
