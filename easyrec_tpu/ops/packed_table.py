@@ -99,12 +99,15 @@ class PackMeta:
     self.pack = self.width // self.cc
     self.group_rows = 8 * self.pack
     # +1 whole sacrificial group at the end absorbs dedup padding;
-    # groups round to a fixed 256 multiple (>= the shard count) so the
-    # geometry — and therefore checkpoints — is IDENTICAL across pod
-    # sizes up to 256 devices (orbax reshards on restore; a
-    # shard-count-dependent rounding would break topology changes)
+    # groups round to a 256 multiple so the geometry — and therefore
+    # checkpoints — is IDENTICAL across power-of-two pod sizes up to 256
+    # devices (orbax reshards on restore). Non-power-of-two meshes lcm
+    # up (their geometry is self-consistent but not interchangeable
+    # with power-of-two checkpoints without a fine-tune-style splice).
     g = rows // self.group_rows + 2
-    quantum = max(256, self.shards)
+    # lcm keeps groups divisible by non-power-of-two shard counts too
+    # (e.g. 6- or 192-device meshes) while staying a 256 multiple
+    quantum = 256 * self.shards // math.gcd(256, self.shards)
     self.groups = -(-g // quantum) * quantum
     self.rows_padded = self.groups * self.group_rows
     self.scratch = self.rows_padded - self.group_rows
@@ -254,13 +257,19 @@ def _seg_sum_pallas(expanded: jnp.ndarray, flat: jnp.ndarray,
   n8 = -(-n // 8) * 8
   pwf = pw + 128
 
-  # payload rows: [grads | flat-as-f32 | 0...]; sentinel rows (padding
-  # and the 2-tile overrun margin) carry flat == cap8, matching no block
+  # payload rows: [grads | flat-hi | flat-lo | 0...]; the segment id is
+  # split hi = flat // 2048, lo = flat % 2048 so both lanes stay exact
+  # in f32 even for tables with >2^24 physical rows. Sentinel rows
+  # (padding and the 2-tile overrun margin) carry flat == cap8,
+  # matching no block.
   exp2 = jnp.concatenate(
       [expanded.astype(jnp.float32),
-       flat.astype(jnp.float32)[:, None],
-       jnp.zeros((n, 127), jnp.float32)], axis=1)
-  sent = jnp.zeros((1, pwf), jnp.float32).at[0, pw].set(float(cap8))
+       (flat // 2048).astype(jnp.float32)[:, None],
+       (flat % 2048).astype(jnp.float32)[:, None],
+       jnp.zeros((n, 126), jnp.float32)], axis=1)
+  sent = jnp.zeros((1, pwf), jnp.float32) \
+      .at[0, pw].set(float(cap8 // 2048)) \
+      .at[0, pw + 1].set(float(cap8 % 2048))
   exp2 = jnp.concatenate(
       [exp2, jnp.broadcast_to(sent, (n8 - n + 2 * _SEG_T, pwf))], axis=0)
 
@@ -336,8 +345,9 @@ def _seg_sum_pallas(expanded: jnp.ndarray, flat: jnp.ndarray,
 
       def compute():
         vals = tbuf[slot, :, :pw]
-        flatv = tbuf[slot, :, pw]
-        cols = flatv.astype(jnp.int32) - blk_l * seg_b
+        flat_i = tbuf[slot, :, pw].astype(jnp.int32) * 2048 + \
+            tbuf[slot, :, pw + 1].astype(jnp.int32)
+        cols = flat_i - blk_l * seg_b
         # one-hot built in [T, B] orientation: flatv is a SUBLANE vector
         # (one value per input row) so cols[:, None] broadcasts along
         # lanes for free — the transposed [B, T] build needs a
@@ -375,7 +385,8 @@ def _seg_sum_pallas(expanded: jnp.ndarray, flat: jnp.ndarray,
       pl.when(live_l == 1)(compute)
       pl.when((live_l == 0) & (first_l == 1))(zero_block)
 
-      pl.when((l + 2 < L) & (sv(3, l + 2) == 1))(
+      pl.when((l + 2 < L) &
+              (sv(3, jnp.minimum(l + 2, L - 1)) == 1))(
           lambda: in_copy(l + 2, slot).start())
       return (oslot2, pushes2)
 
@@ -490,9 +501,10 @@ def group_prep(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta,
   # the kernel needs a whole number of seg_b-row output blocks; a
   # truncated cap (== local groups of a sharded small table) may not
   # divide — fall back to the XLA scatter there
-  if cap * 8 % min(_SEG_B, cap * 8) != 0:
+  div_ok = cap * 8 % min(_SEG_B, cap * 8) == 0
+  if not div_ok:
     seg_kernel = False
-  if seg_kernel or interpret:
+  if seg_kernel or (interpret and div_ok):
     gg = _seg_sum_pallas(expanded, flat, cap * 8, interpret=interpret)
   else:
     gg = jax.ops.segment_sum(expanded, flat, num_segments=cap * 8,
@@ -894,17 +906,22 @@ def _rmw_fused_pallas(table: jnp.ndarray,
   flag3 = jnp.zeros((nc, _PAGE), jnp.int32).at[:, :chunk].set(
       live.reshape(nc, chunk)).reshape(nc, 8, _LANE)
 
-  # ---- expanded-gradient stream: payload rows [grads | flat | 0...],
-  # sentinel margin with flat == npg*8 (matches no chunk's [0, cb) window)
+  # ---- expanded-gradient stream: payload rows [grads | flat-hi |
+  # flat-lo | 0...] (hi/lo = flat // 2048, flat % 2048 keep the segment
+  # id f32-exact beyond 2^24 rows); sentinel margin carries
+  # flat == npg*8, matching no chunk's [0, cb) window
   n = expanded.shape[0]
   n8 = -(-n // 8) * 8
   pwf = pw + 128
   flat = flat.astype(jnp.int32)
   exp2 = jnp.concatenate(
       [expanded.astype(jnp.float32),
-       flat.astype(jnp.float32)[:, None],
-       jnp.zeros((n, 127), jnp.float32)], axis=1)
-  sent = jnp.zeros((1, pwf), jnp.float32).at[0, pw].set(float(npg * 8))
+       (flat // 2048).astype(jnp.float32)[:, None],
+       (flat % 2048).astype(jnp.float32)[:, None],
+       jnp.zeros((n, 126), jnp.float32)], axis=1)
+  sent = jnp.zeros((1, pwf), jnp.float32) \
+      .at[0, pw].set(float((npg * 8) // 2048)) \
+      .at[0, pw + 1].set(float((npg * 8) % 2048))
   exp2 = jnp.concatenate(
       [exp2, jnp.broadcast_to(sent, (n8 - n + 2 * T, pwf))], axis=0)
 
@@ -983,8 +1000,9 @@ def _rmw_fused_pallas(table: jnp.ndarray,
       slot = jax.lax.rem(j, 2)
       tile_copy(j, slot).wait()
       vals = tbuf[slot, :, :pw]
-      flatv = tbuf[slot, :, pw]
-      cols = flatv.astype(jnp.int32) - i * cb
+      flat_i = tbuf[slot, :, pw].astype(jnp.int32) * 2048 + \
+          tbuf[slot, :, pw + 1].astype(jnp.int32)
+      cols = flat_i - i * cb
       iota = jax.lax.broadcasted_iota(jnp.int32, (T, cb), 1)
       p1 = (cols[:, None] == iota).astype(jnp.bfloat16)
       hi = vals.astype(jnp.bfloat16)

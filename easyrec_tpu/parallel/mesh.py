@@ -10,10 +10,12 @@ protos/train.proto DistributionStrategy):
                  the id/vector all-to-alls that the reference hand-writes
                  with hvd.alltoall, compat/feature_column:248-357)
 
-With mesh_model_parallel=1 tables are replicated (classic DP). The default
-EmbeddingParallel-style mode shards tables over ALL devices: mesh is
-(data=D, model=M) and tables use P(('data','model'), None) so every chip
-holds 1/(D*M) of each fused table while the batch stays sharded over 'data'.
+The default EmbeddingParallel-style mode shards tables over ALL devices:
+mesh is (data=D, model=M) and tables use P(('data','model'), None) so
+every chip holds 1/(D*M) of each fused table while the batch stays
+sharded over 'data'. Table replication (classic DP) is selected by the
+train_distribute strategy (e.g. MirroredStrategy), not by
+mesh_model_parallel=1.
 """
 
 from __future__ import annotations
@@ -75,7 +77,7 @@ class ShardingRules:
     # no gather across devices (the reference broadcasts sampled items to
     # all workers the same way)
     shardings = {
-        k: (self.replicated if k.startswith(('neg.', 'hard_neg'))
+        k: (self.replicated if k.startswith(('neg.', 'hard_neg.'))
             else self.batch)
         for k in batch
     }

@@ -143,6 +143,12 @@ class Trainer:
     ok = (self.layout.packed_supported(self._n_parts) and
           self.layout.tables and
           self.embed_opt.sparse.block_math is not None)
+    if self.mesh.devices.size > 1 and \
+        not getattr(self.rules, 'shard_embeddings', True):
+      # replicated-tables strategies (e.g. Mirrored) keep the plain
+      # layout: the packed multi-device path row-shards the tables,
+      # which would silently override the configured replication
+      ok = False
     if env == '1':
       return bool(ok)
     # auto: any all-TPU mesh (multi-device goes through the shard_map

@@ -205,3 +205,37 @@ def test_packed_dssm_with_negatives(tmp_path, monkeypatch):
   hist = result['history']
   assert hist[-1]['loss'] < hist[0]['loss']
   assert result['eval_metrics']['recall@5'] > 0.55, result['eval_metrics']
+
+
+def test_pack_meta_non_power_of_two_shards():
+  """groups stays divisible by non-power-of-two shard counts (lcm
+  quantum; code-review regression), and power-of-two geometry is
+  unchanged (checkpoint compatibility)."""
+  from easyrec_tpu.ops.packed_table import PackMeta
+  m6 = PackMeta(100_000, 16, 3, shards=6)
+  assert m6.groups % 6 == 0
+  lv = m6.local_view()
+  assert lv.groups * 6 == m6.groups
+  # power-of-two shard counts keep the fixed 256 quantum
+  m1 = PackMeta(100_000, 16, 3, shards=1)
+  m8 = PackMeta(100_000, 16, 3, shards=8)
+  assert m1.groups == m8.groups
+  assert m1.groups % 256 == 0
+
+
+def test_packed_mode_respects_replicated_tables(monkeypatch, tmp_path):
+  """Mirrored (replicated-tables) strategies must not pick the packed
+  multi-device path, which would silently row-shard the tables
+  (code-review regression)."""
+  monkeypatch.setenv('EASYREC_PACKED_TABLES', '1')
+  from easyrec_tpu.config import get_configs_from_pipeline_file
+  from easyrec_tpu.train.trainer import Trainer
+  from tests import fixtures
+  cfg = get_configs_from_pipeline_file(
+      fixtures.write_pipeline(tmp_path, num_steps=1))
+  from easyrec_tpu.protos import train_pb2
+  cfg.train_config.train_distribute = \
+      train_pb2.DistributionStrategy.Value('MirroredStrategy')
+  trainer = Trainer(cfg)
+  assert not trainer.rules.shard_embeddings
+  assert not trainer.packed_mode
