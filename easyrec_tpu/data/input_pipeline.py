@@ -172,12 +172,20 @@ class ParquetReader(BaseReader):
   def chunks(self, chunk_rows: int) -> Iterator[Dict[str, object]]:
     import pyarrow.parquet as pq
     paths = config_util.expand_input_paths(self.input_path)
+    if not paths:
+      raise FileNotFoundError('no input files match %s' % self.input_path)
     if self.data_config.file_shard and self.shard_num > 1:
       paths = paths[self.shard_index::self.shard_num]
     row_in_shard = 0
     for path in paths:
       pf = pq.ParquetFile(path)
-      cols = [n for n in self.field_names if n in pf.schema_arrow.names]
+      missing = [n for n in self.field_names
+                 if n not in pf.schema_arrow.names]
+      if missing:
+        raise KeyError('parquet file %s is missing configured '
+                       'input_fields %s (has: %s)' %
+                       (path, missing, pf.schema_arrow.names))
+      cols = list(self.field_names)
       for batch in pf.iter_batches(batch_size=chunk_rows, columns=cols):
         import pyarrow as pa
         table = pa.Table.from_batches([batch])
@@ -230,19 +238,41 @@ class TFRecordReader(BaseReader):
   def _to_columns(self, payloads, types):
     from easyrec_tpu.data import tfrecord
     cols = tfrecord.example_to_columns(payloads, self.field_names, types)
+    defaults = {f.input_name: f.default_val
+                for f in self.data_config.input_fields
+                if f.HasField('default_val')}
     out = {}
     for name, vals in cols.items():
       ftype = types.get(name, FieldType.STRING)
       if ftype == FieldType.STRING:
+        dflt = defaults.get(name, '')
         out[name] = np.asarray(
-            ['|'.join(map(str, v)) if isinstance(v, list) else str(v)
+            ['|'.join(map(str, v)) if isinstance(v, list) else
+             (str(v) if v not in ('', None) else dflt)
              for v in vals], dtype=object)
-      else:
-        dt = _field_numpy_dtype(ftype)
-        out[name] = np.asarray(
-            [v[0] if isinstance(v, list) and len(v) == 1 else
-             (v if not isinstance(v, list) else v[0] if v else 0)
-             for v in vals], dtype=dt)
+        continue
+      dt = _field_numpy_dtype(ftype)
+      try:
+        dv = dt(float(defaults.get(name, 0) or 0))
+      except (TypeError, ValueError):
+        dv = dt(0)
+      if any(isinstance(v, list) and len(v) > 1 for v in vals):
+        # multi-value numeric feature (float_list/int64_list with >1
+        # element): keep ALL values as an arrow list column so the
+        # raw-vector transforms consume it natively
+        import pyarrow as pa
+        pt_ = pa.int64() if np.issubdtype(dt, np.integer) else \
+            pa.float64()
+        rows = [list(v) if isinstance(v, list) else
+                ([] if v in ('', None) else [v]) for v in vals]
+        out[name] = pa.array(rows, type=pa.list_(pt_))
+        continue
+
+      def scalar(v):
+        if isinstance(v, list):
+          return v[0] if v else dv
+        return dv if v in ('', None) else v
+      out[name] = np.asarray([scalar(v) for v in vals], dtype=dt)
     return out
 
 
@@ -448,8 +478,9 @@ class KafkaReader(BaseReader):
         parse_options=pacsv.ParseOptions(delimiter=dc.separator or ','),
         convert_options=pacsv.ConvertOptions(column_types=col_types,
                                              strings_can_be_null=False))
-    return {name: table.column(name).combine_chunks()
-            for name in names}
+    return _fill_defaults(
+        {name: table.column(name).combine_chunks() for name in names},
+        dc)
 
 
 @INPUTS.register('DataHubInput')
@@ -529,7 +560,9 @@ class DataHubReader(BaseReader):
           yield self._to_columns(chunk, col_idx)
         if not got_any and at_end:
           if not stop_at_end:
-            continue                           # stream: keep polling
+            import time as _time
+            _time.sleep(0.5)                   # idle stream: back off
+            continue                           # then keep polling
           if pending:
             yield self._to_columns(pending, col_idx)
           return

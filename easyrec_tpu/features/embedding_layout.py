@@ -124,11 +124,15 @@ class EmbeddingLayout:
 
   def init_tables(self, rng_seed: int = 0, dtype=np.float32,
                   pad_rows_to: int = 1) -> Dict[str, np.ndarray]:
-    """Materialize fused tables as numpy arrays (host init, then shard)."""
+    """Materialize fused tables as numpy arrays (host init, then shard).
+    Seeds derive from crc32(key) — NOT hash(), which is salted per
+    interpreter and would break cross-run/cross-host reproducibility."""
+    import zlib
     out = {}
     for key, t in self.tables.items():
       rows = _round_up(t.rows, pad_rows_to)
-      rng = np.random.default_rng(rng_seed ^ hash(key) & 0xffffffff)
+      rng = np.random.default_rng(
+          rng_seed ^ zlib.crc32(key.encode()) & 0xffffffff)
       arr = np.zeros((rows, t.dim), dtype=dtype)
       for tname, off in t.offsets.items():
         n = t.member_rows[tname]

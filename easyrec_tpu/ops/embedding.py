@@ -158,17 +158,28 @@ class InputLayer:
 
   def sequence_embedding(self, pulled: Dict[str, jnp.ndarray],
                          batch: Dict[str, jnp.ndarray],
-                         fname: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """([B, L, dim], mask [B, L]) for one sequence feature."""
+                         fname: str,
+                         prefix: str = '') -> Tuple[jnp.ndarray,
+                                                    jnp.ndarray]:
+    """([B, L, dim], mask [B, L]) for one sequence feature. prefix
+    selects an alternate batch view ('neg.' sampled negatives)."""
     spec = self.specs[fname]
     if spec.seq_is_dense:
       # numeric sequence: values come straight from the batch [B, L, N]
-      mask = batch['feat.%s.mask' % fname]
-      return batch[spec.dense_key] * mask[:, :, None], mask
+      mkey = '%sfeat.%s.mask' % (prefix, fname)
+      if prefix and mkey not in batch:
+        raise KeyError('sequence feature %r has no %r view in the batch'
+                       % (fname, prefix))
+      mask = batch[mkey]
+      return batch[prefix + spec.dense_key] * mask[:, :, None], mask
     key, use = self.layout.feature_use[(fname, 'deep')]
-    rows = jax.lax.slice_in_dim(pulled[key], use.start, use.start + use.k,
-                                axis=1)
-    mask = batch['feat.%s.mask' % fname]
+    mkey = '%sfeat.%s.mask' % (prefix, fname)
+    if prefix and (mkey not in batch or prefix + key not in pulled):
+      raise KeyError('sequence feature %r has no %r view in the batch'
+                     % (fname, prefix))
+    rows = jax.lax.slice_in_dim(pulled[prefix + key], use.start,
+                                use.start + use.k, axis=1)
+    mask = batch[mkey]
     return rows * mask[:, :, None], mask
 
   def dense_feature(self, batch: Dict[str, jnp.ndarray],
@@ -185,7 +196,8 @@ class InputLayer:
       if spec.kind == 'dense':
         outs.append(self.dense_feature(batch, fname, prefix))
       elif spec.kind == 'sequence':
-        seq, mask = self.sequence_embedding(pulled, batch, fname)
+        seq, mask = self.sequence_embedding(pulled, batch, fname,
+                                            prefix)
         outs.append(self._combine_sequence(spec, seq, mask, fname))
       else:
         outs.append(self.feature_embedding(pulled, batch, fname, role,

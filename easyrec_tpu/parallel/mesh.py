@@ -81,6 +81,17 @@ class ShardingRules:
             else self.batch)
         for k in batch
     }
+    if jax.process_count() > 1:
+      # multi-host: every process feeds ITS OWN data shard, so the
+      # global array must be assembled from per-process local shards
+      # (device_put would treat each local batch as the global value
+      # and silently drop the non-addressable slices). Replicated views
+      # (sampled negatives) must be identical across processes — the
+      # samplers are seeded identically per step for this reason.
+      return {
+          k: jax.make_array_from_process_local_data(shardings[k],
+                                                    np.asarray(v))
+          for k, v in batch.items()}
     return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
 
   def shard_tables(self, tables: Dict[str, np.ndarray]):

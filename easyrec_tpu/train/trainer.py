@@ -290,8 +290,21 @@ class Trainer:
         if l2_reg > 0:
           total = total + l2_reg * _l2_of_kernels(params)
         if emb_reg > 0:
-          reg = sum(jnp.sum(jnp.square(p.astype(jnp.float32)))
-                    for p in pulled.values())
+          # mask padded tail rows (sample_weight 0) out of the
+          # regularizer — their id-0 pulls would otherwise shrink row 0
+          # of every table on every short batch (neg views have no
+          # padded rows; their rare missing-feature filler columns are
+          # accepted as noise)
+          valid = (batch['sample_weight'] > 0).astype(jnp.float32)
+          reg = 0.0
+          for k, p in pulled.items():
+            sq = jnp.sum(jnp.square(p.astype(jnp.float32)),
+                         axis=tuple(range(1, p.ndim)))
+            if (not k.startswith(('neg.', 'hard_neg.')) and
+                p.shape[0] == valid.shape[0]):
+              reg = reg + jnp.sum(sq * valid)
+            else:
+              reg = reg + jnp.sum(sq)
           total = total + emb_reg * reg
         return total, (loss_dict, mutated.get('batch_stats', {}))
 
@@ -736,6 +749,11 @@ class Trainer:
         break
       run_batch(batch)
 
+    if profile_dir is not None:
+      # training ended before the first log boundary: finalize the trace
+      jax.profiler.stop_trace()
+      logging.info('profiler trace written to %s', profile_dir)
+      profile_dir = None
     if manager is not None:
       if self.ev_plan:
         from easyrec_tpu.features import ev as ev_lib2

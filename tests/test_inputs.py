@@ -297,3 +297,49 @@ def test_tfrecord_gzip(tmp_path):
                        mode='eval')
   total = sum(int((b['sample_weight'] > 0).sum()) for b in pipe)
   assert total == 30
+
+
+def test_tfrecord_multi_value_and_missing(tmp_path):
+  """tf.Example multi-value numeric features keep all values (arrow
+  list column) and records missing a declared numeric field get
+  default_val instead of crashing (code-review regression)."""
+  from easyrec_tpu.data import tfrecord
+  path = os.path.join(str(tmp_path), 'd.tfrecord')
+  rows = [{'label': 1.0, 'vec': [0.1, 0.2, 0.3], 'cat': 'a', 'num': 5.0},
+          {'label': 0.0, 'vec': [0.4, 0.5, 0.6], 'cat': 'b'},  # num gone
+          {'label': 1.0, 'vec': [0.7, 0.8, 0.9], 'cat': 'c', 'num': 7.0}]
+  tfrecord.write_records(
+      path, (tfrecord.columns_to_example(r) for r in rows))
+  text = """
+train_input_path: "%s"
+eval_input_path: "%s"
+data_config {
+  batch_size: 4
+  num_epochs: 1
+  shuffle: false
+  label_fields: "label"
+  input_fields { input_name: "label" input_type: FLOAT }
+  input_fields { input_name: "vec" input_type: FLOAT }
+  input_fields { input_name: "cat" input_type: STRING }
+  input_fields { input_name: "num" input_type: FLOAT
+                 default_val: "9.5" }
+  input_type: TFRecordInput
+}
+feature_config {
+  features { input_names: "vec" feature_type: RawFeature
+             raw_input_dim: 3 }
+  features { input_names: "cat" feature_type: IdFeature
+              embedding_dim: 4 hash_bucket_size: 50 }
+  features { input_names: "num" feature_type: RawFeature }
+}
+model_config { model_class: "DummyModel" }
+""" % (path, path)
+  cfg = get_configs_from_pipeline_str(text)
+  pipe = InputPipeline(cfg.data_config,
+                       config_util.get_feature_configs(cfg), path,
+                       mode='eval')
+  batch = next(iter(pipe))
+  np.testing.assert_allclose(batch['feat.vec.dense'][1], [0.4, 0.5, 0.6],
+                             rtol=1e-6)
+  np.testing.assert_allclose(batch['feat.num.dense'][:3, 0],
+                             [5.0, 9.5, 7.0])
