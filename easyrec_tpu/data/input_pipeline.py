@@ -659,6 +659,7 @@ class InputPipeline:
                shard_num: int = 1,
                drop_remainder: Optional[bool] = None,
                extra_fields: Optional[List[str]] = None,
+               raw_extra_fields: bool = False,
                skip_rows: int = 0):
     self.data_config = data_config
     self.mode = mode
@@ -703,6 +704,9 @@ class InputPipeline:
                    for f in data_config.input_fields}
     self.extra_fields = [(f, field_types.get(f, FieldType.STRING))
                          for f in (extra_fields or []) if f in field_types]
+    # raw_extra_fields additionally emits the untouched string values as
+    # 'raw.<name>' (host-only — e.g. predict_csv reserved_cols echo)
+    self.raw_extra_fields = bool(raw_extra_fields)
 
     # negative sampler splice (reference input/input.py:823-845)
     from easyrec_tpu.data import samplers as sampler_lib
@@ -776,6 +780,8 @@ class InputPipeline:
     else:
       out['sample_weight'] = np.ones(n, dtype=np.float32)
     for fname, ftype in self.extra_fields:
+      if self.raw_extra_fields:
+        out['raw.%s' % fname] = tr._to_numpy_str(columns[fname])
       if ftype == FieldType.STRING:
         from easyrec_tpu.ops.hashing import hash_strings
         out['field.%s' % fname] = hash_strings(

@@ -64,14 +64,19 @@ class AliasSampler:
 def _load_table(path: str, num_cols: int) -> List[List[str]]:
   rows = []
   with open(path) as f:
+    first = True
     for line in f:
       line = line.rstrip('\n')
       if not line:
         continue
       parts = line.split('\t')
-      if ':' in parts[0] and not parts[0].split(':')[0].lstrip(
+      # only the FIRST line may be a GraphLearn header like 'id:int64'
+      # — data ids can legitimately contain ':' (e.g. 'cat:1234')
+      if first and ':' in parts[0] and not parts[0].split(':')[0].lstrip(
           '-').isdigit():
-        continue  # header line like 'id:int64'
+        first = False
+        continue
+      first = False
       rows.append(parts[:num_cols] + [''] * (num_cols - len(parts)))
   return rows
 

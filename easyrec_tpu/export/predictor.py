@@ -160,13 +160,51 @@ class Predictor:
     self._kafka_offsets[(server, topic)] = off
     return n
 
+  @staticmethod
+  def _update_step(u):
+    """Step stamp of an update (filename update-NNN-step-S.npz, or the
+    __meta__ record inside a kafka blob); -1 when unknown."""
+    import json as _json
+    import re as _re
+    import numpy as _np
+    if isinstance(u, str):
+      m = _re.search(r'-step-(\d+)\.npz$', u)
+      return int(m.group(1)) if m else -1
+    try:
+      pos = u.tell()
+      with _np.load(u) as data:
+        if '__meta__' in data.files:
+          step = int(_json.loads(str(data['__meta__']))['step'])
+        else:
+          step = -1
+      u.seek(pos)
+      return step
+    except Exception:
+      return -1
+
   def _apply_update_blobs(self, pending) -> int:
-    """Apply update payloads (paths or file-like .npz blobs) in order."""
+    """Apply update payloads (paths or file-like .npz blobs) in order.
+
+    Updates stamped at or before the export's global_step are skipped
+    (a fresh server on a NEWER export must not regress to older
+    weights). A blob that fails to load (e.g. a half-written file)
+    stops the sweep WITHOUT being marked consumed — the already-applied
+    prefix is committed and the rest retries next poll."""
     import jax as _jax
     import numpy as _np
     from easyrec_tpu.train import incremental as incr_lib
     if not hasattr(self, '_consumed'):
       self._consumed = set()
+    export_step = int(self.meta.get('global_step', -1))
+    fresh = []
+    for u in pending:
+      step = self._update_step(u)
+      if 0 <= step <= export_step:
+        if isinstance(u, str):
+          self._consumed.add(u)      # older than the export: never apply
+        continue
+      fresh.append(u)
+    pending = fresh
     if not pending:
       return 0
     dense = {}
@@ -174,36 +212,47 @@ class Predictor:
         self.state['params']):
       keys = '/'.join(str(p.key) for p in path if hasattr(p, 'key'))
       dense[keys] = _np.asarray(leaf)
+    applied = []
     if self.meta.get('big_model'):
       # sparse deltas write through to the memory-mapped KV store (the
       # EAS-processor-applies-deltas analog); dense deltas update params
       self._open_kv(writable=True)
       for u in pending:
-        with _np.load(u) as data:
-          for name in data.files:
-            if name.startswith('dense/'):
-              dense[name[len('dense/'):]] = data[name]
-            elif name.startswith('sparse_ids/'):
-              key = name[len('sparse_ids/'):]
-              store = self._kv_stores[key]
-              ids = data[name]
-              vals = data['sparse_vals/%s' % key]
-              keep = ids < store.rows
-              store.update_rows(ids[keep], vals[keep])
-        self._consumed.add(u)
+        try:
+          with _np.load(u) as data:
+            for name in data.files:
+              if name.startswith('dense/'):
+                dense[name[len('dense/'):]] = data[name]
+              elif name.startswith('sparse_ids/'):
+                key = name[len('sparse_ids/'):]
+                store = self._kv_stores[key]
+                ids = data[name]
+                vals = data['sparse_vals/%s' % key]
+                keep = ids < store.rows
+                store.update_rows(ids[keep], vals[keep])
+        except Exception:            # half-written blob: retry next poll
+          break
+        applied.append(u)
 
       def _replace_big(path, leaf):
         keys = '/'.join(str(p.key) for p in path if hasattr(p, 'key'))
         return dense.get(keys, leaf)
 
-      self.state['params'] = _jax.tree_util.tree_map_with_path(
-          _replace_big, self.state['params'])
-      self._predict_fn = None
-      return len(pending)
+      if applied:
+        self.state['params'] = _jax.tree_util.tree_map_with_path(
+            _replace_big, self.state['params'])
+        self._predict_fn = None
+        self._consumed.update(u for u in applied if isinstance(u, str))
+      return len(applied)
     tables = {k: _np.array(v) for k, v in self.state['tables'].items()}
     for u in pending:
-      incr_lib.apply_update(dense, tables, u)
-      self._consumed.add(u)
+      try:
+        incr_lib.apply_update(dense, tables, u)
+      except Exception:              # half-written blob: retry next poll
+        break
+      applied.append(u)
+    if not applied:
+      return 0
 
     def _replace(path, leaf):
       keys = '/'.join(str(p.key) for p in path if hasattr(p, 'key'))
@@ -213,7 +262,8 @@ class Predictor:
         _replace, self.state['params'])
     self.state['tables'] = tables
     self._predict_fn = None          # rebuild the jitted fn on new weights
-    return len(pending)
+    self._consumed.update(u for u in applied if isinstance(u, str))
+    return len(applied)
 
   # -- feeding -------------------------------------------------------------
 
@@ -272,24 +322,31 @@ class Predictor:
                   reserved_cols: Optional[List[str]] = None,
                   shard_index: int = 0, shard_num: int = 1) -> int:
     """Batch predict a CSV input (same schema as training), writing
-    output CSV; returns row count (reference csv_predictor)."""
+    output CSV; returns row count. reserved_cols copies the named input
+    columns into the output so predictions can be joined back
+    (reference csv_predictor --reserved_cols)."""
+    reserved = list(reserved_cols or [])
     pipeline = InputPipeline(
         self.config.data_config, self.feature_configs, input_path,
         mode='predict', batch_size=self.batch_size,
-        shard_index=shard_index, shard_num=shard_num)
+        shard_index=shard_index, shard_num=shard_num,
+        extra_fields=reserved, raw_extra_fields=True)
     n_total = 0
     with open(output_path, 'w', newline='') as f:
       writer = None
       for batch in pipeline:
         valid = batch['sample_weight'] > 0
+        res_in = {c: np.asarray(batch.pop('raw.%s' % c))
+                  for c in reserved}
         res = jax.device_get(self.predict_fn(batch))
         keys = sorted(res.keys())
         if writer is None:
           writer = csv_lib.writer(f)
-          writer.writerow(keys)
+          writer.writerow(reserved + keys)
         arrays = [np.asarray(res[k]) for k in keys]
         for i in np.nonzero(valid)[0]:
-          writer.writerow([_fmt(a[i]) for a in arrays])
+          writer.writerow([_fmt(res_in[c][i]) for c in reserved] +
+                          [_fmt(a[i]) for a in arrays])
           n_total += 1
     return n_total
 

@@ -47,6 +47,8 @@ class TableEv:
   thr_cols: np.ndarray          # [totK] int32 admission threshold per
   #                               pack column (0 = feature not filtered)
   ttl: int                      # max steps_to_live over members (0=off)
+  ttl_cols: np.ndarray          # [totK] int32 TTL per pack column
+  #                               (0 = feature opted out of TTL)
   row_segments: tuple           # ((start, end, filter_freq, ttl), ...)
 
   @property
@@ -61,6 +63,7 @@ def build_ev_plan(layout, specs) -> Optional[Dict[str, TableEv]]:
   any_ev = False
   for key, table in layout.tables.items():
     thr = np.zeros((table.tot_k,), np.int32)
+    ttl_cols = np.zeros((table.tot_k,), np.int32)
     segs = []
     ttl = 0
     for use in table.uses:
@@ -71,12 +74,14 @@ def build_ev_plan(layout, specs) -> Optional[Dict[str, TableEv]]:
         ff = int(cfg.ev_params.filter_freq)
         lv = int(cfg.ev_params.steps_to_live)
       thr[use.start:use.start + use.k] = ff
+      ttl_cols[use.start:use.start + use.k] = lv
       tname = spec.table_name if use.role == 'deep' \
           else spec.table_name + '__wide'
       off = table.offsets[tname]
       segs.append((off, off + table.member_rows[tname], ff, lv))
       ttl = max(ttl, lv)
-    ev = TableEv(thr_cols=thr, ttl=ttl, row_segments=tuple(segs))
+    ev = TableEv(thr_cols=thr, ttl=ttl, ttl_cols=ttl_cols,
+                 row_segments=tuple(segs))
     if ev.enabled:
       any_ev = True
     plan[key] = ev
@@ -157,7 +162,11 @@ def mask_pulled(pulled: Dict[str, jnp.ndarray],
         keep = counts >= thr
       if 'ev_last' in aux and ev.ttl > 0:
         last = _lookup_dim1(aux['ev_last'], pack, meta1)
-        fresh = (step.astype(jnp.float32) - last) <= float(ev.ttl)
+        ttl_c = jnp.asarray(ev.ttl_cols, jnp.float32)[None, :]
+        age = step.astype(jnp.float32) - last
+        # per-column gating: co-fused features without steps_to_live
+        # (ttl 0) are never TTL-masked
+        fresh = (age <= ttl_c) | (ttl_c <= 0)
         keep = fresh if keep is None else (keep & fresh)
       if keep is not None:
         out[view] = pulled[view] * keep[..., None].astype(

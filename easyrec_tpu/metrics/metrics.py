@@ -215,9 +215,14 @@ class MetricsCollection:
     if 'error' in states:
       out['error'] = update_error(states['error'], labels, preds, weights)
     if 'accuracy' in states:
-      cls = (probs >= 0.5).astype(labels.dtype) if preds is None else preds
-      out['accuracy'] = update_accuracy(states['accuracy'], labels,
-                                        (probs >= 0.5).astype(jnp.float32),
+      # integer preds are class ids (multiclass argmax); float preds are
+      # probabilities/scores and threshold at 0.5 (binary)
+      if preds is not None and jnp.issubdtype(preds.dtype, jnp.integer):
+        cls = preds.astype(jnp.float32)
+      else:
+        score = preds if preds is not None else probs
+        cls = (score >= 0.5).astype(jnp.float32)
+      out['accuracy'] = update_accuracy(states['accuracy'], labels, cls,
                                         weights)
     if 'binary' in states:
       out['binary'] = update_binary_counts(states['binary'], labels, probs,
@@ -263,9 +268,12 @@ class MetricsCollection:
         if s is not None:
           hits = float(np.asarray(s['sum']))
           cnt = float(np.asarray(s['count']))
-          name = 'recall@%d' % k if which == 'recall_at_topk' \
-              else 'precision@%d' % k
-          res[name] = hits / max(cnt, 1e-9)
+          if which == 'recall_at_topk':
+            res['recall@%d' % k] = hits / max(cnt, 1e-9)
+          else:
+            # precision@k: one relevant item per row -> hit contributes
+            # 1/k (reference tf.metrics precision_at_k semantics)
+            res['precision@%d' % k] = hits / max(cnt * k, 1e-9)
       elif which == 'gauc' and host_buffers is not None:
         res['gauc'] = grouped_auc(
             host_buffers['field.%s' % cfg.uid_field],

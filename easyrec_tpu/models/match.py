@@ -57,14 +57,6 @@ class MatchModel(BaseModel):
   def _tower_embs(self, outputs):
     return outputs['user_tower_emb'], outputs['item_tower_emb']
 
-  def _in_batch_logits(self, user_emb, item_emb, batch):
-    """[B, B] user x item similarity with temperature."""
-    if self.simi_func == Similarity.COSINE:
-      user_emb = _normalize(user_emb)
-      item_emb = _normalize(item_emb)
-    sim = user_emb @ item_emb.T
-    return sim / self.temperature
-
   def _item_id_mask(self, batch):
     """Mask colliding item ids in-batch (match_model.py:50-69)."""
     cfg = self._simi_cfg()
@@ -221,7 +213,6 @@ class _TwoTowerModule(nn.Module):
       for i, m in enumerate(att_maps):
         keys_emb, mask = il.sequence_embedding(pulled, batch,
                                                m.hist_seq[0])
-        query = il.feature_embedding(pulled, batch, m.key[0])
         att = DinAttention(name='seq_att_%d' % i)
         atts.append((att, keys_emb, mask, m.key[0]))
       pos_att = [att(query=il.feature_embedding(pulled, batch, kname),
@@ -379,6 +370,8 @@ class _MINDModule(nn.Module):
       seqs.append(s)
       mask = m if mask is None else jnp.maximum(mask, m)
     if cfg.user_seq_combine == models_pb2.MIND.UserSeqCombineMethod.SUM:
+      # reference mind.py:80-86: tf.add_n(...) / len — an AVERAGE
+      # despite the enum name; keep its math for parity
       hist = sum(seqs) / len(seqs)
     else:
       hist = jnp.concatenate(seqs, axis=-1)

@@ -22,6 +22,9 @@ def main(argv=None):
   parser.add_argument('--model_dir', default=None)
   parser.add_argument('--shard_index', type=int, default=0)
   parser.add_argument('--shard_num', type=int, default=1)
+  parser.add_argument('--reserved_cols', default='',
+                      help='comma-separated input columns copied into '
+                           'the output (saved-model path only)')
   parser.add_argument('--edit_config_json', default=None)
   args = parser.parse_args(argv)
 
@@ -32,7 +35,9 @@ def main(argv=None):
       parser.error('--saved_model_dir needs --input_path and '
                    '--output_path')
     predictor = Predictor(args.saved_model_dir)
+    reserved = [c for c in args.reserved_cols.split(',') if c]
     n = predictor.predict_csv(args.input_path, args.output_path,
+                              reserved_cols=reserved or None,
                               shard_index=args.shard_index,
                               shard_num=args.shard_num)
     logging.info('predicted %d rows -> %s', n, args.output_path)

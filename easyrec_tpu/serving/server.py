@@ -135,11 +135,14 @@ class PredictorService:
           rows = req['inputs']
           if not isinstance(rows, list):
             raise ValueError('"inputs" must be a list of objects')
+        except Exception as e:           # malformed request: caller error
+          return self._reply(400, {'error': str(e)})
+        try:
           outputs = service.predict_rows(rows)
           return self._reply(200, {'outputs': outputs})
-        except Exception as e:  # bad input or predict failure
-          logging.exception('predict request failed')
-          return self._reply(400, {'error': str(e)})
+        except Exception as e:           # serving-side failure: 5xx so
+          logging.exception('predict request failed')   # LBs retry/alert
+          return self._reply(500, {'error': str(e)})
 
     srv = ThreadingHTTPServer((self.host, self.port), Handler)
     srv.daemon_threads = True

@@ -111,7 +111,12 @@ class IncrementalPublisher:
                    off, len(meta['dense']), dict(meta['sparse']))
       return '%s@%d' % (self._topic, off)
     path = os.path.join(self.directory, name + '.npz')
-    np.savez_compressed(path, **payload)
+    # atomic publish: consumers poll this directory — never let them see
+    # a half-written npz
+    tmp = os.path.join(self.directory, '.tmp-' + name + '.npz')
+    with open(tmp, 'wb') as f:
+      np.savez_compressed(f, **payload)
+    os.replace(tmp, path)
     with open(path + '.meta', 'w') as f:
       json.dump(meta, f)
     logging.info('published incremental update %s: %d dense vars, %s '

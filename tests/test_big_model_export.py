@@ -58,11 +58,13 @@ def test_big_model_parity_and_incremental(tmp_path):
   ic.fs.relative = True
   pub = IncrementalPublisher(ic, str(tmp_path / 'pub'),
                              pack_metas=trainer.pack_metas)
-  pub.publish(state, 0)                      # base snapshot
-  # perturb the tables and publish the delta
+  export_step = int(np.asarray(state.step))
+  pub.publish(state, export_step)            # base snapshot
+  # perturb the tables and publish the delta STAMPED AFTER the export
+  # (older-stamped updates are correctly skipped by the consumer)
   state2 = state.replace(
       tables={k: v + 0.05 for k, v in state.tables.items()})
-  path = pub.publish(state2, 1)
+  path = pub.publish(state2, export_step + 1)
   assert path is not None
   n = p_big.consume_incremental(str(tmp_path / 'pub' / 'incr'))
   assert n == 1

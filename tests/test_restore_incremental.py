@@ -122,3 +122,55 @@ def _csv_columns(tmp_path, n=64):
       cols['c2'].append(c2)
       cols['c3'].append(c3)
   return {k: np.asarray(v) for k, v in cols.items()}
+
+
+def test_incremental_step_gating_and_partial_blob(tmp_path):
+  """Consumer semantics (code-review regression): updates stamped at or
+  before the export's global_step are skipped; a half-written update
+  stops the sweep without being consumed and retries after the writer
+  finishes."""
+  import shutil
+  from easyrec_tpu.export.predictor import Predictor
+  from easyrec_tpu.export.saved_model import export_saved_model
+  from easyrec_tpu.train.incremental import IncrementalPublisher
+
+  cfg_path = fixtures.write_pipeline(tmp_path, num_steps=20)
+  cfg = get_configs_from_pipeline_file(cfg_path)
+  cfg.train_config.incr_save_config.fs.incr_save_dir = 'incr_save'
+  cfg.train_config.incr_save_config.sparse_save_steps = 5
+  trainer = Trainer(cfg)
+  train_iter = iter(trainer.train_input())
+  first = next(train_iter)
+  state = trainer.init_state(first)
+  sharded = trainer.rules.shard_batch(first)
+  for _ in range(10):
+    state, _ = trainer.train_step(state, sharded)
+  # export at step 10
+  export_dir = export_saved_model(trainer, state,
+                                  os.path.join(str(tmp_path), 'exp'))
+
+  pub = IncrementalPublisher(cfg.train_config.incr_save_config,
+                             cfg.model_dir)
+  pub.publish(state, 0)                        # base snapshot
+  s_old = state.replace(
+      tables={k: v + 1.0 for k, v in state.tables.items()})
+  old_path = pub.publish(s_old, 5)             # BEFORE the export
+  for _ in range(3):
+    state, _ = trainer.train_step(state, sharded)
+  new_path = pub.publish(state, 13)            # after the export
+
+  p = Predictor(export_dir)
+  # corrupt the new update to simulate a half-written file
+  good = new_path + '.bak'
+  shutil.copy(new_path, good)
+  with open(new_path, 'r+b') as f:
+    f.truncate(100)
+  n = p.consume_incremental(pub.directory)
+  assert n == 0                                # old gated, new unreadable
+  assert old_path in p._consumed               # gated = consumed
+  assert new_path not in p._consumed
+  # writer finishes: the update applies on the next poll
+  shutil.copy(good, new_path)
+  n = p.consume_incremental(pub.directory)
+  assert n == 1
+  assert new_path in p._consumed
