@@ -261,7 +261,10 @@ def _set_field(target, name, value):
     del getattr(target, name)[:]
     if field.type == descriptor.FieldDescriptor.TYPE_MESSAGE:
       for v in value:
-        text_format.Parse(v, getattr(target, name).add())
+        if isinstance(v, dict):      # json array of objects
+          json_format.ParseDict(v, getattr(target, name).add())
+        else:
+          text_format.Parse(v, getattr(target, name).add())
     else:
       py_type = _py_type(field)
       getattr(target, name).extend([_convert_type(v, py_type) for v in value])
@@ -304,8 +307,9 @@ def get_train_input_path(config: EasyRecConfig) -> Optional[str]:
   which = config.WhichOneof('train_path')
   if which is None:
     return None
-  return getattr(config, which) if which in (
-      'train_input_path', 'parquet_train_input') else getattr(config, which)
+  # string paths for file inputs; message configs (kafka/datahub/hive)
+  # are returned as their proto message
+  return getattr(config, which)
 
 
 def set_train_input_path(config: EasyRecConfig, path: str) -> None:
@@ -316,8 +320,7 @@ def get_eval_input_path(config: EasyRecConfig) -> Optional[str]:
   which = config.WhichOneof('eval_path')
   if which is None:
     return None
-  return getattr(config, which) if which in (
-      'eval_input_path', 'parquet_eval_input') else getattr(config, which)
+  return getattr(config, which)
 
 
 def set_eval_input_path(config: EasyRecConfig, path: str) -> None:

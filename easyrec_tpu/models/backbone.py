@@ -128,6 +128,9 @@ class Package(nn.Module):
                 bi.feature_group_name != b.name:
           # a block may be named after a feature group it wraps
           dag.add_edge(bi.feature_group_name, b.name)
+        elif which == 'package_name' and bi.package_input in blocks:
+          # the package's input is computed by another block: order it
+          dag.add_edge(bi.package_input, b.name)
 
     values: Dict[str, Any] = {}
     group_cache: Dict[str, Any] = {}
@@ -155,8 +158,10 @@ class Package(nn.Module):
           raise KeyError('unknown package %r' % bi.package_name)
         pkg_in = None
         if bi.package_input:
-          pkg_in = values.get(bi.package_input) or \
-              feature_group_value(bi.package_input)
+          # NB: no `or` fallback — truthiness of a traced array crashes
+          pkg_in = values[bi.package_input] \
+              if bi.package_input in values \
+              else feature_group_value(bi.package_input)
           if bi.package_input_fn:
             pkg_in = eval_lambda(bi.package_input_fn)(pkg_in)
         v = pkg(batch, pulled, training, package_input=pkg_in)
@@ -239,8 +244,7 @@ class Package(nn.Module):
     layer_protos = list(block.layers)
     if which_layer is not None and which_layer not in (
         'input_layer', 'raw_input', 'embedding_layer'):
-      single = type('L', (), {})()
-      layer_protos = layer_protos + [(which_layer,
+        layer_protos = layer_protos + [(which_layer,
                                       getattr(block, which_layer))]
     for idx, lp in enumerate(layer_protos):
       if isinstance(lp, tuple):
@@ -268,11 +272,9 @@ class Package(nn.Module):
         fixed = x[fi]
         rest = [v for i, v in enumerate(x) if i != fi]
         state = rest[0] if len(rest) == 1 else rest
-      outputs = []
       for _ in range(int(payload.num_steps)):
         inp = [fixed, state] if fixed is not None else state
         state = mod(inp, training)          # same instance: shared params
-        outputs.append(state)
       return state
     if kind == 'repeat':
       outs = []
@@ -309,7 +311,7 @@ class Package(nn.Module):
       for f in seq_names:
         s, m = il.sequence_embedding(pulled, batch, f)
         seqs.append(s)
-        masks = m if masks is None else masks
+        masks = m if masks is None else jnp.maximum(masks, m)
       seq = jnp.concatenate(seqs, axis=-1) if len(seqs) > 1 else seqs[0]
       out = [seq, masks]
       if flat_names:

@@ -65,7 +65,10 @@ class _DeepFMModule(nn.Module):
     else:
       logits = _final_logits(
           jnp.concatenate([fm_out, deep_out], axis=1), self.num_logits)
-      logits = logits + jnp.sum(wide, axis=1, keepdims=True)
+      # wide is [B, wide_dim]: add per-class when dims align, else the
+      # summed scalar (reference adds the wide output element-wise)
+      logits = logits + (wide if wide.shape[-1] == logits.shape[-1]
+                         else jnp.sum(wide, axis=1, keepdims=True))
     return {'raw_logits': logits}
 
 
@@ -104,8 +107,9 @@ class _WideAndDeepModule(nn.Module):
                                   final_in, training)
       logits = _final_logits(final, self.num_logits)
     else:
-      logits = _final_logits(deep, self.num_logits) + \
-          jnp.sum(wide, axis=1, keepdims=True)
+      base = _final_logits(deep, self.num_logits)
+      logits = base + (wide if wide.shape[-1] == base.shape[-1]
+                       else jnp.sum(wide, axis=1, keepdims=True))
     return {'raw_logits': logits}
 
 
@@ -258,7 +262,9 @@ class _AutoIntModule(nn.Module):
     ctx = self.ctx
     il = ctx.input_layer
     cfg = ctx.model_config.autoint
-    group = next(iter(ctx.groups))
+    group = next((g for g in ctx.groups if g in ('all', 'deep')),
+                 next(iter(g for g in ctx.groups if g != 'wide'),
+                      next(iter(ctx.groups))))
     names = [f for f in ctx.group_features(group)
              if ctx.specs[f].kind == 'categorical']
     x = il.group_stack(pulled, batch, names)
@@ -313,13 +319,15 @@ class _DLRMModule(nn.Module):
       inter = DotInteraction(
           self_interaction=cfg.arch_interaction_itself,
           name='dot_interaction')(x)
+      # reference dlrm.py:60-63: top input = [interactions | sparse
+      # embeddings] + the dense bottom output ONLY when
+      # arch_with_dense_feature is set
+      tops = [inter, cat_emb.reshape(cat_emb.shape[0], -1)]
+      if cfg.arch_with_dense_feature and bot_out is not None:
+        tops.append(bot_out)
     else:
-      inter = x.reshape(x.shape[0], -1)
-    tops = [inter]
-    if cfg.arch_with_dense_feature and bot_out is not None:
-      tops.append(bot_out)
-    elif bot_out is not None:
-      tops.append(bot_out)
+      # 'cat': everything is already in x (reference dlrm.py:52)
+      tops = [x.reshape(x.shape[0], -1)]
     top_in = jnp.concatenate(tops, axis=1)
     top = DNN.from_config(cfg.top_dnn, name='top_dnn',
                           compute_dtype=ctx.compute_dtype)(top_in, training)

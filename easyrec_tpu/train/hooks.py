@@ -73,11 +73,18 @@ class BestExporter:
         value > self.best_value if self.bigger else value < self.best_value)
     if not improved:
       return False
-    self.best_value, self.best_step = value, step
     export_dir = os.path.join(self.model_dir, 'best_export')
+    tmp_dir = export_dir + '.new'
+    if os.path.exists(tmp_dir):
+      shutil.rmtree(tmp_dir)
+    # export FIRST, then swap + record: a failed export must neither
+    # destroy the previous best artifact nor block a retry at the same
+    # metric value
+    export_fn(tmp_dir)
     if os.path.exists(export_dir):
       shutil.rmtree(export_dir)
-    export_fn(export_dir)
+    os.replace(tmp_dir, export_dir)
+    self.best_value, self.best_step = value, step
     logging.info('best export at step %d: %s=%.6f', step, self.metric,
                  value)
     return True
