@@ -24,6 +24,13 @@ import time
 
 import numpy as np
 
+# The trainer inits variables on the host CPU backend (fast trace) before
+# sharding to the accelerator; a bare JAX_PLATFORMS=axon hides the CPU
+# backend ("Unknown backend cpu"), so append it before jax initializes.
+_plat = os.environ.get('JAX_PLATFORMS', '')
+if _plat and 'cpu' not in _plat.split(','):
+  os.environ['JAX_PLATFORMS'] = _plat + ',cpu'
+
 
 def _arm_deadline():
   """Fail fast (non-zero exit, no JSON) instead of hanging forever if

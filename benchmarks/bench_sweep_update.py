@@ -84,10 +84,14 @@ def rmw_sweep(meta, n_ids, tag):
   lr, st = jnp.float32(1e-3), jnp.int32(5)
   ugids, gg = jax.jit(functools.partial(pt.group_prep, meta=meta))(
       ids, grads)
-  table = jax.jit(lambda k: jax.random.normal(
-      k, (meta.phys_rows, meta.width), jnp.float32) * 0.01)(key)
+  # abs(): the packed layout interleaves Adam v-slots into this array;
+  # negative v would make sqrt(v) NaN and poison the parity check.
+  table = jax.jit(lambda k: jnp.abs(jax.random.normal(
+      k, (meta.phys_rows, meta.width), jnp.float32)) * 0.01)(key)
 
-  ref = None
+  ref = None  # host copy of 4096 sampled rows only (full copies OOM HBM)
+  idx = jnp.asarray(np.random.RandomState(0).randint(0, meta.phys_rows, 4096))
+  state = None
   for pipe, mb in [(0, 12), (1, 12), (1, 16), (1, 8)]:
     os.environ['EASYREC_PACKED_PIPELINE'] = str(pipe)
     os.environ['EASYREC_PACKED_CHUNK_MB'] = str(mb)
@@ -101,16 +105,14 @@ def rmw_sweep(meta, n_ids, tag):
       for _ in range(3):
         state = fn(state, ugids, gg)
       sync(state)
-      got = state[0]
+      got = np.asarray(jnp.take(state[0], idx, axis=0))
       if ref is None:
         ref = got
         dmsg = '(reference)'
       else:
-        idx = jnp.asarray(
-            np.random.RandomState(0).randint(0, meta.phys_rows, 4096))
-        d = float(jnp.max(jnp.abs(jnp.take(got, idx, axis=0) -
-                                  jnp.take(ref, idx, axis=0))))
+        d = float(np.max(np.abs(got - ref)))
         dmsg = f'(sampled maxdiff {d:.1e})'
+      state = None
       state = (table + 0,)
       for _ in range(3):
         state = fn(state, ugids, gg)
@@ -125,6 +127,9 @@ def rmw_sweep(meta, n_ids, tag):
     except Exception as e:
       print(f'[{tag}] RMW pipe={pipe} chunk_mb={mb:2d}: FAILED '
             f'{type(e).__name__}: {str(e)[:120]}', flush=True)
+    finally:
+      state = None
+      fn.clear_cache()
   os.environ.pop('EASYREC_PACKED_PIPELINE', None)
   os.environ.pop('EASYREC_PACKED_CHUNK_MB', None)
 
@@ -136,10 +141,14 @@ def e2e_sweep(meta, n_ids, tag):
   grads = jax.random.normal(key, (n_ids, meta.dim), jnp.float32)
   opt = sparse_lib.sparse_adam()
   lr, st = jnp.float32(1e-3), jnp.int32(5)
-  table = jax.jit(lambda k: jax.random.normal(
-      k, (meta.phys_rows, meta.width), jnp.float32) * 0.01)(key)
+  # abs(): the packed layout interleaves Adam v-slots into this array;
+  # negative v would make sqrt(v) NaN and poison the parity check.
+  table = jax.jit(lambda k: jnp.abs(jax.random.normal(
+      k, (meta.phys_rows, meta.width), jnp.float32)) * 0.01)(key)
 
-  ref = None
+  ref = None  # host copy of 4096 sampled rows only (full copies OOM HBM)
+  idx = jnp.asarray(np.random.RandomState(0).randint(0, meta.phys_rows, 4096))
+  state = None
   for fused, pipe, mb in [(0, 0, 12), (0, 1, 12), (1, 0, 12),
                           (1, 1, 12), (1, 1, 8), (1, 1, 16)]:
     os.environ['EASYREC_PACKED_FUSED'] = str(fused)
@@ -156,16 +165,14 @@ def e2e_sweep(meta, n_ids, tag):
       for _ in range(3):
         state = fn(state, ids, grads)
       sync(state)
-      got = state[0]
+      got = np.asarray(jnp.take(state[0], idx, axis=0))
       if ref is None:
         ref = got
         dmsg = '(reference)'
       else:
-        idx = jnp.asarray(
-            np.random.RandomState(0).randint(0, meta.phys_rows, 4096))
-        d = float(jnp.max(jnp.abs(jnp.take(got, idx, axis=0) -
-                                  jnp.take(ref, idx, axis=0))))
+        d = float(np.max(np.abs(got - ref)))
         dmsg = f'(sampled maxdiff {d:.1e})'
+      state = None
       state = (table + 0,)
       for _ in range(3):
         state = fn(state, ids, grads)
@@ -180,6 +187,9 @@ def e2e_sweep(meta, n_ids, tag):
     except Exception as e:
       print(f'[{tag}] E2E fused={fused} pipe={pipe} chunk_mb={mb:2d}: '
             f'FAILED {type(e).__name__}: {str(e)[:160]}', flush=True)
+    finally:
+      state = None
+      fn.clear_cache()
   for k in ('EASYREC_PACKED_FUSED', 'EASYREC_PACKED_PIPELINE',
             'EASYREC_PACKED_CHUNK_MB'):
     os.environ.pop(k, None)

@@ -108,6 +108,13 @@ def test_packed_update_parity_interpret_pipelined(dim, monkeypatch):
 
 
 @pytest.mark.parametrize('dim', [1, 16])
+def test_packed_update_parity_interpret_unpipelined(dim, monkeypatch):
+  """Pipelining is on by default; keep the single-slot variant covered."""
+  monkeypatch.setenv('EASYREC_PACKED_PIPELINE', '0')
+  _run_both(sparse_lib.sparse_adam(), dim=dim, steps=2, interpret=True)
+
+
+@pytest.mark.parametrize('dim', [1, 16])
 def test_packed_update_parity_interpret_fused(dim, monkeypatch):
   """The fused RMW variant (in-kernel segmented gradient sum)."""
   monkeypatch.setenv('EASYREC_PACKED_FUSED', '1')
