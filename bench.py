@@ -28,7 +28,7 @@ import numpy as np
 # sharding to the accelerator; a bare JAX_PLATFORMS=axon hides the CPU
 # backend ("Unknown backend cpu"), so append it before jax initializes.
 _plat = os.environ.get('JAX_PLATFORMS', '')
-if _plat and 'cpu' not in _plat.split(','):
+if _plat and 'cpu' not in [p.strip() for p in _plat.split(',')]:
   os.environ['JAX_PLATFORMS'] = _plat + ',cpu'
 
 

@@ -108,7 +108,9 @@ def rmw_sweep(meta, n_ids, tag):
       got = np.asarray(jnp.take(state[0], idx, axis=0))
       if ref is None:
         ref = got
-        dmsg = '(reference)'
+        # Name the baseline config: if the intended first config failed
+        # to compile, the maxdiffs below are vs a different variant.
+        dmsg = f'(reference = pipe={pipe} chunk_mb={mb})'
       else:
         d = float(np.max(np.abs(got - ref)))
         dmsg = f'(sampled maxdiff {d:.1e})'
@@ -168,7 +170,8 @@ def e2e_sweep(meta, n_ids, tag):
       got = np.asarray(jnp.take(state[0], idx, axis=0))
       if ref is None:
         ref = got
-        dmsg = '(reference)'
+        # Name the baseline config (see rmw_sweep note).
+        dmsg = f'(reference = fused={fused} pipe={pipe} chunk_mb={mb})'
       else:
         d = float(np.max(np.abs(got - ref)))
         dmsg = f'(sampled maxdiff {d:.1e})'

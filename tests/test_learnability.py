@@ -1,0 +1,506 @@
+"""Per-model-family learnability gates: every family trains on synthetic
+STRUCTURED signal and must clear a failing-if-dumb AUC/recall bar.
+
+A wrong-formula cross layer / attention / task tower would still show a
+decreasing loss over 5 steps (the zoo matrix test) while silently losing
+points of AUC — these gates catch that (reference anchors:
+/root/reference/examples/readme.md:255-296; VERDICT r1 next-step 1).
+
+One dataset serves all families; each case picks its label column:
+  lint  — interaction signal: Bern(sigmoid(2.8 * s_i[iid] * s_c[cate])),
+          learnable only through an id-embedding interaction;
+  lseq  — sequence signal:    Bern(0.85 if cate in seq_cate else 0.15),
+          learnable only by attending over the history sequence;
+  lctr  — sigmoid(2.2 * s_u[uid]); lcvr — sigmoid(2.2 * s_k[cate]):
+          independent per-task signals for multi-task towers.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from easyrec_tpu.config import get_configs_from_pipeline_file
+from easyrec_tpu.train.trainer import Trainer
+
+N_UID, N_IID, N_CATE = 32, 32, 12
+MAX_SEQ = 8
+
+
+def _signs(rng, n):
+  return rng.choice([-1.0, 1.0], n)
+
+
+def make_csv(path, n, seed):
+  rng = np.random.default_rng(seed)
+  srng = np.random.default_rng(99)          # signal tables: fixed across files
+  s_i, s_c = _signs(srng, N_IID), _signs(srng, N_CATE)
+  s_u, s_k = _signs(srng, N_UID), _signs(srng, N_CATE)
+  with open(path, 'w') as f:
+    for _ in range(n):
+      uid = rng.integers(0, N_UID)
+      iid = rng.integers(0, N_IID)
+      cate = rng.integers(0, N_CATE)
+      L = rng.integers(1, MAX_SEQ + 1)
+      seq = rng.integers(0, N_CATE, L)
+      p_int = 1 / (1 + np.exp(-2.8 * s_i[iid] * s_c[cate]))
+      p_seq = 0.85 if cate in seq else 0.15
+      p_ctr = 1 / (1 + np.exp(-2.2 * s_u[uid]))
+      p_cvr = 1 / (1 + np.exp(-2.2 * s_k[cate]))
+      lint = int(rng.random() < p_int)
+      lseq = int(rng.random() < p_seq)
+      lctr = int(rng.random() < p_ctr)
+      lcvr = int(rng.random() < p_cvr)
+      d1, d2 = rng.random(), rng.random()
+      f.write('%d,%d,%d,%d,u%d,i%d,c%d,%s,%.4f,%.4f\n' % (
+          lint, lseq, lctr, lcvr, uid, iid, cate,
+          '|'.join('c%d' % s for s in seq), d1, d2))
+
+
+CONFIG = """
+train_input_path: "{train}"
+eval_input_path: "{eval}"
+model_dir: ""
+train_config {{
+  log_step_count_steps: 100
+  optimizer_config {{
+    adam_optimizer {{
+      learning_rate {{ constant_learning_rate {{ learning_rate: 0.02 }} }}
+    }}
+  }}
+  num_steps: {num_steps}
+  save_checkpoints_steps: 100000
+}}
+eval_config {{ {metrics} }}
+data_config {{
+  batch_size: 256
+  label_fields: {label_fields}
+  input_fields {{ input_name: "lint" input_type: FLOAT }}
+  input_fields {{ input_name: "lseq" input_type: FLOAT }}
+  input_fields {{ input_name: "lctr" input_type: FLOAT }}
+  input_fields {{ input_name: "lcvr" input_type: FLOAT }}
+  input_fields {{ input_name: "uid" input_type: STRING }}
+  input_fields {{ input_name: "iid" input_type: STRING }}
+  input_fields {{ input_name: "cate" input_type: STRING }}
+  input_fields {{ input_name: "seq_cate" input_type: STRING }}
+  input_fields {{ input_name: "d1" input_type: FLOAT }}
+  input_fields {{ input_name: "d2" input_type: FLOAT }}
+  input_type: CSVInput
+}}
+feature_config {{
+  features {{ input_names: "uid" feature_type: IdFeature
+              embedding_dim: 8 hash_bucket_size: 3000 }}
+  features {{ input_names: "iid" feature_type: IdFeature
+              embedding_dim: 8 hash_bucket_size: 3000 }}
+  features {{ input_names: "cate" feature_type: IdFeature
+              embedding_dim: 8 hash_bucket_size: 1200 }}
+  features {{ input_names: "seq_cate" feature_type: SequenceFeature
+              embedding_dim: 8 hash_bucket_size: 1200 max_seq_len: 8 }}
+  features {{ input_names: "d1" feature_type: RawFeature embedding_dim: 8 }}
+  features {{ input_names: "d2" feature_type: RawFeature embedding_dim: 8 }}
+}}
+model_config {{
+{model_body}
+}}
+"""
+
+AUC_METRIC = 'metrics_set { auc {} }'
+
+RANK_GROUPS = """
+  feature_groups {
+    group_name: "deep"
+    feature_names: "uid" feature_names: "iid" feature_names: "cate"
+    feature_names: "d1" feature_names: "d2"
+    wide_deep: DEEP
+  }
+"""
+
+RANK_BODIES = {
+    'FM': """
+  model_class: "FM"
+  feature_groups {
+    group_name: "deep"
+    feature_names: "iid" feature_names: "cate" wide_deep: DEEP
+  }
+  feature_groups {
+    group_name: "wide"
+    feature_names: "iid" feature_names: "cate" wide_deep: WIDE
+  }
+  fm {}
+""",
+    'DCN': RANK_GROUPS + """
+  model_class: "DCN"
+  dcn {
+    cross_num: 3
+    deep_tower { dnn { hidden_units: [32, 16] use_bn: false } }
+    final_dnn { hidden_units: [16] use_bn: false }
+  }
+""",
+    'AutoInt': RANK_GROUPS + """
+  model_class: "AutoInt"
+  autoint {
+    multi_head_num: 2
+    multi_head_size: 8
+    interacting_layer_num: 2
+    final_dnn { hidden_units: [16] use_bn: false }
+  }
+""",
+    'DLRM': RANK_GROUPS.replace('group_name: "deep"',
+                                'group_name: "sparse"')
+                       .replace('feature_names: "d1" '
+                                'feature_names: "d2"\n', '') + """
+  feature_groups {
+    group_name: "dense"
+    feature_names: "d1" feature_names: "d2" wide_deep: DEEP
+  }
+  model_class: "DLRM"
+  dlrm {
+    bot_dnn { hidden_units: [16, 8] use_bn: false }
+    top_dnn { hidden_units: [32, 16] use_bn: false }
+  }
+""",
+    'WideAndDeep': RANK_GROUPS + """
+  feature_groups {
+    group_name: "wide"
+    feature_names: "iid" feature_names: "cate" wide_deep: WIDE
+  }
+  model_class: "WideAndDeep"
+  wide_and_deep {
+    dnn { hidden_units: [32, 16] use_bn: false }
+    final_dnn { hidden_units: [16] use_bn: false }
+  }
+""",
+    'MultiTower': """
+  model_class: "MultiTower"
+  feature_groups {
+    group_name: "item" feature_names: "iid" feature_names: "cate"
+    wide_deep: DEEP
+  }
+  feature_groups {
+    group_name: "user" feature_names: "uid" feature_names: "d1"
+    wide_deep: DEEP
+  }
+  multi_tower {
+    towers { input: "item" dnn { hidden_units: [32, 16] use_bn: false } }
+    towers { input: "user" dnn { hidden_units: [16] use_bn: false } }
+    final_dnn { hidden_units: [16] use_bn: false }
+  }
+""",
+    'MaskNet': RANK_GROUPS + """
+  model_class: "RankModel"
+  backbone {
+    blocks {
+      name: "feat"
+      inputs { feature_group_name: "deep" }
+      input_layer { do_layer_norm: true }
+    }
+    blocks {
+      name: "masknet"
+      inputs { block_name: "feat" }
+      keras_layer {
+        class_name: "MaskNet"
+        masknet {
+          mask_blocks { output_size: 32 reduction_factor: 1.0 }
+          mask_blocks { output_size: 32 reduction_factor: 1.0 }
+          mlp { hidden_units: [16] }
+        }
+      }
+    }
+    top_mlp { hidden_units: [16] }
+  }
+""",
+    'FiBiNet': RANK_GROUPS + """
+  model_class: "RankModel"
+  backbone {
+    blocks {
+      name: "feat"
+      inputs { feature_group_name: "deep" }
+      input_layer { only_output_3d_tensor: true }
+    }
+    blocks {
+      name: "fibinet"
+      inputs { block_name: "feat" }
+      keras_layer {
+        class_name: "FiBiNet"
+        fibinet {
+          senet { reduction_ratio: 2 }
+          bilinear { type: "each" num_output_units: 16 }
+          mlp { hidden_units: [32, 16] }
+        }
+      }
+    }
+    top_mlp { hidden_units: [16] }
+  }
+""",
+}
+
+SEQ_BODIES = {
+    'MultiTowerDIN': """
+  model_class: "MultiTowerDIN"
+  feature_groups {
+    group_name: "item" feature_names: "iid" feature_names: "cate"
+    wide_deep: DEEP
+  }
+  feature_groups {
+    group_name: "user" feature_names: "uid" wide_deep: DEEP
+  }
+  seq_att_groups {
+    group_name: "din"
+    seq_att_map { key: "cate" hist_seq: "seq_cate" }
+  }
+  multi_tower {
+    towers { input: "item" dnn { hidden_units: [16] use_bn: false } }
+    towers { input: "user" dnn { hidden_units: [16] use_bn: false } }
+    din_towers { input: "din" dnn { hidden_units: [16] use_bn: false } }
+    final_dnn { hidden_units: [16] use_bn: false }
+  }
+""",
+    'MultiTowerBST': """
+  model_class: "MultiTowerBST"
+  feature_groups {
+    group_name: "item" feature_names: "iid" feature_names: "cate"
+    wide_deep: DEEP
+  }
+  feature_groups {
+    group_name: "user" feature_names: "uid" wide_deep: DEEP
+  }
+  seq_att_groups {
+    group_name: "bst"
+    seq_att_map { key: "cate" hist_seq: "seq_cate" }
+  }
+  multi_tower {
+    towers { input: "item" dnn { hidden_units: [16] use_bn: false } }
+    towers { input: "user" dnn { hidden_units: [16] use_bn: false } }
+    bst_towers {
+      input: "bst"
+      seq_len: 8
+      multi_head_size: 2
+    }
+    final_dnn { hidden_units: [16] use_bn: false }
+  }
+""",
+}
+
+MT_GROUPS = """
+  feature_groups {
+    group_name: "all"
+    feature_names: "uid" feature_names: "iid" feature_names: "cate"
+    wide_deep: DEEP
+  }
+"""
+
+MT_TOWERS = """
+    task_towers {
+      tower_name: "ctr" label_name: "lctr"
+      dnn { hidden_units: [16] use_bn: false }
+    }
+    task_towers {
+      tower_name: "cvr" label_name: "lcvr"
+      dnn { hidden_units: [16] use_bn: false }
+    }
+"""
+
+MT_BODIES = {
+    'MMoE': MT_GROUPS + """
+  model_class: "MMoE"
+  mmoe {
+    expert_dnn { hidden_units: [32, 16] use_bn: false }
+    num_expert: 3
+""" + MT_TOWERS + '  }\n',
+    'PLE': MT_GROUPS + """
+  model_class: "PLE"
+  ple {
+    extraction_networks {
+      network_name: "layer1"
+      expert_num_per_task: 2
+      share_num: 2
+      task_expert_net { hidden_units: [32, 16] use_bn: false }
+      share_expert_net { hidden_units: [32, 16] use_bn: false }
+    }
+""" + MT_TOWERS + '  }\n',
+    'SimpleMultiTask': MT_GROUPS + """
+  model_class: "SimpleMultiTask"
+  simple_multi_task {
+""" + MT_TOWERS + '  }\n',
+    'DBMTL': MT_GROUPS + """
+  model_class: "DBMTL"
+  dbmtl {
+    bottom_dnn { hidden_units: [32] use_bn: false }
+    expert_dnn { hidden_units: [16] use_bn: false }
+    num_expert: 3
+    task_towers {
+      tower_name: "ctr" label_name: "lctr"
+      dnn { hidden_units: [16] use_bn: false }
+    }
+    task_towers {
+      tower_name: "cvr" label_name: "lcvr"
+      dnn { hidden_units: [16] use_bn: false }
+      relation_tower_names: "ctr"
+      relation_dnn { hidden_units: [8] use_bn: false }
+    }
+  }
+""",
+}
+
+ESMM_BODY = MT_GROUPS + """
+  model_class: "ESMM"
+  esmm {
+    groups { input: "all" dnn { hidden_units: [32, 16] use_bn: false } }
+    ctr_tower { tower_name: "ctr" label_name: "lctr"
+                dnn { hidden_units: [16] use_bn: false } }
+    cvr_tower { tower_name: "cvr" label_name: "lcvr"
+                dnn { hidden_units: [16] use_bn: false } }
+  }
+"""
+
+
+def _train_eval(tmp_path, body, label_fields, metrics=AUC_METRIC,
+                num_steps=250, n_train=16384, seed=5):
+  train = os.path.join(str(tmp_path), 'train.csv')
+  evalp = os.path.join(str(tmp_path), 'eval.csv')
+  make_csv(train, n_train, seed=seed)
+  make_csv(evalp, 4096, seed=seed + 1)
+  lf = '\n  label_fields: '.join('"%s"' % f for f in label_fields)
+  text = CONFIG.format(train=train, eval=evalp, num_steps=num_steps,
+                       metrics=metrics, label_fields=lf, model_body=body)
+  path = os.path.join(str(tmp_path), 'pipeline.config')
+  with open(path, 'w') as f:
+    f.write(text)
+  cfg = get_configs_from_pipeline_file(path)
+  trainer = Trainer(cfg)
+  result = trainer.fit(checkpoint=False)
+  return result['eval_metrics']
+
+
+@pytest.mark.parametrize('name', sorted(RANK_BODIES),
+                         ids=sorted(RANK_BODIES))
+def test_rank_interaction_learned(name, tmp_path):
+  m = _train_eval(tmp_path, RANK_BODIES[name], ['lint'])
+  assert m['auc'] > 0.70, '%s failed interaction gate: %s' % (name, m)
+
+
+@pytest.mark.parametrize('name', sorted(SEQ_BODIES), ids=sorted(SEQ_BODIES))
+def test_sequence_attention_learned(name, tmp_path):
+  m = _train_eval(tmp_path, SEQ_BODIES[name], ['lseq'])
+  assert m['auc'] > 0.75, '%s failed sequence gate: %s' % (name, m)
+
+
+@pytest.mark.parametrize('name', sorted(MT_BODIES), ids=sorted(MT_BODIES))
+def test_multitask_per_task_learned(name, tmp_path):
+  m = _train_eval(tmp_path, MT_BODIES[name], ['lctr', 'lcvr'])
+  assert m['auc_ctr'] > 0.65, '%s ctr gate: %s' % (name, m)
+  assert m['auc_cvr'] > 0.65, '%s cvr gate: %s' % (name, m)
+
+
+def test_esmm_per_task_learned(tmp_path):
+  # ESMM's cvr tower trains on pCTR*pCVR against the cvr label; both task
+  # signals are feature-driven so both AUCs must clear the bar.
+  m = _train_eval(tmp_path, ESMM_BODY, ['lctr', 'lcvr'])
+  assert m['auc_ctr'] > 0.65, 'esmm ctr gate: %s' % m
+  assert m['auc_cvr'] > 0.60, 'esmm cvr gate: %s' % m
+
+
+MIND_CONFIG = """
+train_input_path: "{train}"
+eval_input_path: "{eval}"
+model_dir: ""
+train_config {{
+  log_step_count_steps: 100
+  optimizer_config {{
+    adam_optimizer {{
+      learning_rate {{ constant_learning_rate {{ learning_rate: 0.01 }} }}
+    }}
+  }}
+  num_steps: {num_steps}
+  save_checkpoints_steps: 100000
+}}
+eval_config {{ metrics_set {{ recall_at_topk {{ topk: 5 }} }} }}
+data_config {{
+  batch_size: 128
+  label_fields: "label"
+  input_fields {{ input_name: "label" input_type: FLOAT }}
+  input_fields {{ input_name: "uid" input_type: STRING }}
+  input_fields {{ input_name: "iid" input_type: STRING }}
+  input_fields {{ input_name: "cate" input_type: STRING }}
+  input_fields {{ input_name: "seq_cate" input_type: STRING }}
+  input_type: CSVInput
+}}
+feature_config {{
+  features {{ input_names: "uid" feature_type: IdFeature
+              embedding_dim: 8 hash_bucket_size: 3000 }}
+  features {{ input_names: "iid" feature_type: IdFeature
+              embedding_dim: 8 hash_bucket_size: 3000 }}
+  features {{ input_names: "cate" feature_type: IdFeature
+              embedding_dim: 8 hash_bucket_size: 600 }}
+  features {{ input_names: "seq_cate" feature_type: SequenceFeature
+              embedding_dim: 8 hash_bucket_size: 600 max_seq_len: 10 }}
+}}
+model_config {{
+  model_class: "MIND"
+  feature_groups {{
+    group_name: "user" feature_names: "uid" wide_deep: DEEP
+  }}
+  feature_groups {{
+    group_name: "hist" feature_names: "seq_cate" wide_deep: DEEP
+  }}
+  feature_groups {{
+    group_name: "item"
+    feature_names: "iid" feature_names: "cate" wide_deep: DEEP
+  }}
+  mind {{
+    user_dnn {{ hidden_units: [32, 16] use_bn: false }}
+    item_dnn {{ hidden_units: [32, 16] use_bn: false }}
+    concat_dnn {{ hidden_units: [16] use_bn: false }}
+    capsule_config {{ max_k: 3 high_dim: 16 num_iters: 3 }}
+    item_id: "iid"
+    simi_pow: 10
+  }}
+  loss_type: SOFTMAX_CROSS_ENTROPY
+}}
+"""
+
+N_MIND_CATES = 6
+N_MIND_ITEMS = 48   # item i has cate i % 6
+
+
+def _mind_interests(u):
+  return (u % N_MIND_CATES, (u * 3 + 1) % N_MIND_CATES)
+
+
+def make_mind_csv(path, n, seed):
+  """All-positive (user, item) interactions; each user has TWO interest
+  cates; history holds items from both interests (multi-interest signal)."""
+  rng = np.random.default_rng(seed)
+  by_cate = {c: [i for i in range(N_MIND_ITEMS) if i % N_MIND_CATES == c]
+             for c in range(N_MIND_CATES)}
+  with open(path, 'w') as f:
+    for _ in range(n):
+      u = rng.integers(0, 40)
+      ints = _mind_interests(u)
+      cate = ints[rng.integers(0, len(ints))]
+      iid = by_cate[cate][rng.integers(0, len(by_cate[cate]))]
+      L = rng.integers(3, 11)
+      hist = [by_cate[ints[rng.integers(0, 2)]][
+          rng.integers(0, len(by_cate[ints[0]]))] for _ in range(L)]
+      f.write('1,u%d,i%d,c%d,%s\n' % (
+          u, iid, iid % N_MIND_CATES,
+          '|'.join('c%d' % (h % N_MIND_CATES) for h in hist)))
+
+
+def test_mind_recall_learned(tmp_path):
+  """MIND multi-interest recall: in-batch recall@5 far above the random
+  floor (5/128 ~= 0.04). A broken capsule-routing or label-guided
+  attention formula collapses this."""
+  train = os.path.join(str(tmp_path), 'train.csv')
+  evalp = os.path.join(str(tmp_path), 'eval.csv')
+  make_mind_csv(train, 16384, seed=21)
+  make_mind_csv(evalp, 2048, seed=22)
+  text = MIND_CONFIG.format(train=train, eval=evalp, num_steps=300)
+  path = os.path.join(str(tmp_path), 'pipeline.config')
+  with open(path, 'w') as f:
+    f.write(text)
+  cfg = get_configs_from_pipeline_file(path)
+  trainer = Trainer(cfg)
+  result = trainer.fit(checkpoint=False)
+  m = result['eval_metrics']
+  assert m['recall@5'] > 0.25, 'MIND recall gate: %s' % m

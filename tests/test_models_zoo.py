@@ -562,3 +562,21 @@ def test_din_key_transform_and_seq_dnn():
   sharded = trainer_nk.rules.shard_batch(b)
   _, loss_dict = trainer_nk.train_step(state, sharded)
   assert np.isfinite(float(loss_dict['total_loss']))
+
+
+def test_registry_completeness():
+  """zoo.py imports fail loudly (no try/except), and every reference
+  model_class name is present in the registry — a transitively broken
+  import would otherwise silently drop a whole family (VERDICT r1)."""
+  from easyrec_tpu.models import zoo  # noqa: F401
+  from easyrec_tpu.utils.registry import MODELS
+  expected = {
+      'autoint', 'cmbf', 'cometriclearningi2i', 'dat', 'dbmtl', 'dcn',
+      'deepfm', 'dlrm', 'dropoutnet', 'dssm', 'dssm_senet', 'dummymodel',
+      'esmm', 'fm', 'matchmodel', 'mind', 'mmoe', 'multitaskmodel',
+      'multitower', 'multitowerbst', 'multitowerdin', 'multitowerrecall',
+      'pdn', 'ple', 'rankmodel', 'rocketlaunching', 'simplemultitask',
+      'uniter', 'wideanddeep',
+  }
+  got = set(MODELS.keys())
+  assert expected <= got, sorted(expected - got)

@@ -95,8 +95,13 @@ def test_packed_update_parity_xla(make_opt):
 
 
 @pytest.mark.parametrize('dim', [1, 16])
-def test_packed_update_parity_interpret_kernel(dim):
-  """The Mosaic kernel logic itself (interpret mode on CPU)."""
+def test_packed_update_parity_interpret_kernel(dim, monkeypatch):
+  """The Mosaic kernel on its DEFAULT configuration (no env pinning):
+  whatever defaults ship in ops/packed_table.py must pass parity.
+  Ambient env overrides are removed so the test is deterministic."""
+  for k in ('EASYREC_PACKED_PIPELINE', 'EASYREC_PACKED_FUSED',
+            'EASYREC_PACKED_CHUNK_MB', 'EASYREC_PACKED_UNROLL'):
+    monkeypatch.delenv(k, raising=False)
   _run_both(sparse_lib.sparse_adam(), dim=dim, steps=2, interpret=True)
 
 

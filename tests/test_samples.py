@@ -1,5 +1,8 @@
-"""Every sample config parses, passes pre-check (config side) and builds
-its full training program (model + layout + jitted step construction)."""
+"""Every sample config parses, passes pre-check, and trains ONE REAL step
+through the full CSV pipeline (reader -> transforms -> sampler splice ->
+jitted train step) on generated fixture data matching the shared sample
+schemas. Mirrors the reference's train_eval_test config matrix
+(easy_rec/python/test/train_eval_test.py:56+) at 1-step scale."""
 
 import glob
 import os
@@ -8,30 +11,123 @@ import numpy as np
 import pytest
 
 from easyrec_tpu.config import get_configs_from_pipeline_file
-from easyrec_tpu.tools.pre_check import check_config
 
 SAMPLES = sorted(glob.glob(
     os.path.join(os.path.dirname(__file__), '..', 'samples', '*.config')))
 
+# Columns of the shared sample schemas (samples/*.config header comments).
+STANDARD_COLS = ['label', 'uid', 'iid', 'cate', 'tags', 'age', 'price',
+                 'seq_cate', 'buy']
+MM_COLS = ['label', 'uid', 'iid', 'cate', 'title', 'img_vec', 'age']
+
+N_ITEMS = 40
+
+
+def _row_value(col, rng, i):
+  if col == 'label':
+    return str(int(rng.integers(0, 2)))
+  if col == 'buy':
+    return str(int(rng.integers(0, 2)))
+  if col == 'uid':
+    return 'u%d' % rng.integers(0, 30)
+  if col == 'iid':
+    return 'i%d' % rng.integers(0, N_ITEMS)
+  if col == 'cate':
+    return 'c%d' % rng.integers(0, 8)
+  if col == 'tags':
+    k = rng.integers(1, 4)
+    return '|'.join('t%d' % rng.integers(0, 50) for _ in range(k))
+  if col in ('age', 'price'):
+    return '%.3f' % rng.random()
+  if col == 'seq_cate':
+    k = rng.integers(1, 6)
+    return '|'.join('c%d' % rng.integers(0, 8) for _ in range(k))
+  if col == 'title':
+    k = rng.integers(1, 5)
+    return '|'.join('w%d' % rng.integers(0, 100) for _ in range(k))
+  if col == 'img_vec':
+    return '|'.join('%.3f' % rng.random() for _ in range(64))
+  raise KeyError(col)
+
+
+def _write_csv(path, cols, n, seed):
+  rng = np.random.default_rng(seed)
+  with open(path, 'w') as f:
+    for i in range(n):
+      f.write(','.join(_row_value(c, rng, i) for c in cols) + '\n')
+
+
+def _write_items(path):
+  """GraphLearn-style item table for the negative sampler: attrs cover the
+  dssm_neg_sampler attr_fields (iid, cate, price)."""
+  rng = np.random.default_rng(7)
+  with open(path, 'w') as f:
+    f.write('id:int64\tweight:float\tfeature:string\n')
+    for i in range(N_ITEMS):
+      f.write('i%d\t%.4f\ti%d:c%d:%.3f\n'
+              % (i, rng.random() + 0.1, i, i % 8, rng.random()))
+
+
+@pytest.fixture(scope='module')
+def sample_data(tmp_path_factory):
+  d = tmp_path_factory.mktemp('sample_data')
+  paths = {
+      'data/train.csv': str(d / 'train.csv'),
+      'data/eval.csv': str(d / 'eval.csv'),
+      'data/train_mm.csv': str(d / 'train_mm.csv'),
+      'data/eval_mm.csv': str(d / 'eval_mm.csv'),
+      'data/items.txt': str(d / 'items.txt'),
+  }
+  _write_csv(paths['data/train.csv'], STANDARD_COLS, 256, seed=1)
+  _write_csv(paths['data/eval.csv'], STANDARD_COLS, 64, seed=2)
+  _write_csv(paths['data/train_mm.csv'], MM_COLS, 256, seed=3)
+  _write_csv(paths['data/eval_mm.csv'], MM_COLS, 64, seed=4)
+  _write_items(paths['data/items.txt'])
+  return paths
+
+
+def _column_subset(cfg, paths, tmp):
+  """Sample configs may declare a subset of the shared schema columns;
+  regenerate the CSVs with exactly the declared input_fields."""
+  cols = [f.input_name for f in cfg.data_config.input_fields]
+  base = STANDARD_COLS if 'img_vec' not in cols else MM_COLS
+  if cols == base[:len(cols)] and all(c in base for c in cols):
+    pass  # prefix of the shared schema still parses positionally
+  train = os.path.join(tmp, 'train.csv')
+  evalp = os.path.join(tmp, 'eval.csv')
+  _write_csv(train, cols, 256, seed=11)
+  _write_csv(evalp, cols, 64, seed=12)
+  return train, evalp
+
 
 @pytest.mark.parametrize('path', SAMPLES,
                          ids=[os.path.basename(p) for p in SAMPLES])
-def test_sample_builds(path):
+def test_sample_trains(path, sample_data, tmp_path):
+  from easyrec_tpu.tools.pre_check import check_config
+  from easyrec_tpu.train.trainer import Trainer
+
   cfg = get_configs_from_pipeline_file(path)
   problems = check_config(cfg)
   assert problems == [], problems
 
-  # build the full program on a synthetic batch: one train step executes
-  from easyrec_tpu.train.trainer import Trainer
-  from easyrec_tpu.utils.synthetic import synthetic_batch
+  train, evalp = _column_subset(cfg, sample_data, str(tmp_path))
+  cfg.train_input_path = train
+  cfg.eval_input_path = evalp
   cfg.model_dir = ''                       # no checkpointing
   cfg.train_config.num_steps = 1
+  cfg.data_config.batch_size = 32
+  which = cfg.data_config.WhichOneof('sampler')
+  if which:
+    sampler_cfg = getattr(cfg.data_config, which)
+    sampler_cfg.input_path = sample_data['data/items.txt']
+    # keep the sampled-negative count small for a 1-step smoke
+    sampler_cfg.num_sample = min(sampler_cfg.num_sample, 16)
+
   trainer = Trainer(cfg)
-  batch = synthetic_batch(trainer.specs, list(cfg.data_config.label_fields),
-                          16, seed=1)
-  # sampled-negative samples need neg views; skip execution, just specs
-  if cfg.data_config.WhichOneof('sampler'):
-    return
+  pipe = trainer.train_input()
+  batch = next(iter(pipe))
+  if which:
+    assert any(k.startswith('neg.') for k in batch), sorted(batch)
   state = trainer.init_state(batch)
   sharded = trainer.rules.shard_batch(batch)
   state, loss = trainer.train_step(state, sharded)
