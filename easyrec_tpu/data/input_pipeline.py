@@ -660,7 +660,8 @@ class InputPipeline:
                drop_remainder: Optional[bool] = None,
                extra_fields: Optional[List[str]] = None,
                raw_extra_fields: bool = False,
-               skip_rows: int = 0):
+               skip_rows: int = 0,
+               check_mode: bool = False):
     self.data_config = data_config
     self.mode = mode
     if batch_size is None:
@@ -678,6 +679,9 @@ class InputPipeline:
     self.last_batch_offsets: Optional[Dict[int, int]] = None
     self.label_fields = list(data_config.label_fields)
     self.sample_weight_field = data_config.sample_weight or None
+    # --check_mode: per-batch raw-column validators with pointed errors
+    # (reference input/input.py:454-456 + utils/check_utils.py)
+    self.check_mode = bool(check_mode)
     if drop_remainder is None:
       drop_remainder = bool(data_config.drop_remainder) and mode == 'train'
     self.drop_remainder = drop_remainder
@@ -757,6 +761,12 @@ class InputPipeline:
     return self.batch_size * min(mult, 64)
 
   def _process_chunk(self, columns, epoch) -> Dict[str, np.ndarray]:
+    if self.check_mode:
+      from easyrec_tpu.data.check import validate_columns
+      validate_columns(self.specs, columns,
+                       label_fields=[l for l in self.label_fields
+                                     if self.mode != 'predict'],
+                       sample_weight_field=self.sample_weight_field)
     out = tr.apply_transforms(self.transforms, columns)
     n = next(iter(out.values())).shape[0] if out else \
         len(next(iter(columns.values())))

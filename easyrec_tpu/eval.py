@@ -19,6 +19,7 @@ def main(argv=None):
   parser.add_argument('--edit_config_json', default=None)
   parser.add_argument('--distribute_eval', action='store_true',
                       default=False)
+  parser.add_argument('--check_mode', action='store_true', default=False)
   args = parser.parse_args(argv)
   from easyrec_tpu import main as driver
   edits = json.loads(args.edit_config_json) if args.edit_config_json else {}
@@ -30,7 +31,8 @@ def main(argv=None):
       driver.evaluate
   metrics = fn(args.pipeline_config_path,
                eval_result_filename=args.eval_result_filename,
-               edit_config_json=edits or None)
+               edit_config_json=edits or None,
+               check_mode=args.check_mode)
   logging.info('eval metrics: %s', metrics)
   return 0
 

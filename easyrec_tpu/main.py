@@ -59,7 +59,8 @@ def train_and_evaluate(pipeline_config: ConfigOrPath,
                        edit_config_json: Optional[dict] = None,
                        fit_on_eval: bool = False,
                        fit_on_eval_steps: int = 0,
-                       devices=None) -> Dict:
+                       devices=None,
+                       check_mode: bool = False) -> Dict:
   """Train + final eval + export per export_config (reference main.py:273).
 
   fit_on_eval: after training completes, continue training on the EVAL
@@ -69,7 +70,7 @@ def train_and_evaluate(pipeline_config: ConfigOrPath,
   from easyrec_tpu.train.trainer import Trainer
   config = _load(pipeline_config, edit_config_json)
   _prepare_model_dir(config, continue_train)
-  trainer = Trainer(config, devices=devices)
+  trainer = Trainer(config, devices=devices, check_mode=check_mode)
   result = trainer.fit()
 
   if fit_on_eval and config.WhichOneof('eval_path'):
@@ -102,12 +103,13 @@ def train_and_evaluate(pipeline_config: ConfigOrPath,
 def evaluate(pipeline_config: ConfigOrPath,
              eval_result_filename: str = 'eval_result.txt',
              edit_config_json: Optional[dict] = None,
-             devices=None) -> Dict[str, float]:
+             devices=None,
+             check_mode: bool = False) -> Dict[str, float]:
   """Evaluate the latest checkpoint (reference main.py:403)."""
   from easyrec_tpu.train import checkpoints as ckpt_lib
   from easyrec_tpu.train.trainer import Trainer
   config = _load(pipeline_config, edit_config_json)
-  trainer = Trainer(config, devices=devices)
+  trainer = Trainer(config, devices=devices, check_mode=check_mode)
   first = next(iter(trainer.eval_input()))
   state = trainer.init_state(first)
   mgr = ckpt_lib.CheckpointManager(config.model_dir)

@@ -288,18 +288,70 @@ def apply_sparse_updates_packed(tables: Dict[str, jnp.ndarray],
   return new_tables
 
 
+def _exchange_mode(mesh) -> str:
+  """'a2a' (owner-partitioned ragged all-to-all: wire volume per device
+  independent of world size) or 'allgather' (every device receives the
+  full id/grad lists: volume scales with world size — the r1 design,
+  kept as a fallback). XLA:CPU has no ragged-all-to-all thunk, so the
+  CPU test mesh runs the same a2a routing math with an emulated
+  collective (EASYREC_PACKED_EXCHANGE=a2a_emulated|a2a|allgather)."""
+  import os
+  mode = os.environ.get('EASYREC_PACKED_EXCHANGE', '')
+  if mode:
+    return mode
+  platform = mesh.devices.flat[0].platform
+  return 'a2a' if platform == 'tpu' else 'a2a_emulated'
+
+
+def _ragged_a2a(operand, out, input_offsets, send_sizes, output_offsets,
+                recv_sizes, axes, emulate: bool, n_dev: int):
+  """lax.ragged_all_to_all, or a semantically-identical emulation for
+  backends without the ragged-all-to-all HLO (XLA:CPU). The emulation
+  all-gathers the operand and replays every source's sends locally with
+  masked scatters — test-only traffic, identical routing semantics."""
+  if not emulate:
+    return jax.lax.ragged_all_to_all(
+        operand, out, input_offsets, send_sizes, output_offsets,
+        recv_sizes, axis_name=axes)
+  me = jax.lax.axis_index(axes)
+  op_all = jax.lax.all_gather(operand, axes)             # [W, n_loc, ...]
+  io_all = jax.lax.all_gather(input_offsets, axes)       # [W, W]
+  ss_all = jax.lax.all_gather(send_sizes, axes)          # [W, W]
+  oo_all = jax.lax.all_gather(output_offsets, axes)      # [W, W]
+  n_loc = operand.shape[0]
+  cap = out.shape[0]
+  # dump slot: invalid writes land past the live region and are sliced off
+  buf = jnp.concatenate([out, jnp.zeros((1,) + out.shape[1:], out.dtype)])
+  pos_in = jnp.arange(n_loc, dtype=jnp.int32)
+  for s in range(n_dev):
+    start = io_all[s, me]
+    size = ss_all[s, me]
+    dst0 = oo_all[s, me]
+    src = jnp.take(op_all[s], (start + pos_in) % n_loc, axis=0)
+    valid = pos_in < size
+    dst = jnp.where(valid, dst0 + pos_in, cap)
+    buf = buf.at[dst].set(src.astype(buf.dtype))
+  return buf[:cap]
+
+
 def _packed_update_sharded(mesh, table, ids, g, hypers, block_math,
                            meta, use_pallas, interpret):
-  """Packed update over a row-sharded table: every device all-gathers
-  the (tiny) id/grad lists, keeps the rows its shard owns (others clamp
-  to local row 0 with ZERO gradients — group_prep merges them and the
-  touched mask keeps their bytes), and runs the group-RMW kernel on its
-  local groups.
+  """Packed update over a row-sharded table — the TPU-native analog of
+  the reference's EmbeddingParallel hvd.alltoall exchange
+  (compat/feature_column/feature_column.py:248-357, :307,:321):
 
-  This is the shard_map wrapper the Mosaic kernel needs on multi-device
-  meshes (XLA cannot auto-partition a custom call); the TPU-native
-  analog of the reference's EmbeddingParallel hvd.alltoall exchange
-  (compat/feature_column/feature_column.py:248-357)."""
+  1. each device DEDUPS its local id/grad slice (one sorted segment-sum,
+     the reference's `unique` before the exchange);
+  2. unique ids are already grouped by owner shard (ids sorted, shards
+     own contiguous row blocks) — per-owner send sizes come from one
+     searchsorted, no extra partition pass;
+  3. ids and summed grads travel by `lax.ragged_all_to_all` (wire bytes
+     per device ∝ owned rows, INDEPENDENT of world size — the
+     all-gather fallback scales with world size instead);
+  4. each owner runs the group-RMW kernel on its local groups.
+
+  This is also the shard_map wrapper the Mosaic kernel needs on
+  multi-device meshes (XLA cannot auto-partition a custom call)."""
   from jax import shard_map
   from jax.sharding import PartitionSpec as P
 
@@ -311,14 +363,18 @@ def _packed_update_sharded(mesh, table, ids, g, hypers, block_math,
 
   # shard_map needs the id/grad length divisible by the device count
   # (sampled-negative views make it arbitrary); pad with id 0 + zero
-  # gradients — group_prep merges them and the touched mask keeps bytes
+  # gradients — dedup merges them and the touched mask keeps bytes
   n_dev = mesh.devices.size
   pad = (-ids.shape[0]) % n_dev
   if pad:
     ids = jnp.concatenate([ids, jnp.zeros((pad,), ids.dtype)])
     g = jnp.concatenate([g, jnp.zeros((pad, g.shape[1]), g.dtype)])
 
-  def local_fn(tbl, ids_l, g_l, hyp):
+  mode = _exchange_mode(mesh)
+  n_loc = ids.shape[0] // n_dev
+  cap_out = n_loc * n_dev   # worst case: every shard's uniques are mine
+
+  def local_fn_allgather(tbl, ids_l, g_l, hyp):
     ids_all = jax.lax.all_gather(ids_l, axes, tiled=True)
     g_all = jax.lax.all_gather(g_l, axes, tiled=True)
     shard = jax.lax.axis_index(axes)
@@ -333,8 +389,45 @@ def _packed_update_sharded(mesh, table, ids, g, hypers, block_math,
                                   lmeta, use_pallas, interpret=interpret,
                                   predicate=True)
 
+  def local_fn_a2a(tbl, ids_l, g_l, hyp):
+    # 1. local dedup: scratch id = n_dev*local_rows sorts PAST every real
+    #    id, so uids stays ascending with padding at the tail (owner index
+    #    n_dev -> sent nowhere)
+    scratch = n_dev * local_rows
+    uids, ug = dedup_sum(ids_l.astype(jnp.int32), g_l, scratch)
+    # 2. per-owner contiguous ranges of the sorted unique list
+    bounds = (jnp.arange(n_dev + 1, dtype=jnp.int32) * local_rows)
+    edges = jnp.searchsorted(uids, bounds).astype(jnp.int32)  # [W+1]
+    input_offsets = edges[:-1]
+    send_sizes = edges[1:] - edges[:-1]
+    # 3. global size matrix -> my recv sizes + where my chunks land
+    sizes_mat = jax.lax.all_gather(send_sizes, axes)          # [W, W]
+    me = jax.lax.axis_index(axes)
+    recv_sizes = sizes_mat[:, me].astype(jnp.int32)
+    below = jnp.cumsum(sizes_mat, axis=0) - sizes_mat         # sum s'<s
+    output_offsets = below[me, :].astype(jnp.int32)
+    emulate = (mode == 'a2a_emulated')
+    # ids travel OWNER-relative: the chunk for owner t holds ids in
+    # [t*local_rows, (t+1)*local_rows) -> id % local_rows is t-local
+    lids_send = (uids % local_rows).astype(jnp.int32)
+    # untouched slots: local row 0 with zero grad (merged harmlessly)
+    out_ids = jnp.zeros((cap_out,), jnp.int32)
+    out_g = jnp.zeros((cap_out, g_l.shape[1]), g_l.dtype)
+    rids = _ragged_a2a(lids_send, out_ids, input_offsets, send_sizes,
+                       output_offsets, recv_sizes, axes, emulate, n_dev)
+    rg = _ragged_a2a(ug, out_g, input_offsets, send_sizes,
+                     output_offsets, recv_sizes, axes, emulate, n_dev)
+    rids = jnp.clip(rids, 0, local_rows - 1)  # defensive
+    return pt.apply_packed_update(tbl, rids, rg, hyp, block_math,
+                                  lmeta, use_pallas, interpret=interpret,
+                                  predicate=True)
+
+  local_fn = local_fn_allgather if mode == 'allgather' else local_fn_a2a
+  # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+  # annotation, which the default vma check rejects (caught by the
+  # shard_map x interpret-Mosaic parity test — would fail on a real pod)
   fn = shard_map(
       local_fn, mesh=mesh,
       in_specs=(P(axes, None), P(axes), P(axes, None), P()),
-      out_specs=P(axes, None))
+      out_specs=P(axes, None), check_vma=False)
   return fn(table, ids, g, hypers)

@@ -70,8 +70,9 @@ def _model_l2_reg(model_config) -> float:
 class Trainer:
   """Builds the whole training program from one pipeline config."""
 
-  def __init__(self, pipeline_config, devices=None):
+  def __init__(self, pipeline_config, devices=None, check_mode=False):
     self.pipeline_config = pipeline_config
+    self.check_mode = bool(check_mode)
     self.data_config = pipeline_config.data_config
     self.train_config = pipeline_config.train_config
     self.eval_config = pipeline_config.eval_config
@@ -221,7 +222,10 @@ class Trainer:
         small[k] = arr[:rows]
       else:
         small[k] = arr           # sampled negatives keep their full N
-    cpu = jax.devices('cpu')[0]
+    # local_devices, not devices: under multi-process, devices('cpu')[0]
+    # is process 0's device — non-addressable elsewhere (native crash
+    # when tracing commits to it; caught by the 2-process eval test)
+    cpu = jax.local_devices(backend='cpu')[0]
     with jax.default_device(cpu):
       packs = emb_ops.pack_all_views(self.layout, small)
       pulled = {key: jnp.zeros(p.shape + (self._table_dim(key),),
@@ -421,15 +425,23 @@ class Trainer:
                              self.pipeline_config),
                          skip_rows=skip_rows,
                          shard_index=jax.process_index(),
-                         shard_num=jax.process_count())
+                         shard_num=jax.process_count(),
+                         check_mode=self.check_mode)
 
   def eval_input(self, batch_size=None) -> InputPipeline:
+    # multi-host: eval rows are sharded by process like train rows (the
+    # reference's distribute_evaluate worker sharding, main.py:524);
+    # evaluate() keeps processes step-aligned with zero-weight filler
+    # batches when shards are uneven
     return InputPipeline(self.data_config, self.feature_configs,
                          config_util.get_eval_input_path(
                              self.pipeline_config),
                          mode='eval', batch_size=batch_size,
                          extra_fields=config_util.collect_extra_fields(
-                             self.pipeline_config))
+                             self.pipeline_config),
+                         shard_index=jax.process_index(),
+                         shard_num=jax.process_count(),
+                         check_mode=self.check_mode)
 
   # -- evaluation ----------------------------------------------------------
 
@@ -455,25 +467,84 @@ class Trainer:
     field_buffers = {f: [] for f in self.metrics.host_fields}
     task_buffers = {}
     losses, n = [], 0
-    for batch in eval_iter:
+
+    # -- multi-host plumbing (reference main.py:524 distribute_evaluate +
+    # core/easyrec_metrics/distribute_metrics_impl_tf.py): each process
+    # feeds its own eval shard; per-batch device arrays are global, so
+    # host-side buffers (GAUC, per-task AUC) must be gathered across
+    # processes — np.asarray on a non-addressable shard would throw.
+    multihost = jax.process_count() > 1
+    if multihost:
+      from jax.experimental import multihost_utils
+
+    def to_host(x):
+      if multihost:
+        # non-fully-addressable global array -> replicated numpy on
+        # every host (row order = device order along 'data', which is
+        # process-monotonic for build_mesh's jax.devices() layout)
+        return np.asarray(multihost_utils.process_allgather(x,
+                                                            tiled=True))
+      return np.asarray(x)
+
+    def gather_local(x):
+      # host-local per-process rows -> global row order (matches
+      # make_array_from_process_local_data's process-block layout)
+      if multihost:
+        return np.concatenate(
+            multihost_utils.process_allgather(np.asarray(x)))
+      return np.asarray(x)
+
+    it = iter(eval_iter)
+    template = None
+    while True:
+      batch = next(it, None)
+      filler = batch is None
+      if multihost:
+        # step-aligned loop: every process must join each collective;
+        # exhausted shards feed a zero-weight template batch until ALL
+        # processes run dry
+        more = np.float32(0.0 if filler else 1.0)
+        if float(multihost_utils.process_allgather(more).max()) < 1.0:
+          break
+        if filler:
+          if template is None:
+            # this process's eval shard was EMPTY: fabricate a template
+            # (zero-weight, so it contributes nothing) — it must carry
+            # every host-metric field so the per-field collectives below
+            # stay aligned across processes
+            from easyrec_tpu.utils.synthetic import synthetic_batch
+            bs = int(self.data_config.eval_batch_size) or \
+                int(self.data_config.batch_size)
+            template = synthetic_batch(self.specs,
+                                       list(self.ctx.label_fields), bs)
+            for f in self.metrics.host_fields:
+              template['field.%s' % f] = np.zeros(bs, np.int64)
+          batch = dict(template)
+          batch['sample_weight'] = np.zeros_like(
+              np.asarray(batch['sample_weight']))
+        else:
+          template = {k: np.asarray(v) for k, v in batch.items()}
+      elif filler:
+        break
       host_fields = {f: batch.pop('field.%s' % f)
                      for f in self.metrics.host_fields
                      if 'field.%s' % f in batch}
       sharded = self.rules.shard_batch(batch)
       metric_states, loss, mi = self.eval_step(state, sharded,
                                                metric_states)
-      losses.append(float(loss))
+      if not filler:
+        losses.append(float(loss))
       for tname, tmi in (mi.get('per_task') or {}).items():
         buf = task_buffers.setdefault(tname, {'labels': [], 'probs': []})
-        w = np.asarray(tmi['weights']) > 0
-        buf['labels'].append(np.asarray(tmi['labels'])[w])
-        buf['probs'].append(np.asarray(tmi['probs'])[w])
+        w = to_host(tmi['weights']) > 0
+        buf['labels'].append(to_host(tmi['labels'])[w])
+        buf['probs'].append(to_host(tmi['probs'])[w])
       if host_needed:
-        w = np.asarray(mi['weights']) > 0
-        buffers['labels'].append(np.asarray(mi['labels'])[w])
-        buffers['probs'].append(np.asarray(mi['probs'])[w])
+        w = to_host(mi['weights']) > 0
+        buffers['labels'].append(to_host(mi['labels'])[w])
+        buffers['probs'].append(to_host(mi['probs'])[w])
         for f, vals in host_fields.items():
-          field_buffers[f].append(np.asarray(vals)[w])
+          field_buffers[f].append(gather_local(vals)[w])
       n += 1
       if max_batches and n >= max_batches:
         break

@@ -27,6 +27,9 @@ def get_parser() -> argparse.ArgumentParser:
   parser.add_argument('--fit_on_eval', action='store_true', default=False,
                       help='continue training on eval data after training')
   parser.add_argument('--fit_on_eval_steps', type=int, default=0)
+  parser.add_argument('--check_mode', action='store_true', default=False,
+                      help='validate every input batch with pointed '
+                           'errors (reference --check_mode)')
   return parser
 
 
@@ -58,7 +61,8 @@ def main(argv=None):
       continue_train=args.continue_train,
       edit_config_json=edits or None,
       fit_on_eval=args.fit_on_eval,
-      fit_on_eval_steps=args.fit_on_eval_steps)
+      fit_on_eval_steps=args.fit_on_eval_steps,
+      check_mode=args.check_mode)
   metrics = result.get('eval_metrics', {})
   logging.info('done: step=%s metrics=%s', result['global_step'], metrics)
   return 0

@@ -131,8 +131,8 @@ RANK_BODIES = {
     'DCN': RANK_GROUPS + """
   model_class: "DCN"
   dcn {
-    cross_num: 3
-    deep_tower { dnn { hidden_units: [32, 16] use_bn: false } }
+    deep_tower { input: "deep" dnn { hidden_units: [32, 16] use_bn: false } }
+    cross_tower { input: "deep" cross_num: 3 }
     final_dnn { hidden_units: [16] use_bn: false }
   }
 """,
@@ -355,7 +355,7 @@ ESMM_BODY = MT_GROUPS + """
 
 
 def _train_eval(tmp_path, body, label_fields, metrics=AUC_METRIC,
-                num_steps=250, n_train=16384, seed=5):
+                num_steps=250, n_train=16384, seed=5, lr=None):
   train = os.path.join(str(tmp_path), 'train.csv')
   evalp = os.path.join(str(tmp_path), 'eval.csv')
   make_csv(train, n_train, seed=seed)
@@ -363,6 +363,8 @@ def _train_eval(tmp_path, body, label_fields, metrics=AUC_METRIC,
   lf = '\n  label_fields: '.join('"%s"' % f for f in label_fields)
   text = CONFIG.format(train=train, eval=evalp, num_steps=num_steps,
                        metrics=metrics, label_fields=lf, model_body=body)
+  if lr is not None:
+    text = text.replace('learning_rate: 0.02', 'learning_rate: %g' % lr)
   path = os.path.join(str(tmp_path), 'pipeline.config')
   with open(path, 'w') as f:
     f.write(text)
@@ -381,7 +383,11 @@ def test_rank_interaction_learned(name, tmp_path):
 
 @pytest.mark.parametrize('name', sorted(SEQ_BODIES), ids=sorted(SEQ_BODIES))
 def test_sequence_attention_learned(name, tmp_path):
-  m = _train_eval(tmp_path, SEQ_BODIES[name], ['lseq'])
+  # BST's post-LN transformer stalls at lr 0.02 (plateau ~0.72 measured);
+  # 0.005 reaches ~0.814 vs the ~0.82 Bayes-optimal for this signal
+  lr = 0.005 if name == 'MultiTowerBST' else None
+  m = _train_eval(tmp_path, SEQ_BODIES[name], ['lseq'],
+                  num_steps=600 if lr else 250, lr=lr)
   assert m['auc'] > 0.75, '%s failed sequence gate: %s' % (name, m)
 
 
