@@ -60,19 +60,26 @@ def build(trainer, update: str):
 
     new_tables, new_slots = state.tables, state.slots
     if update == 'deep-prep':
-      # dedup + row gathers + adam math, NO scatters (cost of everything
-      # but the table writes); results folded into the loss to stay live
+      # packed: group_prep only (sort + lane expansion + segment-sum) —
+      # the kernel's input build without the RMW kernel itself.
+      # plain: dedup + row gathers + adam math, NO scatters.
       key = [k for k in state.tables if not k.startswith('wide')][0]
       table = state.tables[key]
       ids = packs[key].reshape(-1)
-      g = g_pulled[key].reshape(-1, table.shape[-1])
-      uids, ug = sparse_lib.dedup_sum(ids, g, layout.scratch_row(key))
-      m = jnp.take(state.slots[key]['m'], uids, axis=0) * 0.9 + ug
-      v = jnp.take(state.slots[key]['v'], uids, axis=0) * 0.999 + ug**2
-      w = jnp.take(table, uids, axis=0)
-      upd = w - 0.001 * m / (jnp.sqrt(v) + 1e-8)
-      loss = loss + 0.0 * jnp.sum(upd)
-    if update == 'deep-rawscatter':
+      if pack_metas is not None:
+        from easyrec_tpu.ops import packed_table as pt
+        g = g_pulled[key].reshape(-1, pack_metas[key].dim)
+        ugids, gg = pt.group_prep(ids, g, pack_metas[key])
+        loss = loss + 0.0 * (jnp.sum(gg) + jnp.sum(ugids))
+      else:
+        g = g_pulled[key].reshape(-1, table.shape[-1])
+        uids, ug = sparse_lib.dedup_sum(ids, g, layout.scratch_row(key))
+        m = jnp.take(state.slots[key]['m'], uids, axis=0) * 0.9 + ug
+        v = jnp.take(state.slots[key]['v'], uids, axis=0) * 0.999 + ug**2
+        w = jnp.take(table, uids, axis=0)
+        upd = w - 0.001 * m / (jnp.sqrt(v) + 1e-8)
+        loss = loss + 0.0 * jnp.sum(upd)
+    if update == 'deep-rawscatter' and pack_metas is None:
       # three raw scatter-adds with NO dedup (scatter cost alone)
       key = [k for k in state.tables if not k.startswith('wide')][0]
       ids = packs[key].reshape(-1)

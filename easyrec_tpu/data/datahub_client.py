@@ -13,8 +13,9 @@ speaks the REST protocol directly:
        {"Action": "sub", "Cursor": ...}   — TUPLE record reads
 
 Requests carry the DataHub signature header (base64 HMAC-SHA1 over the
-canonical string, `Authorization: DATAHUB <akId>:<sig>`). Only what a
-*consumer* of TUPLE topics needs is implemented: no produce, no BLOB
+canonical string, `Authorization: DATAHUB <akId>:<sig>`). The consumer
+slice plus TUPLE produce (`put_records` — the incremental-update publish
+channel, reference estimator_utils.py:357-466) is implemented: no BLOB
 topics, no pb-batch transport (plain JSON).
 
 Cursor semantics pinned by the client/mock pair (tests/datahub_mock.py):
@@ -140,3 +141,19 @@ class DataHubClient:
     records = [(int(r['Sequence']), r['Data'])
                for r in res.get('Records', [])]
     return records, res.get('NextCursor', cursor)
+
+  def put_records(self, project: str, topic: str, shard_id: str,
+                  rows) -> int:
+    """Publish TUPLE records (each row = list of string field values)
+    to one shard; returns the count written (produce side of the
+    incremental-update channel)."""
+    body = {'Action': 'pub',
+            'Records': [{'ShardId': shard_id, 'Data': list(r)}
+                        for r in rows]}
+    res = self._request(
+        'POST', '/projects/%s/topics/%s/shards' % (project, topic), body)
+    failed = int(res.get('FailedRecordCount', 0))
+    if failed:
+      raise DataHubError('put_records: %d rows failed: %s'
+                         % (failed, res.get('FailedRecords')))
+    return len(body['Records'])

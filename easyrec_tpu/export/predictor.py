@@ -160,6 +160,49 @@ class Predictor:
     self._kafka_offsets[(server, topic)] = off
     return n
 
+  def consume_incremental_datahub(self, endpoint: str, access_id: str,
+                                  access_key: str, project: str,
+                                  topic: str, start_seq: int = 0) -> int:
+    """Drain + apply updates from the DataHub incremental channel
+    (IncrementSaveConfig.datahub): TUPLE records (key, part, total,
+    payload-b64) are reassembled per key into npz blobs. The consumer
+    sequence persists on this Predictor like the kafka offset."""
+    import base64
+    import io as _io
+    from easyrec_tpu.data import datahub_client as dhc
+    if not hasattr(self, '_dh_seqs'):
+      self._dh_seqs = {}
+    skey = (endpoint, project, topic)
+    seq = self._dh_seqs.get(skey, start_seq)
+    client = dhc.DataHubClient(endpoint, access_id, access_key)
+    blobs = []
+    partial = {}
+    try:
+      for shard in client.list_shards(project, topic):
+        cursor, cseq = client.get_cursor(project, topic, shard,
+                                         dhc.SEQUENCE, sequence=seq)
+        _, latest = client.get_cursor(project, topic, shard, dhc.LATEST)
+        while cseq < latest:
+          records, cursor = client.get_records(project, topic, shard,
+                                               cursor)
+          if not records:
+            break
+          for rseq, data in records:
+            key, part, total, payload = data
+            acc = partial.setdefault(key, [None] * int(total))
+            acc[int(part)] = payload
+            if all(c is not None for c in acc):
+              blobs.append(_io.BytesIO(
+                  base64.b64decode(''.join(acc).encode())))
+              del partial[key]
+            cseq = rseq + 1
+          seq = max(seq, cseq)
+    finally:
+      client.close()
+    n = self._apply_update_blobs(blobs)
+    self._dh_seqs[skey] = seq
+    return n
+
   @staticmethod
   def _update_step(u):
     """Step stamp of an update (filename update-NNN-step-S.npz, or the

@@ -13,8 +13,10 @@ same .npz blobs as single messages on a 1-partition topic, key
 `update_<version>_step_<step>`, via the built-in wire-protocol producer
 `data/kafka_client.py` — the reference sends dense/sparse delta blobs
 keyed `dense_update_<step>`/`sparse_update_<step>` the same way,
-estimator_utils.py:484-599). DataHub requires Aliyun connectivity and
-raises a clear error.
+estimator_utils.py:484-599). DataHub publishes the same blobs as
+base64-chunked TUPLE records (key, part, total, payload) through the
+built-in REST client `data/datahub_client.py` (reference publishes to
+DataHub at estimator_utils.py:357-466).
 """
 
 from __future__ import annotations
@@ -46,13 +48,15 @@ class IncrementalPublisher:
     # serving side stays layout-independent
     self.pack_metas = pack_metas
     which = incr_save_config.WhichOneof('incr_update')
-    if which == 'datahub':
-      raise NotImplementedError(
-          'datahub incremental-update channel requires Aliyun '
-          'connectivity; use the kafka or fs channel')
     self.directory = None
     self._producer = None
-    if which == 'kafka':
+    self._datahub = None
+    if which == 'datahub':
+      from easyrec_tpu.data import datahub_client as dhc
+      dh = incr_save_config.datahub
+      self._datahub = dhc.DataHubClient(dh.region, dh.akId, dh.akSecret)
+      self._dh_project, self._dh_topic = dh.project, dh.topic
+    elif which == 'kafka':
       from easyrec_tpu.data import kafka_client as kc
       self._producer = kc.KafkaProducer(incr_save_config.kafka.server)
       self._topic = incr_save_config.kafka.topic
@@ -99,6 +103,28 @@ class IncrementalPublisher:
       return None
     self._version += 1
     name = 'update-%06d-step-%d' % (self._version, step)
+    if self._datahub is not None:
+      import base64
+      import io
+      buf = io.BytesIO()
+      np.savez_compressed(buf, __meta__=np.array(json.dumps(meta)),
+                          **payload)
+      blob = base64.b64encode(buf.getvalue()).decode()
+      # chunk under DataHub's per-record size cap; TUPLE rows are
+      # (key, part, total, payload)
+      chunk = 512 * 1024
+      parts = [blob[i:i + chunk] for i in range(0, len(blob), chunk)] \
+          or ['']
+      rows = [[name, str(i), str(len(parts)), p]
+              for i, p in enumerate(parts)]
+      shards = self._datahub.list_shards(self._dh_project, self._dh_topic)
+      self._datahub.put_records(self._dh_project, self._dh_topic,
+                                shards[0], rows)
+      logging.info('published incremental update %s to datahub %s/%s: '
+                   '%d dense vars, %s sparse rows, %d record(s)',
+                   name, self._dh_project, self._dh_topic,
+                   len(meta['dense']), dict(meta['sparse']), len(rows))
+      return '%s/%s:%s' % (self._dh_project, self._dh_topic, name)
     if self._producer is not None:
       import io
       buf = io.BytesIO()

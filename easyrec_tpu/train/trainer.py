@@ -67,6 +67,14 @@ def _model_l2_reg(model_config) -> float:
   return 0.0
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _null_context():
+  yield
+
+
 class Trainer:
   """Builds the whole training program from one pipeline config."""
 
@@ -224,9 +232,15 @@ class Trainer:
         small[k] = arr           # sampled negatives keep their full N
     # local_devices, not devices: under multi-process, devices('cpu')[0]
     # is process 0's device — non-addressable elsewhere (native crash
-    # when tracing commits to it; caught by the 2-process eval test)
-    cpu = jax.local_devices(backend='cpu')[0]
-    with jax.default_device(cpu):
+    # when tracing commits to it; caught by the 2-process eval test).
+    # A bare JAX_PLATFORMS=<tpu-plugin> has no cpu backend at all: fall
+    # back to the default device (slower throwaway init compile only).
+    try:
+      cpu = jax.local_devices(backend='cpu')[0]
+    except RuntimeError:
+      cpu = None
+    with jax.default_device(cpu) if cpu is not None else \
+        _null_context():
       packs = emb_ops.pack_all_views(self.layout, small)
       pulled = {key: jnp.zeros(p.shape + (self._table_dim(key),),
                                jnp.float32)

@@ -83,6 +83,20 @@ class MockDataHub:
       def do_POST(self):
         n = int(self.headers.get('Content-Length', 0))
         body = json.loads(self.rfile.read(n) or b'{}')
+        mp = re.fullmatch(r'/projects/([^/]+)/topics/([^/]+)/shards',
+                          self.path)
+        if mp and body.get('Action') == 'pub':
+          with dh.lock:
+            t = dh.topics.get((mp.group(1), mp.group(2)))
+            if t is None:
+              return self._reply(404, {'ErrorCode': 'NoSuchTopic'})
+            for rec in body.get('Records', []):
+              sid = rec.get('ShardId', '0')
+              if sid not in t['shards']:
+                return self._reply(404, {'ErrorCode': 'NoSuchShard'})
+              t['shards'][sid].append([None if v is None else str(v)
+                                       for v in rec['Data']])
+          return self._reply(200, {'FailedRecordCount': 0})
         m = re.fullmatch(
             r'/projects/([^/]+)/topics/([^/]+)/shards/([^/]+)', self.path)
         if not m:

@@ -118,3 +118,76 @@ def test_datahub_train_offset_resume(dh, tmp_path, monkeypatch):
   with open(off_file) as f:
     saved2 = json.load(f)
   assert sum(saved2['offsets'].values()) == 6 * 64
+
+
+def test_datahub_incremental_channel(tmp_path):
+  """IncrementSaveConfig.datahub: updates publish as base64-chunked
+  TUPLE records through the REST client's produce side; a Predictor
+  drains + applies them and matches a full re-export (reference DataHub
+  channel, estimator_utils.py:357-466)."""
+  import os as _os
+
+  import numpy as np
+
+  from easyrec_tpu.config import get_configs_from_pipeline_file
+  from easyrec_tpu.export.predictor import Predictor
+  from easyrec_tpu.export.saved_model import export_saved_model
+  from easyrec_tpu.train.incremental import IncrementalPublisher
+  from easyrec_tpu.train.trainer import Trainer
+  from tests import fixtures
+  from tests.datahub_mock import MockDataHub
+  from tests.test_restore_incremental import _csv_columns
+
+  dh = MockDataHub()
+  dh.create_topic('p', 'incr', [('key', 'STRING'), ('part', 'STRING'),
+                                ('total', 'STRING'),
+                                ('payload', 'STRING')], shards=1)
+  endpoint = dh.start()
+  try:
+    cfg = get_configs_from_pipeline_file(
+        fixtures.write_pipeline(tmp_path, num_steps=40))
+    incr = cfg.train_config.incr_save_config.datahub
+    incr.region = endpoint
+    incr.akId, incr.akSecret = 'ak', 'sk'
+    incr.project, incr.topic = 'p', 'incr'
+    trainer = Trainer(cfg)
+
+    train_iter = iter(trainer.train_input())
+    first = next(train_iter)
+    state = trainer.init_state(first)
+    export_dir = export_saved_model(trainer, state,
+                                    _os.path.join(str(tmp_path), 'export'))
+
+    pub = IncrementalPublisher(cfg.train_config.incr_save_config,
+                               cfg.model_dir)
+    assert pub.publish(state, 0) is None       # first = snapshot
+    sharded = trainer.rules.shard_batch(first)
+    for _ in range(5):
+      state, _ = trainer.train_step(state, sharded)
+    ref = pub.publish(state, 5)
+    assert ref == 'p/incr:update-000001-step-5'
+    for _ in range(5):
+      state, _ = trainer.train_step(state, sharded)
+    pub.publish(state, 10)
+
+    predictor = Predictor(export_dir)
+    cols = _csv_columns(tmp_path)
+    stale = predictor.predict_columns(cols)
+    n = predictor.consume_incremental_datahub(endpoint, 'ak', 'sk',
+                                              'p', 'incr')
+    assert n == 2
+    fresh = predictor.predict_columns(cols)
+    assert not np.allclose(stale['probs'], fresh['probs'])
+
+    # parity vs a full re-export of the final state
+    export2 = export_saved_model(trainer, state,
+                                 _os.path.join(str(tmp_path), 'export2'))
+    full = Predictor(export2).predict_columns(cols)
+    np.testing.assert_allclose(np.asarray(fresh['probs']),
+                               np.asarray(full['probs']),
+                               rtol=1e-5, atol=1e-5)
+    # idempotent: the persisted sequence skips consumed records
+    assert predictor.consume_incremental_datahub(endpoint, 'ak', 'sk',
+                                                 'p', 'incr') == 0
+  finally:
+    dh.stop()
