@@ -10,9 +10,16 @@ Measurement: steady-state pipelined steps with a final device->host fetch
 of the loss to force a real sync (block_until_ready alone can return early
 through the axon tunnel).
 
-vs_baseline = TPU examples/s divided by the same jitted program's
-examples/s on one host CPU core (the reference runs on CPU PS clusters;
-the north-star target in BASELINE.md is >3x a CPU-PS worker).
+vs_baseline = TPU examples/s divided by the SAME JITTED PROGRAM's
+examples/s on one host CPU core. This is NOT an EasyRec CPU-PS worker
+measurement: the reference requires tf.estimator (TF 1.12-2.12), and
+this image ships TF 2.21 where tf.estimator was removed — the
+reference's training loop cannot execute here (verified:
+`tf.compat.v1.estimator` absent). The one-core-CPU-same-program
+denominator is the closest honest stand-in; reference CPU-PS
+per-worker throughput on this model shape is O(1-10k) ex/s (PAI
+benchmark hardware, docs/source/benchmark.md), so the BASELINE.md
+north-star ">3x a CPU-PS worker" holds with wide margin either way.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

@@ -194,19 +194,21 @@ class EmbeddingLayout:
   # -- packed layout (TPU Mosaic update path, ops/packed_table.py) ---------
 
   def pack_metas(self, n_parts: int = 1, pad_rows_to: int = 1,
-                 shards: int = 1):
+                 shards: int = 1, compact: bool = False):
     """PackMeta per fused table. n_parts = 1 + optimizer slot count:
     weights and slots live interleaved in one combined array; packed
     mode's own scratch group replaces the trailing scratch row. shards
-    rounds the group count so row-sharding splits evenly."""
+    rounds the group count so row-sharding splits evenly. compact packs
+    2-slot optimizers' moments as bf16 pairs (half the row width)."""
     from easyrec_tpu.ops.packed_table import PackMeta
     return {key: PackMeta(_round_up(t.rows, pad_rows_to), t.dim, n_parts,
-                          shards=shards)
+                          shards=shards, compact=compact)
             for key, t in self.tables.items()}
 
-  def packed_supported(self, n_parts: int = 1) -> bool:
+  def packed_supported(self, n_parts: int = 1,
+                       compact: bool = False) -> bool:
     from easyrec_tpu.ops import packed_table as pt
-    return all(pt.supported(t.dim, n_parts)
+    return all(pt.supported(t.dim, n_parts, compact=compact)
                for t in self.tables.values())
 
   def init_packed_tables_on_device(self, rng_seed: int = 0,
@@ -214,7 +216,9 @@ class EmbeddingLayout:
                                    slot_init=(),
                                    pad_rows_to: int = 1,
                                    shards: int = 1,
-                                   sharding=None) -> Dict[str, object]:
+                                   sharding=None,
+                                   compact: bool = False
+                                   ) -> Dict[str, object]:
     """Initialize combined packed tables ON DEVICE: each (phys_row, col)
     maps back to its logical row + part; part 0 (weights) draws from the
     per-member-table stddev (searchsorted), slot parts fill with the
@@ -224,9 +228,19 @@ class EmbeddingLayout:
     import jax
     import jax.numpy as jnp
 
-    metas = self.pack_metas(n_parts, pad_rows_to, shards=shards)
-    slot_vals = [0.0] + list(slot_init) + \
-        [0.0] * (n_parts - 1 - len(slot_init))
+    metas = self.pack_metas(n_parts, pad_rows_to, shards=shards,
+                            compact=compact)
+    if compact:
+      import numpy as _np
+
+      from easyrec_tpu.ops.packed_table import np_pack_pair
+      si = list(slot_init) + [0.0] * (2 - len(slot_init))
+      fill = float(np_pack_pair(_np.float32([si[0]]),
+                                _np.float32([si[1]]))[0])
+      slot_vals = [0.0, fill]
+    else:
+      slot_vals = [0.0] + list(slot_init) + \
+          [0.0] * (n_parts - 1 - len(slot_init))
     out = {}
     for key, t in self.tables.items():
       meta = metas[key]

@@ -51,6 +51,11 @@ class PPNet(nn.Module):
 
   @nn.compact
   def __call__(self, inputs, training: bool = False):
+    if not isinstance(inputs, (list, tuple)) or len(inputs) != 2:
+      raise ValueError(
+          'PPNet expects [general_input, gate_input] — set '
+          'merge_inputs_into_list: true on the backbone block '
+          '(got %s)' % type(inputs).__name__)
     x, gate_feats = inputs
     act = get_activation(self.activation)
     gate_in = jnp.concatenate(

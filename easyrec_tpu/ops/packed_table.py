@@ -86,13 +86,25 @@ def _chunk_mb():
 
 class PackMeta:
   """Static geometry of one packed table (n_parts = 1 + optimizer
-  slots)."""
+  slots).
+
+  compact=True (2-slot optimizers, e.g. Adam) stores the two slot
+  arrays as bf16 PAIRS bitcast into ONE f32 lane block: a logical row
+  is [w f32 x dim | m<<16|v x dim] = 2*dim lanes instead of 3*dim.
+  For dim 16 that turns width 384 into 128 — 3x less kernel traffic
+  and ~40% less HBM — at the cost of bf16-rounded optimizer moments
+  (weights stay full f32). n_parts below becomes the PHYSICAL part
+  count (2); hosts pack/unpack still speak logical (w, m, v)."""
 
   def __init__(self, rows: int, dim: int, n_parts: int = 1,
-               shards: int = 1):
+               shards: int = 1, compact: bool = False):
+    if compact and n_parts != 3:
+      raise ValueError('compact layout packs exactly 2 slots (n_parts=3)')
     self.rows = int(rows)
     self.dim = int(dim)
-    self.n_parts = int(n_parts)
+    self.compact = bool(compact)
+    self.logical_parts = int(n_parts)
+    self.n_parts = 2 if compact else int(n_parts)
     self.shards = int(shards)
     self.cc = self.n_parts * self.dim             # combined cols / row
     self.width = self.cc * (128 // math.gcd(self.cc, 128))  # lcm(cc,128)
@@ -135,21 +147,48 @@ class PackMeta:
 
   def __repr__(self):
     return ('PackMeta(rows=%d, dim=%d, parts=%d, width=%d, groups=%d, '
-            'shards=%d)'
+            'shards=%d%s)'
             % (self.rows, self.dim, self.n_parts, self.width,
-               self.groups, self.shards))
+               self.groups, self.shards,
+               ', compact' if self.compact else ''))
 
 
-def supported(dim: int, n_parts: int = 1) -> bool:
-  cc = dim * n_parts
+def supported(dim: int, n_parts: int = 1, compact: bool = False) -> bool:
+  cc = dim * (2 if compact and n_parts == 3 else n_parts)
   return cc * (128 // math.gcd(cc, 128)) <= MAX_WIDTH
+
+
+# bf16 pair packing (host side; the kernel does the same with lax ops)
+
+def _np_bf16_bits(x: np.ndarray) -> np.ndarray:
+  """f32 -> round-to-nearest-even bf16 bits in the TOP 16 of a u32."""
+  u = np.ascontiguousarray(x, np.float32).view(np.uint32)
+  u = u + 0x7FFF + ((u >> 16) & 1)
+  return u & np.uint32(0xFFFF0000)
+
+
+def np_pack_pair(m: np.ndarray, v: np.ndarray) -> np.ndarray:
+  """Two f32 arrays -> one f32 array of (bf16(m) << 16 | bf16(v))."""
+  u = _np_bf16_bits(m) | (_np_bf16_bits(v) >> 16)
+  return u.view(np.float32)
+
+
+def np_unpack_pair(mv: np.ndarray):
+  u = np.ascontiguousarray(mv, np.float32).view(np.uint32)
+  m = (u & np.uint32(0xFFFF0000)).view(np.float32)
+  v = (u << np.uint32(16)).view(np.float32)
+  return m, v
 
 
 # ------------------------------------------------------------------ host
 
 def pack_host(weights: np.ndarray, slots: Sequence[np.ndarray],
               meta: PackMeta) -> np.ndarray:
-  """(w [rows, dim], slot arrays [rows, dim]...) -> combined [G*8, W]."""
+  """(w [rows, dim], LOGICAL slot arrays [rows, dim]...) -> combined
+  [G*8, W]; compact metas pack the two slots into bf16 pairs."""
+  if meta.compact:
+    assert len(slots) == 2, len(slots)
+    slots = [np_pack_pair(slots[0], slots[1])]
   parts = [weights] + list(slots)
   assert len(parts) == meta.n_parts, (len(parts), meta.n_parts)
   full = np.zeros((meta.rows_padded, meta.cc), weights.dtype)
@@ -161,12 +200,16 @@ def pack_host(weights: np.ndarray, slots: Sequence[np.ndarray],
 
 def unpack_host(packed: np.ndarray, meta: PackMeta,
                 rows: int = None) -> Tuple[np.ndarray, list]:
-  """combined [G*8, W] -> (weights [rows, dim], [slot arrays...])."""
+  """combined [G*8, W] -> (weights [rows, dim], LOGICAL slot arrays);
+  compact metas decode the bf16 pair part back into two slots."""
   rows = meta.rows if rows is None else rows
   v = packed.reshape(meta.groups, 8, meta.pack, meta.cc)
   flat = v.reshape(meta.rows_padded, meta.cc)[:rows]
   parts = [np.ascontiguousarray(flat[:, p * meta.dim:(p + 1) * meta.dim])
            for p in range(meta.n_parts)]
+  if meta.compact:
+    m, vv = np_unpack_pair(parts[1])
+    return parts[0], [m, vv]
   return parts[0], parts[1:]
 
 

@@ -38,6 +38,27 @@ def dedup_sum(ids: jnp.ndarray, grads: jnp.ndarray,
   return uids, ugrads
 
 
+def _bf16_bits(x):
+  """f32 -> RNE bf16 bits in the top 16 of a uint32 (lane-wise)."""
+  u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+  u = u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+  return u & jnp.uint32(0xFFFF0000)
+
+
+def pack_pair(m, v):
+  """Two f32 -> one f32 carrying (bf16(m) << 16 | bf16(v))."""
+  u = _bf16_bits(m) | (_bf16_bits(v) >> 16)
+  return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+def unpack_pair(mv):
+  u = jax.lax.bitcast_convert_type(mv, jnp.uint32)
+  m = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000),
+                                   jnp.float32)
+  v = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+  return m, v
+
+
 @dataclasses.dataclass(frozen=True)
 class SparseOptimizer:
   """A row-sparse optimizer: init table-shaped slots, update touched rows.
@@ -59,6 +80,10 @@ class SparseOptimizer:
   hypers: Callable = None       # (lr, step) -> jnp [K] f32
   block_math: Callable = None   # (olds, g, hyp) -> news
   slot_init: Tuple[float, ...] = ()  # initial fill value per slot
+  # 2-slot optimizers may ship a COMPACT form: olds = [w f32 block,
+  # bf16-pair slot block]; enables the width-128 packed layout
+  # (ops/packed_table.py PackMeta compact)
+  compact_math: Callable = None
 
 
 def sparse_sgd() -> SparseOptimizer:
@@ -158,9 +183,24 @@ def sparse_adam(b1: float = 0.9, b2: float = 0.999,
       upd = upd - lr * weight_decay * w
     return [w + upd, m_new, v_new]
 
+  def compact_block(olds, g, hyp):
+    # olds = [w, mv]: moments live as bf16 pairs in one f32 lane block.
+    # The w update uses the PRE-ROUNDING f32 moments (full precision in
+    # the step; only the carried state is bf16).
+    w, mv = olds
+    lr, c1, c2 = hyp(0), hyp(1), hyp(2)
+    m, v = unpack_pair(mv)
+    m_new = b1 * m + (1 - b1) * g
+    v_new = b2 * v + (1 - b2) * jnp.square(g)
+    upd = -lr * (m_new * c1) / (jnp.sqrt(v_new * c2) + eps)
+    if weight_decay:
+      upd = upd - lr * weight_decay * w
+    return [w + upd, pack_pair(m_new, v_new)]
+
   return SparseOptimizer('adam', init, update, slot_names=('m', 'v'),
                          hypers=hypers, block_math=block,
-                         slot_init=(0.0, 0.0))
+                         slot_init=(0.0, 0.0),
+                         compact_math=compact_block)
 
 
 def sparse_ftrl(learning_rate_power: float = -0.5,
@@ -269,6 +309,8 @@ def apply_sparse_updates_packed(tables: Dict[str, jnp.ndarray],
   hypers = optimizer.hypers(lr, step)
   for key, table in tables.items():
     meta = pack_metas[key]
+    math_fn = optimizer.compact_math \
+        if getattr(meta, 'compact', False) else optimizer.block_math
     id_parts, g_parts = [], []
     for view in (key, 'neg.' + key, 'hard_neg.' + key):
       if view in packs:
@@ -279,12 +321,12 @@ def apply_sparse_updates_packed(tables: Dict[str, jnp.ndarray],
     g = jnp.concatenate(g_parts) if len(g_parts) > 1 else g_parts[0]
     if mesh is not None and mesh.devices.size > 1:
       new_tables[key] = _packed_update_sharded(
-          mesh, table, ids, g, hypers, optimizer.block_math, meta,
+          mesh, table, ids, g, hypers, math_fn, meta,
           use_pallas, interpret)
     else:
       new_tables[key] = pt.apply_packed_update(
           table, ids, g, hypers,
-          optimizer.block_math, meta, use_pallas, interpret=interpret)
+          math_fn, meta, use_pallas, interpret=interpret)
   return new_tables
 
 

@@ -121,10 +121,16 @@ class Trainer:
     # group-DMA RMW kernel instead of XLA scatters (ops/packed_table.py
     # — the in-step scatter wall, ~51+16 ms of an 83 ms flagship step).
     self._n_parts = 1 + len(self.embed_opt.sparse.slot_names)
+    # compact layout: 2-slot optimizers store moments as bf16 pairs —
+    # half the packed row width, ~3x less update traffic (PERF.md r2)
+    self._packed_compact = (
+        os.environ.get('EASYREC_PACKED_COMPACT', '1') != '0' and
+        self.embed_opt.sparse.compact_math is not None and
+        self._n_parts == 3)
     self.packed_mode = self._decide_packed_mode()
     self.pack_metas = self.layout.pack_metas(
         self._n_parts, self.rules.table_pad_rows(),
-        shards=self.mesh.devices.size) \
+        shards=self.mesh.devices.size, compact=self._packed_compact) \
         if self.packed_mode else None
     self._packed_pallas = self._mesh_on_tpu()
 
@@ -149,7 +155,8 @@ class Trainer:
     env = os.environ.get('EASYREC_PACKED_TABLES', 'auto')
     if env == '0':
       return False
-    ok = (self.layout.packed_supported(self._n_parts) and
+    ok = (self.layout.packed_supported(
+              self._n_parts, compact=self._packed_compact) and
           self.layout.tables and
           self.embed_opt.sparse.block_math is not None)
     if self.mesh.devices.size > 1 and \
@@ -176,7 +183,8 @@ class Trainer:
           slot_init=self.embed_opt.sparse.slot_init,
           pad_rows_to=self.rules.table_pad_rows(),
           shards=self.mesh.devices.size,
-          sharding=self.rules.table)
+          sharding=self.rules.table,
+          compact=self._packed_compact)
     else:
       tables = self.layout.init_tables_on_device(
           self.seed, pad_rows_to=self.rules.table_pad_rows(),

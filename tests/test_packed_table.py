@@ -45,10 +45,10 @@ def test_pull_parity(dim, n_parts):
 
 
 def _run_both(optimizer, dim=16, rows=500, n_ids=137, steps=3,
-              interpret=False, atol=1e-5):
+              interpret=False, atol=1e-5, compact=False):
   """Plain update_rows vs packed combined apply over a few steps."""
   n_parts = 1 + len(optimizer.slot_names)
-  meta = pt.PackMeta(rows, dim, n_parts)
+  meta = pt.PackMeta(rows, dim, n_parts, compact=compact)
   rng = np.random.RandomState(2)
   w0 = rng.randn(rows, dim).astype(np.float32) * 0.1
 
@@ -68,9 +68,10 @@ def _run_both(optimizer, dim=16, rows=500, n_ids=137, steps=3,
     uids, ug = sparse_lib.dedup_sum(ids, grads, rows - 1)
     plain_w, plain_s = optimizer.update_rows(plain_w, plain_s, uids, ug,
                                              lr, st)
+    math_fn = optimizer.compact_math if compact else optimizer.block_math
     packed = pt.apply_packed_update(
         packed, ids, grads, optimizer.hypers(lr, st),
-        optimizer.block_math, meta, use_pallas=False,
+        math_fn, meta, use_pallas=False,
         interpret=interpret)
 
   got_w, got_slots = pt.unpack_host(np.asarray(packed), meta, rows)
@@ -361,3 +362,69 @@ def test_sharded_pull_emits_no_table_allgather():
     assert elems <= 8 * 4096, (
         'table-sized all-gather in the sharded pull:\n%s' % line)
     assert elems < per_shard_rows * meta.width, line
+
+
+# ------------------------------------------------------ compact layout
+
+def test_pack_pair_roundtrip():
+  """bf16 pair packing: RNE rounding, sign preservation, exactness for
+  bf16-representable values (host + jnp implementations agree)."""
+  rng = np.random.RandomState(3)
+  m = (rng.randn(64, 16) * np.exp(rng.randn(64, 16) * 3)) \
+      .astype(np.float32)
+  v = np.abs(rng.randn(64, 16)).astype(np.float32)
+  mv = pt.np_pack_pair(m, v)
+  m2, v2 = pt.np_unpack_pair(mv)
+  np.testing.assert_allclose(m2, m, rtol=2 ** -8)
+  np.testing.assert_allclose(v2, v, rtol=2 ** -8)
+  # bf16-exact values round-trip bit-exactly
+  mb = m.astype(jnp.bfloat16).astype(np.float32)
+  vb = v.astype(jnp.bfloat16).astype(np.float32)
+  m3, v3 = pt.np_unpack_pair(pt.np_pack_pair(mb, vb))
+  np.testing.assert_array_equal(m3, mb)
+  np.testing.assert_array_equal(v3, vb)
+  # jnp kernel-side pack/unpack matches host
+  mv_j = np.asarray(sparse_lib.pack_pair(jnp.asarray(m), jnp.asarray(v)))
+  np.testing.assert_array_equal(mv_j.view(np.uint32),
+                                mv.view(np.uint32))
+
+
+@pytest.mark.parametrize('dim', [4, 16, 64])
+def test_compact_meta_geometry(dim):
+  meta = pt.PackMeta(100_000, dim, 3, compact=True)
+  assert meta.cc == 2 * dim and meta.n_parts == 2
+  full = pt.PackMeta(100_000, dim, 3)
+  assert meta.width <= full.width
+  if dim == 16:
+    assert meta.width == 128 and full.width == 384
+
+
+def test_compact_pack_unpack_roundtrip():
+  meta = pt.PackMeta(1000, 16, 3, compact=True)
+  rng = np.random.RandomState(0)
+  w = rng.randn(1000, 16).astype(np.float32)
+  m = rng.randn(1000, 16).astype(np.float32)
+  v = np.abs(rng.randn(1000, 16)).astype(np.float32)
+  packed = pt.pack_host(w, [m, v], meta)
+  w2, (m2, v2) = pt.unpack_host(packed, meta)
+  np.testing.assert_array_equal(w2, w)        # weights stay f32-exact
+  np.testing.assert_allclose(m2, m, rtol=2 ** -8)
+  np.testing.assert_allclose(v2, v, rtol=2 ** -8)
+
+
+@pytest.mark.parametrize('dim', [1, 16])
+def test_compact_adam_parity_xla(dim):
+  """Compact (bf16-moment) packed Adam vs the plain f32 row update: the
+  carried moments round to bf16, so tolerance is step-count x rounding
+  (~2^-9 relative per step on the update)."""
+  _run_both(sparse_lib.sparse_adam(), dim=dim, steps=3, compact=True,
+            atol=3e-3)
+
+
+@pytest.mark.parametrize('dim', [1, 16])
+def test_compact_adam_parity_interpret_kernel(dim, monkeypatch):
+  for k in ('EASYREC_PACKED_PIPELINE', 'EASYREC_PACKED_FUSED',
+            'EASYREC_PACKED_CHUNK_MB', 'EASYREC_PACKED_UNROLL'):
+    monkeypatch.delenv(k, raising=False)
+  _run_both(sparse_lib.sparse_adam(), dim=dim, steps=2, interpret=True,
+            compact=True, atol=3e-3)

@@ -17,7 +17,7 @@ SAMPLES = sorted(glob.glob(
 
 # Columns of the shared sample schemas (samples/*.config header comments).
 STANDARD_COLS = ['label', 'uid', 'iid', 'cate', 'tags', 'age', 'price',
-                 'seq_cate', 'buy']
+                 'seq_cate', 'buy', 'kvtags', 'lkp_map']
 MM_COLS = ['label', 'uid', 'iid', 'cate', 'title', 'img_vec', 'age']
 
 N_ITEMS = 40
@@ -47,6 +47,13 @@ def _row_value(col, rng, i):
     return '|'.join('w%d' % rng.integers(0, 100) for _ in range(k))
   if col == 'img_vec':
     return '|'.join('%.3f' % rng.random() for _ in range(64))
+  if col == 'kvtags':
+    k = rng.integers(1, 4)
+    return '|'.join('t%d:%.2f' % (rng.integers(0, 50), rng.random())
+                    for _ in range(k))
+  if col == 'lkp_map':
+    return '|'.join('c%d:%.2f' % (c, rng.random())
+                    for c in rng.choice(8, 3, replace=False))
   raise KeyError(col)
 
 
@@ -68,6 +75,15 @@ def _write_items(path):
               % (i, rng.random() + 0.1, i, i % 8, rng.random()))
 
 
+def _write_edges(path):
+  """Hard-negative edge table (user -> item)."""
+  rng = np.random.default_rng(8)
+  with open(path, 'w') as f:
+    for u in range(30):
+      for i in rng.choice(N_ITEMS, 3, replace=False):
+        f.write('u%d\ti%d\t1.0\n' % (u, i))
+
+
 @pytest.fixture(scope='module')
 def sample_data(tmp_path_factory):
   d = tmp_path_factory.mktemp('sample_data')
@@ -77,12 +93,14 @@ def sample_data(tmp_path_factory):
       'data/train_mm.csv': str(d / 'train_mm.csv'),
       'data/eval_mm.csv': str(d / 'eval_mm.csv'),
       'data/items.txt': str(d / 'items.txt'),
+      'data/edges.txt': str(d / 'edges.txt'),
   }
   _write_csv(paths['data/train.csv'], STANDARD_COLS, 256, seed=1)
   _write_csv(paths['data/eval.csv'], STANDARD_COLS, 64, seed=2)
   _write_csv(paths['data/train_mm.csv'], MM_COLS, 256, seed=3)
   _write_csv(paths['data/eval_mm.csv'], MM_COLS, 64, seed=4)
   _write_items(paths['data/items.txt'])
+  _write_edges(paths['data/edges.txt'])
   return paths
 
 
@@ -119,10 +137,18 @@ def test_sample_trains(path, sample_data, tmp_path):
   which = cfg.data_config.WhichOneof('sampler')
   if which:
     sampler_cfg = getattr(cfg.data_config, which)
-    sampler_cfg.input_path = sample_data['data/items.txt']
+    for f in ('input_path', 'user_input_path', 'item_input_path'):
+      if hasattr(sampler_cfg, f) and getattr(sampler_cfg, f):
+        setattr(sampler_cfg, f, sample_data['data/items.txt'])
+    if getattr(sampler_cfg, 'hard_neg_edge_input_path', ''):
+      sampler_cfg.hard_neg_edge_input_path = sample_data['data/edges.txt']
     # keep the sampled-negative count small for a 1-step smoke
     sampler_cfg.num_sample = min(sampler_cfg.num_sample, 16)
 
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  for fc in cfg.feature_config.features:
+    if fc.vocab_file and not os.path.isabs(fc.vocab_file):
+      fc.vocab_file = os.path.join(repo, fc.vocab_file)
   trainer = Trainer(cfg)
   pipe = trainer.train_input()
   batch = next(iter(pipe))
