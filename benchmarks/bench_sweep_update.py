@@ -86,19 +86,34 @@ def rmw_sweep(meta, n_ids, tag):
       ids, grads)
   # abs(): the packed layout interleaves Adam v-slots into this array;
   # negative v would make sqrt(v) NaN and poison the parity check.
-  table = jax.jit(lambda k: jnp.abs(jax.random.normal(
-      k, (meta.phys_rows, meta.width), jnp.float32)) * 0.01)(key)
+  # compact metas pack v as the LOW bf16 of each pair lane — raw random
+  # f32 bits decode to negative v, so build those lanes via pack_pair.
+  if getattr(meta, 'compact', False):
+    def mk(k):
+      w = jnp.abs(jax.random.normal(
+          k, (meta.phys_rows, meta.width), jnp.float32)) * 0.01
+      col = jax.lax.broadcasted_iota(
+          jnp.int32, (meta.phys_rows, meta.width), 1)
+      mv = sparse_lib.pack_pair(w * 0.1, w)      # m small, v >= 0
+      return jnp.where((col % meta.cc) < meta.dim, w, mv)
+    table = jax.jit(mk)(key)
+  else:
+    table = jax.jit(lambda k: jnp.abs(jax.random.normal(
+        k, (meta.phys_rows, meta.width), jnp.float32)) * 0.01)(key)
 
   ref = None  # host copy of 4096 sampled rows only (full copies OOM HBM)
   idx = jnp.asarray(np.random.RandomState(0).randint(0, meta.phys_rows, 4096))
   state = None
-  for pipe, mb in [(0, 12), (1, 12), (1, 16), (1, 8)]:
+  for pipe, mb in [(0, 12), (1, 12), (1, 16), (1, 8), (1, 24), (1, 4)]:
     os.environ['EASYREC_PACKED_PIPELINE'] = str(pipe)
     os.environ['EASYREC_PACKED_CHUNK_MB'] = str(mb)
 
+    math_fn = opt.compact_math if getattr(meta, 'compact', False) \
+        else opt.block_math
+
     def kern(state, ugids, gg):
       return (pt._rmw_pallas(state[0], ugids, gg, opt.hypers(lr, st),
-                             opt.block_math, meta),)
+                             math_fn, meta),)
     fn = jax.jit(kern, donate_argnums=(0,))
     try:
       state = (table + 0,)
@@ -145,8 +160,20 @@ def e2e_sweep(meta, n_ids, tag):
   lr, st = jnp.float32(1e-3), jnp.int32(5)
   # abs(): the packed layout interleaves Adam v-slots into this array;
   # negative v would make sqrt(v) NaN and poison the parity check.
-  table = jax.jit(lambda k: jnp.abs(jax.random.normal(
-      k, (meta.phys_rows, meta.width), jnp.float32)) * 0.01)(key)
+  # compact metas pack v as the LOW bf16 of each pair lane — raw random
+  # f32 bits decode to negative v, so build those lanes via pack_pair.
+  if getattr(meta, 'compact', False):
+    def mk(k):
+      w = jnp.abs(jax.random.normal(
+          k, (meta.phys_rows, meta.width), jnp.float32)) * 0.01
+      col = jax.lax.broadcasted_iota(
+          jnp.int32, (meta.phys_rows, meta.width), 1)
+      mv = sparse_lib.pack_pair(w * 0.1, w)      # m small, v >= 0
+      return jnp.where((col % meta.cc) < meta.dim, w, mv)
+    table = jax.jit(mk)(key)
+  else:
+    table = jax.jit(lambda k: jnp.abs(jax.random.normal(
+        k, (meta.phys_rows, meta.width), jnp.float32)) * 0.01)(key)
 
   ref = None  # host copy of 4096 sampled rows only (full copies OOM HBM)
   idx = jnp.asarray(np.random.RandomState(0).randint(0, meta.phys_rows, 4096))
@@ -157,9 +184,12 @@ def e2e_sweep(meta, n_ids, tag):
     os.environ['EASYREC_PACKED_PIPELINE'] = str(pipe)
     os.environ['EASYREC_PACKED_CHUNK_MB'] = str(mb)
 
+    math_fn = opt.compact_math if getattr(meta, 'compact', False) \
+        else opt.block_math
+
     def kern(state, ids, grads):
       return (pt.apply_packed_update(state[0], ids, grads,
-                                     opt.hypers(lr, st), opt.block_math,
+                                     opt.hypers(lr, st), math_fn,
                                      meta, use_pallas=True),)
     fn = jax.jit(kern, donate_argnums=(0,))
     try:
@@ -201,8 +231,9 @@ def e2e_sweep(meta, n_ids, tag):
 def main():
   which = sys.argv[1] if len(sys.argv) > 1 else 'all'
   n_ids = 4096 * 26
-  deep = pt.PackMeta(26_000_000, 16, 3)
-  wide = pt.PackMeta(26_000_000, 1, 3)
+  compact = os.environ.get('EASYREC_SWEEP_COMPACT', '0') == '1'
+  deep = pt.PackMeta(26_000_000, 16, 3, compact=compact)
+  wide = pt.PackMeta(26_000_000, 1, 3, compact=compact)
   print(deep)
   print(wide, flush=True)
   if which in ('deep', 'all'):

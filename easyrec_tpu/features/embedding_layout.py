@@ -201,8 +201,13 @@ class EmbeddingLayout:
     rounds the group count so row-sharding splits evenly. compact packs
     2-slot optimizers' moments as bf16 pairs (half the row width)."""
     from easyrec_tpu.ops.packed_table import PackMeta
+    # dim-1 (wide) tables stay 3-part: at width 128 they become DMA-
+    # issue-bound (2x the groups of the 384-wide layout for the same
+    # bytes saved — measured slower on v5e); compact only pays when the
+    # row is wide enough that traffic, not issue count, dominates
     return {key: PackMeta(_round_up(t.rows, pad_rows_to), t.dim, n_parts,
-                          shards=shards, compact=compact)
+                          shards=shards,
+                          compact=compact and t.dim > 1)
             for key, t in self.tables.items()}
 
   def packed_supported(self, n_parts: int = 1,
@@ -255,8 +260,12 @@ class EmbeddingLayout:
                          jnp.int32)
       svals = jnp.asarray(slot_vals, jnp.float32)
 
+      svals_k = svals if meta.compact or not compact else jnp.asarray(
+          [0.0] + list(slot_init) +
+          [0.0] * (n_parts - 1 - len(slot_init)), jnp.float32)
+
       def _init(seed_arr, meta=meta, starts=starts, stds=stds, ends=ends,
-                svals=svals):
+                svals=svals_k):
         arr = jax.random.normal(jax.random.PRNGKey(seed_arr[0]),
                                 (meta.phys_rows, meta.width), jnp.float32)
         prow = jax.lax.broadcasted_iota(

@@ -55,8 +55,8 @@ def pack_ids(layout: EmbeddingLayout,
 
 def pull_embeddings(tables: Dict[str, jnp.ndarray],
                     packs: Dict[str, jnp.ndarray],
-                    pack_metas: Dict[str, object] = None
-                    ) -> Dict[str, jnp.ndarray]:
+                    pack_metas: Dict[str, object] = None,
+                    mesh=None) -> Dict[str, jnp.ndarray]:
   """Fused gather: one table.take per dim-group -> [B, totK, dim].
 
   Pack keys may carry a view prefix ('neg.<table>' / 'hard_neg.<table>'
@@ -65,6 +65,15 @@ def pull_embeddings(tables: Dict[str, jnp.ndarray],
   With pack_metas, tables are in the packed [G*8, W] layout
   (ops/packed_table.py) and the gather is the phys-row take + lane
   select (measured FASTER than the plain take at bench shapes).
+
+  With a multi-device mesh, MAIN-batch pulls go through the EP-style
+  shard_map forward (`ep_pull_sharded`): dedup + owner-routed
+  ragged-a2a of ids, LOCAL gather on the owner shard, a2a of just the
+  [*, dim] vectors back — instead of XLA's partitioner strategy for a
+  row-sharded take (all-gather ids + all-reduce the pulled rows at FULL
+  pack width, 24x the wire bytes for dim-16 Adam; see
+  tests/test_packed_table.py::test_sharded_pull_emits_no_table_allgather).
+  Replicated sampled-negative views keep the XLA path (tiny).
   """
   out = {}
   for key in packs:
@@ -73,12 +82,87 @@ def pull_embeddings(tables: Dict[str, jnp.ndarray],
       if key.startswith(pfx):
         base = key[len(pfx):]
         break
-    if pack_metas is not None:
+    ep_ok = (mesh is not None and mesh.devices.size > 1 and
+             base == key)
+    if ep_ok:
+      out[key] = ep_pull_sharded(
+          tables[base], packs[key], mesh,
+          pack_metas[base] if pack_metas is not None else None)
+    elif pack_metas is not None:
       from easyrec_tpu.ops import packed_table as pt
       out[key] = pt.pull(tables[base], packs[key], pack_metas[base])
     else:
       out[key] = jnp.take(tables[base], packs[key], axis=0)
   return out
+
+
+def ep_pull_sharded(table: jnp.ndarray, ids: jnp.ndarray, mesh,
+                    meta=None) -> jnp.ndarray:
+  """EmbeddingParallel forward over a row-sharded table (packed or
+  plain): per device — flatten + local dedup -> owner-routed a2a of ids
+  -> local gather -> a2a of [*, dim] vectors back -> un-dedup.
+
+  The direct analog of the reference's embedding_parallel_lookup
+  (compat/feature_column/feature_column.py:248-357: unique ->
+  hvd.alltoall(ids) -> local gather -> hvd.alltoall(embeddings) ->
+  stitch), with XLA collectives over ICI instead of NCCL."""
+  from jax import shard_map
+  from jax.sharding import PartitionSpec as P
+
+  from easyrec_tpu.parallel.exchange import (build_route, exchange_mode,
+                                             return_to_requesters,
+                                             send_to_owners)
+
+  axes = ('data', 'model')
+  n_dev = mesh.devices.size
+  mode = exchange_mode(mesh)
+  if mode == 'allgather':
+    # fallback: let XLA partition the take (ids all-gather + row
+    # all-reduce)
+    if meta is not None:
+      from easyrec_tpu.ops import packed_table as pt
+      return pt.pull(table, ids, meta)
+    return jnp.take(table, ids, axis=0)
+  emulate = (mode == 'a2a_emulated')
+  if meta is not None:
+    lmeta = meta.local_view()
+    local_rows = lmeta.groups * meta.group_rows
+  else:
+    local_rows = table.shape[0] // n_dev
+  dim = meta.dim if meta is not None else table.shape[1]
+  batch_shape = ids.shape
+
+  def local_fn(tbl, ids_l):
+    flat = ids_l.reshape(-1).astype(jnp.int32)
+    n_loc = flat.shape[0]
+    # local dedup with an inverse map: uids sorted ascending, padding
+    # (id = n_dev*local_rows) at the tail -> owner index n_dev, sent
+    # nowhere
+    order = jnp.argsort(flat)
+    sids = jnp.take(flat, order)
+    first = jnp.concatenate([jnp.ones((1,), bool), sids[1:] != sids[:-1]])
+    seg = jnp.cumsum(first) - 1
+    uids = jnp.full((n_loc,), n_dev * local_rows,
+                    jnp.int32).at[seg].set(sids)
+    inv = jnp.zeros((n_loc,), jnp.int32).at[order].set(seg)
+    route = build_route(uids, local_rows, n_dev, axes)
+    lids = send_to_owners(route, (uids % local_rows).astype(jnp.int32),
+                          0, axes, emulate, n_dev)
+    lids = jnp.clip(lids, 0, local_rows - 1)
+    if meta is not None:
+      from easyrec_tpu.ops import packed_table as pt
+      rows = pt.pull(tbl, lids, lmeta)                # [cap, dim]
+    else:
+      rows = jnp.take(tbl, lids, axis=0)
+    vecs = return_to_requesters(route, rows, axes, emulate, n_dev)
+    return jnp.take(vecs, inv, axis=0).reshape(ids_l.shape + (dim,))
+
+  fn = shard_map(
+      local_fn, mesh=mesh,
+      in_specs=(P(axes, None), P(axes)),
+      out_specs=P(axes), check_vma=False)
+  return fn(table, ids.reshape(batch_shape[0], -1)).reshape(
+      batch_shape + (dim,))
 
 
 def pack_all_views(layout: EmbeddingLayout,

@@ -330,50 +330,8 @@ def apply_sparse_updates_packed(tables: Dict[str, jnp.ndarray],
   return new_tables
 
 
-def _exchange_mode(mesh) -> str:
-  """'a2a' (owner-partitioned ragged all-to-all: wire volume per device
-  independent of world size) or 'allgather' (every device receives the
-  full id/grad lists: volume scales with world size — the r1 design,
-  kept as a fallback). XLA:CPU has no ragged-all-to-all thunk, so the
-  CPU test mesh runs the same a2a routing math with an emulated
-  collective (EASYREC_PACKED_EXCHANGE=a2a_emulated|a2a|allgather)."""
-  import os
-  mode = os.environ.get('EASYREC_PACKED_EXCHANGE', '')
-  if mode:
-    return mode
-  platform = mesh.devices.flat[0].platform
-  return 'a2a' if platform == 'tpu' else 'a2a_emulated'
-
-
-def _ragged_a2a(operand, out, input_offsets, send_sizes, output_offsets,
-                recv_sizes, axes, emulate: bool, n_dev: int):
-  """lax.ragged_all_to_all, or a semantically-identical emulation for
-  backends without the ragged-all-to-all HLO (XLA:CPU). The emulation
-  all-gathers the operand and replays every source's sends locally with
-  masked scatters — test-only traffic, identical routing semantics."""
-  if not emulate:
-    return jax.lax.ragged_all_to_all(
-        operand, out, input_offsets, send_sizes, output_offsets,
-        recv_sizes, axis_name=axes)
-  me = jax.lax.axis_index(axes)
-  op_all = jax.lax.all_gather(operand, axes)             # [W, n_loc, ...]
-  io_all = jax.lax.all_gather(input_offsets, axes)       # [W, W]
-  ss_all = jax.lax.all_gather(send_sizes, axes)          # [W, W]
-  oo_all = jax.lax.all_gather(output_offsets, axes)      # [W, W]
-  n_loc = operand.shape[0]
-  cap = out.shape[0]
-  # dump slot: invalid writes land past the live region and are sliced off
-  buf = jnp.concatenate([out, jnp.zeros((1,) + out.shape[1:], out.dtype)])
-  pos_in = jnp.arange(n_loc, dtype=jnp.int32)
-  for s in range(n_dev):
-    start = io_all[s, me]
-    size = ss_all[s, me]
-    dst0 = oo_all[s, me]
-    src = jnp.take(op_all[s], (start + pos_in) % n_loc, axis=0)
-    valid = pos_in < size
-    dst = jnp.where(valid, dst0 + pos_in, cap)
-    buf = buf.at[dst].set(src.astype(buf.dtype))
-  return buf[:cap]
+from easyrec_tpu.parallel.exchange import (build_route, exchange_mode,
+                                           send_to_owners)
 
 
 def _packed_update_sharded(mesh, table, ids, g, hypers, block_math,
@@ -412,7 +370,7 @@ def _packed_update_sharded(mesh, table, ids, g, hypers, block_math,
     ids = jnp.concatenate([ids, jnp.zeros((pad,), ids.dtype)])
     g = jnp.concatenate([g, jnp.zeros((pad, g.shape[1]), g.dtype)])
 
-  mode = _exchange_mode(mesh)
+  mode = exchange_mode(mesh)
   n_loc = ids.shape[0] // n_dev
   cap_out = n_loc * n_dev   # worst case: every shard's uniques are mine
 
@@ -437,28 +395,15 @@ def _packed_update_sharded(mesh, table, ids, g, hypers, block_math,
     #    n_dev -> sent nowhere)
     scratch = n_dev * local_rows
     uids, ug = dedup_sum(ids_l.astype(jnp.int32), g_l, scratch)
-    # 2. per-owner contiguous ranges of the sorted unique list
-    bounds = (jnp.arange(n_dev + 1, dtype=jnp.int32) * local_rows)
-    edges = jnp.searchsorted(uids, bounds).astype(jnp.int32)  # [W+1]
-    input_offsets = edges[:-1]
-    send_sizes = edges[1:] - edges[:-1]
-    # 3. global size matrix -> my recv sizes + where my chunks land
-    sizes_mat = jax.lax.all_gather(send_sizes, axes)          # [W, W]
-    me = jax.lax.axis_index(axes)
-    recv_sizes = sizes_mat[:, me].astype(jnp.int32)
-    below = jnp.cumsum(sizes_mat, axis=0) - sizes_mat         # sum s'<s
-    output_offsets = below[me, :].astype(jnp.int32)
+    # 2-3. owner-partitioned routing (parallel/exchange.py)
+    route = build_route(uids, local_rows, n_dev, axes)
     emulate = (mode == 'a2a_emulated')
     # ids travel OWNER-relative: the chunk for owner t holds ids in
-    # [t*local_rows, (t+1)*local_rows) -> id % local_rows is t-local
+    # [t*local_rows, (t+1)*local_rows) -> id % local_rows is t-local.
+    # Untouched slots: local row 0 with zero grad (merged harmlessly).
     lids_send = (uids % local_rows).astype(jnp.int32)
-    # untouched slots: local row 0 with zero grad (merged harmlessly)
-    out_ids = jnp.zeros((cap_out,), jnp.int32)
-    out_g = jnp.zeros((cap_out, g_l.shape[1]), g_l.dtype)
-    rids = _ragged_a2a(lids_send, out_ids, input_offsets, send_sizes,
-                       output_offsets, recv_sizes, axes, emulate, n_dev)
-    rg = _ragged_a2a(ug, out_g, input_offsets, send_sizes,
-                     output_offsets, recv_sizes, axes, emulate, n_dev)
+    rids = send_to_owners(route, lids_send, 0, axes, emulate, n_dev)
+    rg = send_to_owners(route, ug, 0, axes, emulate, n_dev)
     rids = jnp.clip(rids, 0, local_rows - 1)  # defensive
     return pt.apply_packed_update(tbl, rids, rg, hyp, block_math,
                                   lmeta, use_pallas, interpret=interpret,

@@ -287,9 +287,12 @@ class Trainer:
     import re as _re
     freeze_res = [_re.compile(p) for p in self.train_config.freeze_gradient]
 
+    ep_mesh = mesh if mesh.devices.size > 1 else None
+
     def train_step(state: TrainState, batch):
       packs = emb_ops.pack_all_views(layout, batch)
-      pulled = emb_ops.pull_embeddings(state.tables, packs, pack_metas)
+      pulled = emb_ops.pull_embeddings(state.tables, packs, pack_metas,
+                                       mesh=ep_mesh)
       dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
 
       def loss_fn(params, pulled):
@@ -402,10 +405,12 @@ class Trainer:
     eval_params = self.eval_params
 
     pack_metas = self.pack_metas
+    ep_mesh = self.mesh if self.mesh.devices.size > 1 else None
 
     def eval_step(state: TrainState, batch, metric_states):
       packs = emb_ops.pack_all_views(layout, batch)
-      pulled = emb_ops.pull_embeddings(state.tables, packs, pack_metas)
+      pulled = emb_ops.pull_embeddings(state.tables, packs, pack_metas,
+                                       mesh=ep_mesh)
       variables = {'params': eval_params(state)}
       if state.batch_stats:
         variables['batch_stats'] = state.batch_stats

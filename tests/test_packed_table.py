@@ -428,3 +428,35 @@ def test_compact_adam_parity_interpret_kernel(dim, monkeypatch):
     monkeypatch.delenv(k, raising=False)
   _run_both(sparse_lib.sparse_adam(), dim=dim, steps=2, interpret=True,
             compact=True, atol=3e-3)
+
+
+@pytest.mark.parametrize('packed', [True, False], ids=['packed', 'plain'])
+def test_ep_pull_sharded_parity(packed):
+  """EP forward (dedup + owner-routed a2a + local gather + vector
+  return, ops/embedding.py ep_pull_sharded) vs a plain take, on the
+  8-device mesh with the emulated collective."""
+  from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+  from easyrec_tpu.ops import embedding as emb_ops
+
+  mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+              ('data', 'model'))
+  rows, dim, B, K = 4096, 16, 64, 9
+  rng = np.random.RandomState(5)
+  w = rng.randn(rows, dim).astype(np.float32)
+  ids = rng.randint(0, rows, (B, K)).astype(np.int32)
+  ids[:, 0] = ids[:, 1]                    # duplicates within a row
+  if packed:
+    meta = pt.PackMeta(rows, dim, 3, shards=8, compact=True)
+    slots = [np.zeros((rows, dim), np.float32)] * 2
+    table = jax.device_put(pt.pack_host(w, slots, meta),
+                           NamedSharding(mesh, P(('data', 'model'),
+                                                 None)))
+  else:
+    meta = None
+    table = jax.device_put(w, NamedSharding(mesh, P(('data', 'model'),
+                                                    None)))
+  ids_d = jax.device_put(ids, NamedSharding(mesh, P(('data', 'model'))))
+  got = jax.jit(lambda t, i: emb_ops.ep_pull_sharded(t, i, mesh, meta))(
+      table, ids_d)
+  np.testing.assert_allclose(np.asarray(got), w[ids], rtol=0, atol=0)
