@@ -140,8 +140,9 @@ def test_sample_trains(path, sample_data, tmp_path):
     for f in ('input_path', 'user_input_path', 'item_input_path'):
       if hasattr(sampler_cfg, f) and getattr(sampler_cfg, f):
         setattr(sampler_cfg, f, sample_data['data/items.txt'])
-    if getattr(sampler_cfg, 'hard_neg_edge_input_path', ''):
-      sampler_cfg.hard_neg_edge_input_path = sample_data['data/edges.txt']
+    for f in ('hard_neg_edge_input_path', 'pos_edge_input_path'):
+      if getattr(sampler_cfg, f, ''):
+        setattr(sampler_cfg, f, sample_data['data/edges.txt'])
     # keep the sampled-negative count small for a 1-step smoke
     sampler_cfg.num_sample = min(sampler_cfg.num_sample, 16)
 
