@@ -155,6 +155,118 @@ def grouped_auc(uids: np.ndarray, labels: np.ndarray, probs: np.ndarray,
   return float(np.average(aucs, weights=wts))
 
 
+def grouped_auc_from_hists(pos: np.ndarray, neg: np.ndarray,
+                           reduction: str = 'mean') -> float:
+  """Per-group AUC from score histograms (pos/neg counts per score
+  bucket, [G, bins]): rank-sum over buckets with tie correction —
+  the bucketized fast_auc formulation (reference core/metrics.py:111),
+  accurate to ~1/bins."""
+  n_pos = pos.sum(axis=1)
+  n_neg = neg.sum(axis=1)
+  ok = (n_pos > 0) & (n_neg > 0)
+  if not ok.any():
+    return 0.5
+  pos, neg = pos[ok].astype(np.float64), neg[ok].astype(np.float64)
+  n_pos, n_neg = n_pos[ok].astype(np.float64), n_neg[ok].astype(np.float64)
+  cum_neg = np.cumsum(neg, axis=1) - neg          # negatives strictly below
+  wins = (pos * (cum_neg + 0.5 * neg)).sum(axis=1)
+  aucs = wins / (n_pos * n_neg)
+  if reduction == 'mean_by_sample_num':
+    wts = n_pos + n_neg
+  elif reduction == 'mean_by_positive_num':
+    wts = n_pos
+  else:
+    wts = np.ones_like(aucs)
+  return float(np.average(aucs, weights=wts))
+
+
+class GroupedMetricBuffer:
+  """Bounded host-side buffer for ONE grouped metric field.
+
+  Buffers (uid, label, prob) rows exactly up to `max_rows`
+  (EASYREC_EVAL_HOST_BUFFER_ROWS, default 20M); past the bound it
+  COMPACTS into per-group score histograms (`bins` buckets over [0,1])
+  and keeps streaming — memory bounded by #groups x bins instead of
+  rows, AUC within ~1/bins of exact. Addresses the unbounded-eval-RAM
+  failure mode of the reference's py_func gauc (core/metrics.py:59-110
+  buffers everything too)."""
+
+  def __init__(self, max_rows: int = None, bins: int = 128):
+    import os as _os
+    self.max_rows = max_rows if max_rows is not None else int(
+        _os.environ.get('EASYREC_EVAL_HOST_BUFFER_ROWS', 20_000_000))
+    self.bins = bins
+    self.raw = {'uids': [], 'labels': [], 'probs': []}
+    self.n = 0
+    self._uid_index = None     # uid -> row in the hist arrays
+    self._pos = None           # [G_alloc, bins] int64
+    self._neg = None
+
+  @property
+  def histogram_mode(self) -> bool:
+    return self._uid_index is not None
+
+  def add(self, uids, labels, probs):
+    uids = np.asarray(uids)
+    labels = np.asarray(labels)
+    probs = np.asarray(probs)
+    if not self.histogram_mode:
+      self.raw['uids'].append(uids)
+      self.raw['labels'].append(labels)
+      self.raw['probs'].append(probs)
+      self.n += len(uids)
+      if self.n > self.max_rows:
+        self._compact()
+      return
+    self._hist_add(uids, labels, probs)
+
+  def _compact(self):
+    import logging
+    logging.warning(
+        'grouped-metric host buffer exceeded %d rows: switching to '
+        'bucketized per-group AUC (%d bins, ~%.1e absolute error); '
+        'set EASYREC_EVAL_HOST_BUFFER_ROWS or eval_config.num_examples '
+        'for exact values', self.max_rows, self.bins, 1.0 / self.bins)
+    self._uid_index = {}
+    self._pos = np.zeros((0, self.bins), np.int64)
+    self._neg = np.zeros((0, self.bins), np.int64)
+    raw = self.raw
+    self.raw = {'uids': [], 'labels': [], 'probs': []}
+    if raw['uids']:
+      self._hist_add(np.concatenate(raw['uids']),
+                     np.concatenate(raw['labels']),
+                     np.concatenate(raw['probs']))
+
+  def _hist_add(self, uids, labels, probs):
+    uniq, codes = np.unique(uids, return_inverse=True)
+    rows = np.empty(len(uniq), np.int64)
+    grow = [u for u in uniq if u not in self._uid_index]
+    if grow:
+      base = len(self._uid_index)
+      for i, u in enumerate(grow):
+        self._uid_index[u] = base + i
+      extra = np.zeros((len(grow), self.bins), np.int64)
+      self._pos = np.concatenate([self._pos, extra])
+      self._neg = np.concatenate([self._neg, extra.copy()])
+    for i, u in enumerate(uniq):
+      rows[i] = self._uid_index[u]
+    b = np.clip((np.asarray(probs, np.float64) * self.bins).astype(
+        np.int64), 0, self.bins - 1)
+    r = rows[codes]
+    lbl = np.asarray(labels) > 0
+    np.add.at(self._pos, (r[lbl], b[lbl]), 1)
+    np.add.at(self._neg, (r[~lbl], b[~lbl]), 1)
+
+  def result(self, reduction: str = 'mean') -> float:
+    if self.histogram_mode:
+      return grouped_auc_from_hists(self._pos, self._neg, reduction)
+    if not self.raw['uids']:
+      return 0.5
+    return grouped_auc(np.concatenate(self.raw['uids']),
+                       np.concatenate(self.raw['labels']),
+                       np.concatenate(self.raw['probs']), reduction)
+
+
 # -- metric collection --------------------------------------------------------
 
 
@@ -230,6 +342,8 @@ class MetricsCollection:
     return out
 
   def results(self, states, host_buffers: Optional[dict] = None) -> dict:
+    """host_buffers: {field_name: GroupedMetricBuffer} for grouped
+    metrics (gauc/session_auc), or None when no host metric is set."""
     res = {}
     for which, cfg in self.configs:
       if which == 'auc':
@@ -275,13 +389,9 @@ class MetricsCollection:
             # 1/k (reference tf.metrics precision_at_k semantics)
             res['precision@%d' % k] = hits / max(cnt * k, 1e-9)
       elif which == 'gauc' and host_buffers is not None:
-        res['gauc'] = grouped_auc(
-            host_buffers['field.%s' % cfg.uid_field],
-            host_buffers['labels'], host_buffers['probs'],
+        res['gauc'] = host_buffers[cfg.uid_field].result(
             cfg.reduction or 'mean')
       elif which == 'session_auc' and host_buffers is not None:
-        res['session_auc'] = grouped_auc(
-            host_buffers['field.%s' % cfg.session_id_field],
-            host_buffers['labels'], host_buffers['probs'],
+        res['session_auc'] = host_buffers[cfg.session_id_field].result(
             cfg.reduction or 'mean')
     return res
