@@ -1127,6 +1127,54 @@ def _rmw_fused_pallas(table: jnp.ndarray,
   return out.reshape(meta.phys_rows, w)
 
 
+def _dense_prep(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta):
+  """Sort + lane expansion + ONE sorted segment-sum straight into the
+  DENSE [groups*8, part_width] grad layout — no group dedup, no ugids.
+  For tables whose touched-group count ~= ALL groups (the wide [26M, 1]
+  table: ~106k id slots over 25.6k groups), the grouped path's dedup +
+  per-group DMAs are pure overhead: the update is effectively a full
+  table sweep either way."""
+  order = jnp.argsort(ids)
+  sids = jnp.take(ids, order)
+  sgrads = jnp.take(grads, order, axis=0).astype(jnp.float32)
+  gids = sids // meta.group_rows
+  within = sids % meta.group_rows
+  sub = within // meta.pack
+  lane = within % meta.pack
+  pw = meta.part_width
+  live = meta.pack * meta.dim
+  n = ids.shape[0]
+  tiled = jnp.tile(sgrads, (1, live // meta.dim))
+  q = jnp.arange(live, dtype=jnp.int32)
+  sel = (q // meta.dim)[None, :] == lane[:, None]
+  expanded = jnp.where(sel, tiled, 0.0)
+  if pw != live:
+    expanded = jnp.concatenate(
+        [expanded, jnp.zeros((n, pw - live), jnp.float32)], axis=1)
+  flat = gids * 8 + sub                         # sorted (sids sorted)
+  return jax.ops.segment_sum(expanded, flat,
+                             num_segments=meta.groups * 8,
+                             indices_are_sorted=True)
+
+
+def _rmw_dense_xla(table, ids, grads, hypers, math_fn, meta: PackMeta):
+  """Whole-table streaming update: dense grad build + one fused
+  elementwise/matmul pass over [groups*8, W]. No DMA issues, no
+  scatters; the touched-row mask (summed grad != 0) keeps the lazy
+  row-granular semantics identical to the kernel and grouped paths."""
+  w = meta.width
+  gg = _dense_prep(ids, grads, meta)
+  hvec = jnp.zeros((_LANE,), jnp.float32).at[:hypers.shape[0]].set(
+      hypers.astype(jnp.float32))
+  e0t = jnp.asarray(
+      _extract_matrix(w, meta.cc, meta.dim, 0, meta.part_width)).T
+  tm = jnp.asarray(_touch_matrix(w, meta.cc)).astype(jnp.bfloat16)
+  new = _math_and_mask(table.astype(jnp.float32), gg,
+                       lambda k: hvec[k], math_fn, meta, tm, e0t,
+                       lambda x, sh: jnp.roll(x, sh, axis=1))
+  return new.astype(table.dtype)
+
+
 def _rmw_xla(table, ugids, gg, hypers, math_fn, meta: PackMeta):
   """Fallback (CPU tests, unsupported backends): XLA group gather +
   shared math + group .set. Numerics identical to the kernel."""
@@ -1169,6 +1217,14 @@ def apply_packed_update(table: jnp.ndarray,
   baked into the optimizer closure). math_fn = SparseOptimizer.block_math
   operating on compact per-part f32 views; hyp is a callable k->scalar.
   """
+  # saturated tables (id slots >= groups) CAN update densely — one
+  # streaming pass, no dedup/DMAs — but measured SLOWER on v5e (wide
+  # table: 20.3 vs 14.2 ms/step in-step; the full-width math
+  # temporaries + HIGHEST-precision selector matmul over every group
+  # cost more than the DMAs they replace). Kept as an opt-in.
+  if (ids.shape[0] >= meta.groups and
+      _os.environ.get('EASYREC_PACKED_DENSE', '0') == '1'):
+    return _rmw_dense_xla(table, ids, grads, hypers, math_fn, meta)
   if ((use_pallas or interpret) and
       _os.environ.get('EASYREC_PACKED_FUSED', '0') == '1'):
     ugids, expanded, flat, _cap = _prep_sorted(ids, grads, meta)

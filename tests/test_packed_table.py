@@ -460,3 +460,41 @@ def test_ep_pull_sharded_parity(packed):
   got = jax.jit(lambda t, i: emb_ops.ep_pull_sharded(t, i, mesh, meta))(
       table, ids_d)
   np.testing.assert_allclose(np.asarray(got), w[ids], rtol=0, atol=0)
+
+
+@pytest.mark.parametrize('dim', [1, 16])
+def test_dense_update_parity(dim, monkeypatch):
+  """The opt-in dense streaming path (EASYREC_PACKED_DENSE=1, for
+  saturated tables) — parity vs the plain row update, incl. untouched
+  rows."""
+  monkeypatch.setenv('EASYREC_PACKED_DENSE', '1')
+  _run_both(sparse_lib.sparse_adam(), dim=dim, rows=500, n_ids=3000,
+            steps=3)
+
+
+def test_dense_path_engages_and_grouped_otherwise(monkeypatch):
+  monkeypatch.setenv('EASYREC_PACKED_DENSE', '1')
+  calls = {}
+  orig = pt._rmw_dense_xla
+
+  def spy(*a, **k):
+    calls['dense'] = True
+    return orig(*a, **k)
+
+  monkeypatch.setattr(pt, '_rmw_dense_xla', spy)
+  meta = pt.PackMeta(500, 16, 3)
+  rng = np.random.RandomState(0)
+  table = jnp.asarray(pt.pack_host(
+      rng.randn(500, 16).astype(np.float32) * 0.1,
+      [np.zeros((500, 16), np.float32)] * 2, meta))
+  opt = sparse_lib.sparse_adam()
+  hyp = opt.hypers(jnp.float32(0.01), jnp.int32(0))
+  grads = jnp.ones((3000, 16), jnp.float32)
+  ids = jnp.asarray(rng.randint(0, 500, 3000).astype(np.int32))
+  pt.apply_packed_update(table, ids, grads, hyp, opt.block_math, meta,
+                         use_pallas=False)
+  assert calls.get('dense'), 'saturated table should go dense'
+  calls.clear()
+  pt.apply_packed_update(table, ids[:100], grads[:100], hyp,
+                         opt.block_math, meta, use_pallas=False)
+  assert 'dense' not in calls, 'sparse table should stay grouped'
