@@ -138,9 +138,10 @@ def main():
   cfg = criteo_deepfm_config(
       batch_size=int(os.environ.get('BENCH_BATCH_SIZE', 4096)),
       hash_bucket_size=int(os.environ.get('BENCH_HASH_BUCKETS', 1000000)))
+  bs = int(os.environ.get('BENCH_BATCH_SIZE', 4096))
   trainer = Trainer(cfg)
-  print('packed_mode =', trainer.packed_mode)
-  batch = synthetic_batch(trainer.specs, ['label'], 4096, seed=0)
+  print('packed_mode =', trainer.packed_mode, 'batch =', bs)
+  batch = synthetic_batch(trainer.specs, ['label'], bs, seed=0)
   sharded = trainer.rules.shard_batch(batch)
   state = trainer.init_state(batch)
 
@@ -152,7 +153,7 @@ def main():
     fn = build(trainer, variant)
     t, state = timeit(fn, state, sharded)
     print(f'{variant:16s}: {t*1e3:8.2f} ms/step  '
-          f'({4096/t:,.0f} ex/s)')
+          f'({bs/t:,.0f} ex/s)')
 
 
 if __name__ == '__main__':

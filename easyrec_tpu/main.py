@@ -12,6 +12,7 @@ import logging
 import os
 from typing import Dict, Optional, Union
 
+import jax
 import numpy as np
 
 from easyrec_tpu import __version__
@@ -117,9 +118,13 @@ def evaluate(pipeline_config: ConfigOrPath,
   if restored is None:
     raise FileNotFoundError('no checkpoint under %s' % config.model_dir)
   metrics = trainer.evaluate(restored)
-  out_path = os.path.join(config.model_dir, eval_result_filename)
-  with open(out_path, 'w') as f:
-    json.dump({k: float(v) for k, v in metrics.items()}, f)
+  # multi-host: every process computes identical metrics (collectives);
+  # only process 0 writes the result file (reference: master writes,
+  # main.py:679-691)
+  if jax.process_index() == 0:
+    out_path = os.path.join(config.model_dir, eval_result_filename)
+    with open(out_path, 'w') as f:
+      json.dump({k: float(v) for k, v in metrics.items()}, f)
   logging.info('eval result: %s', metrics)
   return metrics
 
