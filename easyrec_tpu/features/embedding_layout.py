@@ -39,17 +39,24 @@ class TableUse:
   offset: int        # row offset of this feature's table inside the fusion
   start: int         # start column inside the fused [B, tot_k] id pack
   is_sequence: bool = False
+  # merged wide-into-deep tables: this use reads a COLUMN slice of the
+  # pulled rows (deep cols [0:D), wide col(s) [D:D+W)); 0 = full dim
+  col_start: int = 0
+  col_dim: int = 0
 
 
 @dataclasses.dataclass
 class FusedTable:
   key: str                       # e.g. 'emb16' / 'wide1'
-  dim: int
+  dim: int                       # PHYSICAL column count (may be padded)
   rows: int                      # total rows incl. scratch row
   offsets: Dict[str, int]        # member table_name -> row offset
   member_rows: Dict[str, int]
   uses: List[TableUse] = dataclasses.field(default_factory=list)
   stddev: Dict[str, float] = dataclasses.field(default_factory=dict)
+  # merged tables: cols [0:used_dim) are live (deep D + wide W), the
+  # rest is 128-lane-alignment padding (zero-init, zero-grad, untouched)
+  used_dim: int = 0
 
   @property
   def tot_k(self) -> int:
@@ -92,9 +99,39 @@ class EmbeddingLayout:
       key = 'wide%d' % wide_output_dim
       plans.setdefault(key, []).append((fname, 'wide', spec))
 
+    # -- wide-into-deep merge: a wide feature that ALSO has a deep use
+    # shares the deep table's vocab rows, so its wide weights can live
+    # as extra COLUMNS of the same rows — one pull + one sparse update
+    # instead of two (on the flagship DeepFM this removes the entire
+    # [26M, 1] wide table: step 29.5 -> ~22 ms, PERF.md r2). The merged
+    # physical dim pads to the next packed-layout-friendly width.
+    import os as _os
+    self.merged_wide: Dict[str, Tuple[str, int]] = {}
+    if _os.environ.get('EASYREC_MERGE_WIDE', '1') != '0':
+      deep_feats = {f for k, ms in plans.items() if k.startswith('emb')
+                    for f, _, _ in ms}
+      for wkey in [k for k in plans if k.startswith('wide')]:
+        keep = []
+        for fname, role, spec in plans[wkey]:
+          dkey = 'emb%d' % spec.embedding_dim
+          pad = _merged_pad_dim(spec.embedding_dim + wide_output_dim)
+          if fname in deep_feats and dkey in plans and pad:
+            # wide cols [D : D+W) of the deep table's rows
+            self.merged_wide[fname] = (dkey, spec.embedding_dim)
+          else:
+            keep.append((fname, role, spec))
+        if keep:
+          plans[wkey] = keep
+        else:
+          del plans[wkey]
+
     for key, members in plans.items():
       dim = members[0][2].embedding_dim if not key.startswith('wide') \
           else wide_output_dim
+      merged_here = [f for f, (k2, _) in self.merged_wide.items()
+                     if k2 == key]
+      used_dim = dim + (wide_output_dim if merged_here else 0)
+      phys_dim = _merged_pad_dim(used_dim) if merged_here else dim
       offsets: Dict[str, int] = {}
       member_rows: Dict[str, int] = {}
       stddev: Dict[str, float] = {}
@@ -111,13 +148,25 @@ class EmbeddingLayout:
           next_row += spec.rows
         use = TableUse(feature=fname, role=role, k=spec.num_ids,
                        offset=offsets[tname], start=start,
-                       is_sequence=(spec.kind == 'sequence'))
+                       is_sequence=(spec.kind == 'sequence'),
+                       col_start=0,
+                       col_dim=dim if merged_here else 0)
         uses.append(use)
         start += spec.num_ids
         self.feature_use[(fname, role)] = (key, use)
-      table = FusedTable(key=key, dim=dim, rows=next_row + SCRATCH_ROWS,
+        if fname in merged_here:
+          # the wide role reads cols [dim : dim+W) of the SAME pulled
+          # rows — no extra pack slots, no second table
+          self.feature_use[(fname, 'wide')] = (key, TableUse(
+              feature=fname, role='wide', k=spec.num_ids,
+              offset=offsets[tname], start=use.start,
+              is_sequence=use.is_sequence,
+              col_start=dim, col_dim=wide_output_dim))
+      table = FusedTable(key=key, dim=phys_dim,
+                         rows=next_row + SCRATCH_ROWS,
                          offsets=offsets, member_rows=member_rows,
-                         uses=uses, stddev=stddev)
+                         uses=uses, stddev=stddev,
+                         used_dim=used_dim if merged_here else dim)
       self.tables[key] = table
 
   # -- init ----------------------------------------------------------------
@@ -134,10 +183,11 @@ class EmbeddingLayout:
       rng = np.random.default_rng(
           rng_seed ^ zlib.crc32(key.encode()) & 0xffffffff)
       arr = np.zeros((rows, t.dim), dtype=dtype)
+      used = t.used_dim or t.dim
       for tname, off in t.offsets.items():
         n = t.member_rows[tname]
-        arr[off:off + n] = rng.normal(
-            0.0, t.stddev[tname], size=(n, t.dim)).astype(dtype)
+        arr[off:off + n, :used] = rng.normal(
+            0.0, t.stddev[tname], size=(n, used)).astype(dtype)
       out[key] = arr
     return out
 
@@ -172,8 +222,10 @@ class EmbeddingLayout:
 
       # seed passed as a real argument (an argument-less jit would retain
       # its output in the executable cache)
+      used = t.used_dim or t.dim
+
       def _init(seed_arr, rows=rows, dim=t.dim, starts=starts, stds=stds,
-                ends=ends):
+                ends=ends, used=used):
         arr = jax.random.normal(jax.random.PRNGKey(seed_arr[0]),
                                 (rows, dim), jnp.float32)
         row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
@@ -182,6 +234,9 @@ class EmbeddingLayout:
         # zero inter-segment padding (alignment gaps, scratch rows)
         in_seg = row[:, 0] < jnp.take(ends, seg)
         scale = jnp.where(in_seg, std, 0.0)[:, None]
+        if used < dim:
+          col = jax.lax.broadcasted_iota(jnp.int32, (rows, dim), 1)
+          scale = jnp.where(col < used, scale, 0.0)
         return arr * scale
 
       fn = jax.jit(_init, out_shardings=sharding)
@@ -264,27 +319,63 @@ class EmbeddingLayout:
           [0.0] + list(slot_init) +
           [0.0] * (n_parts - 1 - len(slot_init)), jnp.float32)
 
+      used = t.used_dim or t.dim
+      # chunked generation: a single whole-table jax.random.normal holds
+      # 2-3x the table in intermediates (rng bits + masks) — a 6.7 GB
+      # merged flagship table OOMed 16 GB HBM at init. fori_loop chunks
+      # keep the peak at table + one chunk. phys_rows is a multiple of
+      # 2048 (groups round to 256); target ~256 MB chunks.
+      phys = meta.phys_rows
+      target = max(1, (256 << 20) // (meta.width * 4) // 2048) * 2048
+      n_chunks = -(-phys // target)
+      while phys % n_chunks or (phys // n_chunks) % 2048:
+        n_chunks += 1
+      chunk_rows = phys // n_chunks
+
       def _init(seed_arr, meta=meta, starts=starts, stds=stds, ends=ends,
-                svals=svals_k):
-        arr = jax.random.normal(jax.random.PRNGKey(seed_arr[0]),
-                                (meta.phys_rows, meta.width), jnp.float32)
-        prow = jax.lax.broadcasted_iota(
-            jnp.int32, (meta.phys_rows, meta.width), 0)
-        col = jax.lax.broadcasted_iota(
-            jnp.int32, (meta.phys_rows, meta.width), 1)
-        logical = ((prow // 8) * meta.group_rows +
-                   (prow % 8) * meta.pack + col // meta.cc)
-        part = (col % meta.cc) // meta.dim
-        seg = jnp.searchsorted(starts, logical, side='right') - 1
-        std = jnp.take(stds, seg)
-        in_seg = logical < jnp.take(ends, seg)
-        weights = arr * jnp.where(in_seg, std, 0.0)
-        slot_fill = jnp.where(in_seg, jnp.take(svals, part), 0.0)
-        return jnp.where(part == 0, weights, slot_fill)
+                svals=svals_k, used=used, chunk_rows=chunk_rows,
+                n_chunks=n_chunks):
+        def fill(i, out):
+          base = i * chunk_rows
+          key_i = jax.random.fold_in(
+              jax.random.PRNGKey(seed_arr[0]), i)
+          arr = jax.random.normal(key_i, (chunk_rows, meta.width),
+                                  jnp.float32)
+          prow = jax.lax.broadcasted_iota(
+              jnp.int32, (chunk_rows, meta.width), 0) + base
+          col = jax.lax.broadcasted_iota(
+              jnp.int32, (chunk_rows, meta.width), 1)
+          logical = ((prow // 8) * meta.group_rows +
+                     (prow % 8) * meta.pack + col // meta.cc)
+          part = (col % meta.cc) // meta.dim
+          seg = jnp.searchsorted(starts, logical, side='right') - 1
+          std = jnp.take(stds, seg)
+          in_seg = logical < jnp.take(ends, seg)
+          # merged tables: part-0 lanes past used_dim are alignment pad
+          live_lane = (col % meta.cc) % meta.dim < used \
+              if used < meta.dim else True
+          weights = arr * jnp.where(in_seg & live_lane, std, 0.0)
+          slot_fill = jnp.where(in_seg, jnp.take(svals, part), 0.0)
+          vals = jnp.where(part == 0, weights, slot_fill)
+          return jax.lax.dynamic_update_slice(out, vals, (base, 0))
+
+        out0 = jnp.zeros((phys, meta.width), jnp.float32)
+        return jax.lax.fori_loop(0, n_chunks, fill, out0)
 
       fn = jax.jit(_init, out_shardings=sharding)
       out[key] = fn(jnp.asarray([seed], jnp.uint32))
     return out
+
+
+def _merged_pad_dim(used: int):
+  """Smallest physical dim >= used whose packed widths stay within the
+  kernel's MAX_WIDTH for both the compact (2-part) and full (3-part)
+  layouts; None when no such dim exists (merge is then skipped)."""
+  from easyrec_tpu.ops.packed_table import supported
+  for p in (16, 32, 64, 128):
+    if p >= used and supported(p, 3) and supported(p, 3, compact=True):
+      return p
+  return None
 
 
 def _init_stddev(spec: FeatureSpec, dim: int) -> float:

@@ -236,6 +236,11 @@ class InputLayer:
           (fname, prefix))
     rows = jax.lax.slice_in_dim(pulled[prefix + key], use.start,
                                 use.start + use.k, axis=1)
+    if use.col_dim:
+      # merged wide-into-deep table: this role reads a column slice of
+      # the shared pulled rows (deep [0:D), wide [D:D+W))
+      rows = jax.lax.slice_in_dim(rows, use.col_start,
+                                  use.col_start + use.col_dim, axis=-1)
     weights = batch[wkey]
     combiner = spec.combiner if role == 'deep' else 'sum'
     return combine(rows, weights, combiner)
@@ -263,6 +268,9 @@ class InputLayer:
                      % (fname, prefix))
     rows = jax.lax.slice_in_dim(pulled[prefix + key], use.start,
                                 use.start + use.k, axis=1)
+    if use.col_dim:
+      rows = jax.lax.slice_in_dim(rows, use.col_start,
+                                  use.col_start + use.col_dim, axis=-1)
     mask = batch[mkey]
     return rows * mask[:, :, None], mask
 

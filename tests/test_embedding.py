@@ -64,12 +64,20 @@ def setup():
 
 def test_layout_fusion(setup):
   _, specs, layout, tables, _ = setup
-  # a(50) + b(30) + c(1) + s(20) share dim 8 -> one fused table (+1 scratch)
-  assert set(layout.tables) == {'emb8', 'wide2'}
-  assert layout.tables['emb8'].rows == 50 + 30 + 1 + 20 + 1
-  assert layout.tables['wide2'].rows == 50 + 30 + 1
-  # packed id axis: a(1) + b(3) + c(1) + s(4)
-  assert layout.tables['emb8'].tot_k == 9
+  # a(50) + b(30) + c(1) + s(20) share dim 8 -> one fused table
+  # (+1 scratch); a/b's wide columns MERGE into the same rows (cols
+  # [8:10) of the padded 16-wide table) — no separate wide table
+  assert set(layout.tables) == {'emb8'}
+  t = layout.tables['emb8']
+  assert t.rows == 50 + 30 + 1 + 20 + 1
+  assert t.used_dim == 8 + 2 and t.dim == 16
+  # packed id axis: a(1) + b(3) + c(1) + s(4) — wide adds no slots
+  assert t.tot_k == 9
+  _, wa = layout.feature_use[('a', 'wide')]
+  assert (wa.col_start, wa.col_dim) == (8, 2)
+  _, da = layout.feature_use[('a', 'deep')]
+  assert (da.col_start, da.col_dim) == (0, 8)
+  assert wa.start == da.start
 
 
 def test_lookup_parity_vs_numpy(setup):
@@ -79,7 +87,8 @@ def test_lookup_parity_vs_numpy(setup):
   input_layer = emb_ops.InputLayer(layout, specs)
 
   emb_a = input_layer.feature_embedding(pulled, batch, 'a')
-  table = np.asarray(tables['emb8'])
+  table = np.asarray(tables['emb8'])[:, :8]      # deep cols of the
+  wtable = np.asarray(tables['emb8'])[:, 8:10]   # merged layout
   off_a = layout.tables['emb8'].offsets['a']
   expect = table[np.asarray(batch['feat.a.ids'][:, 0]) + off_a] * \
       np.asarray(batch['feat.a.weights'])
@@ -104,9 +113,14 @@ def test_lookup_parity_vs_numpy(setup):
   assert seq.shape == (4, 4, 8)
   np.testing.assert_allclose(np.asarray(seq[2]), np.zeros((4, 8)), atol=1e-7)
 
-  # wide sums
+  # wide sums read the merged wide columns of the same rows
   wide = input_layer.wide_logits(pulled, batch, ['a', 'b'])
   assert wide.shape == (4, 2)
+  ids_a = np.asarray(batch['feat.a.ids']) + off_a
+  exp_wide = (np.einsum('bk,bkd->bd', np.asarray(batch['feat.a.weights']),
+                        wtable[ids_a]) +
+              np.einsum('bk,bkd->bd', w_b, wtable[ids_b]))
+  np.testing.assert_allclose(np.asarray(wide), exp_wide, rtol=1e-5)
 
 
 def test_mean_max_combiners():
@@ -198,3 +212,48 @@ def test_sharded_lookup_runs_on_mesh(setup):
                            {k: jnp.asarray(np.asarray(v))
                             for k, v in batch8.items()}, ['a', 'b', 'c'])
   np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-5)
+
+
+def test_merge_shared_embedding_wide():
+  """Two features SHARING a deep table, both in the wide group: their
+  merged wide columns share rows exactly like the old separate
+  '<table>__wide' fusion did (same table_name -> same rows)."""
+  cfg = get_configs_from_pipeline_str(CONFIG.replace(
+      'features { input_names: "b" feature_type: TagFeature\n'
+      '             embedding_dim: 8 hash_bucket_size: 30 '
+      'max_multi_len: 3 }',
+      'features { input_names: "b" feature_type: TagFeature\n'
+      '             embedding_dim: 8 hash_bucket_size: 50 '
+      'max_multi_len: 3 embedding_name: "a" }'))
+  specs = fs.build_feature_specs(cfg.feature_config.features)
+  layout = EmbeddingLayout(specs, deep_features=['a', 'b'],
+                           wide_features=['a', 'b'], wide_output_dim=2)
+  t = layout.tables['emb8']
+  assert t.used_dim == 10 and t.dim == 16
+  _, ua = layout.feature_use[('a', 'wide')]
+  _, ub = layout.feature_use[('b', 'wide')]
+  assert ua.offset == ub.offset          # shared rows
+  assert ua.col_start == ub.col_start == 8
+
+
+def test_merge_disabled_env(monkeypatch):
+  monkeypatch.setenv('EASYREC_MERGE_WIDE', '0')
+  cfg = get_configs_from_pipeline_str(CONFIG)
+  specs = fs.build_feature_specs(cfg.feature_config.features)
+  layout = EmbeddingLayout(specs, deep_features=['a', 'b', 'c'],
+                           wide_features=['a', 'b'], wide_output_dim=2,
+                           seq_features=['s'])
+  assert set(layout.tables) == {'emb8', 'wide2'}
+  assert layout.tables['emb8'].dim == 8
+
+
+def test_merge_wide_only_feature_keeps_wide_table():
+  """A wide feature with NO deep use cannot merge: it keeps its own
+  wide table while the deep+wide features merge."""
+  cfg = get_configs_from_pipeline_str(CONFIG)
+  specs = fs.build_feature_specs(cfg.feature_config.features)
+  layout = EmbeddingLayout(specs, deep_features=['a', 'c'],
+                           wide_features=['a', 'b'], wide_output_dim=2)
+  assert set(layout.tables) == {'emb8', 'wide2'}
+  assert 'b' not in layout.merged_wide and 'a' in layout.merged_wide
+  assert layout.tables['wide2'].rows == 30 + 1
