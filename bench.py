@@ -93,6 +93,9 @@ def main():
 
   cfg = criteo_deepfm_config(batch_size=batch_size,
                              hash_bucket_size=hash_buckets)
+  dtype = os.environ.get('BENCH_COMPUTE_DTYPE', '')
+  if dtype:
+    cfg.train_config.compute_dtype = dtype
   trainer = Trainer(cfg)
   batches = [synthetic_batch(trainer.specs, ['label'], batch_size, seed=s)
              for s in range(4)]

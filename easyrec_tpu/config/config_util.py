@@ -44,6 +44,7 @@ def get_configs_from_pipeline_file(path: str,
   if auto_expand:
     auto_expand_share_feature_configs(config)
     auto_expand_input_fields(config)
+    auto_expand_group_feature_names(config)
   return config
 
 
@@ -55,6 +56,7 @@ def get_configs_from_pipeline_str(content: str,
   if auto_expand:
     auto_expand_share_feature_configs(config)
     auto_expand_input_fields(config)
+    auto_expand_group_feature_names(config)
   return config
 
 
@@ -111,6 +113,20 @@ def auto_expand_share_feature_configs(config: EasyRecConfig) -> None:
         extra.append(clone)
       fc.ClearField('shared_names')
     fc_list.extend(extra)
+
+
+def auto_expand_group_feature_names(config: EasyRecConfig) -> None:
+  """Expand ``name[1-3]`` ranges inside feature_groups.feature_names
+  (reference feature_column/feature_group.py:51 does this per-group,
+  unconditionally)."""
+  for group in config.model_config.feature_groups:
+    if not any(_RANGE_RE.match(n) for n in group.feature_names):
+      continue
+    names = []
+    for n in group.feature_names:
+      names.extend(_expand_range(n))
+    del group.feature_names[:]
+    group.feature_names.extend(names)
 
 
 def auto_expand_input_fields(config: EasyRecConfig) -> None:

@@ -147,10 +147,13 @@ class BSTEncoder(nn.Module):
         mask = jnp.concatenate([ones, mask], axis=1)
     if self.use_position:
       L = x.shape[1]
-      pos = self.param('position_emb', nn.initializers.normal(0.02),
-                       (self.max_position, self.hidden_size))
       start = 1 if (target is None and self.reserve_target_position
                     and self.target_item_position == 'head') else 0
+      # the prepended target consumes a position slot, so the table may
+      # need one row beyond max_position (L is static at trace time)
+      rows = max(self.max_position, L + start)
+      pos = self.param('position_emb', nn.initializers.normal(0.02),
+                       (rows, self.hidden_size))
       x = x + pos[None, start:start + L, :]
     for i in range(self.num_layers):
       x = TransformerBlock(

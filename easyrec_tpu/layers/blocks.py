@@ -114,22 +114,24 @@ class TextCNN(nn.Module):
 
 
 class Gate(nn.Module):
-  """Weighted gate over a list of inputs: element `weight_index` produces
-  softmax weights for the remaining inputs (reference blocks.py Gate)."""
+  """Weighted-sum gate over a list of inputs: element `weight_index` IS
+  the weight vector (its columns weight the remaining inputs, which are
+  expected to be pre-normalized, e.g. a softmax-activated MLP); optional
+  MLP on the gated output (reference blocks.py Gate:180-209)."""
   weight_index: int = 0
   mlp_hidden_units: Sequence[int] = ()
 
   @nn.compact
   def __call__(self, inputs: List[Any], training: bool = False):
-    weight_in = inputs[self.weight_index]
+    assert len(inputs) > 1, 'Gate input must be a list of >= 2 elements'
+    w = inputs[self.weight_index]
     others = [v for i, v in enumerate(inputs) if i != self.weight_index]
-    if self.mlp_hidden_units:
-      weight_in = MLP(hidden_units=self.mlp_hidden_units, name='mlp')(
-          weight_in, training)
-    logits = nn.Dense(len(others), name='gate')(weight_in)
-    w = nn.softmax(logits, axis=-1)
     stacked = jnp.stack(others, axis=1)            # [B, K, D]
-    return jnp.einsum('bk,bkd->bd', w, stacked)
+    out = jnp.einsum('bk,bkd->bd', w[:, :len(others)], stacked)
+    if self.mlp_hidden_units:
+      out = MLP(hidden_units=self.mlp_hidden_units, name='top_mlp')(
+          out, training)
+    return out
 
 
 class AITMTower(nn.Module):
@@ -178,10 +180,18 @@ class SeqAugment(nn.Module):
 
   @nn.compact
   def __call__(self, inputs, training: bool = False):
-    seq, mask = (inputs if isinstance(inputs, (list, tuple))
-                 else (inputs, None))
+    # [seq, mask(, extras...)] — extras (e.g. the normal/target features
+    # from output_seq_and_normal_feature) pass through untouched, like
+    # the reference's inputs[:2] slice (data_augment.py:122-124)
+    extra = []
+    if isinstance(inputs, (list, tuple)):
+      seq = inputs[0]
+      mask = inputs[1] if len(inputs) > 1 else None
+      extra = list(inputs[2:])
+    else:
+      seq, mask = inputs, None
     if not training:
-      return [seq, mask] if mask is not None else seq
+      return [seq, mask] + extra if mask is not None else seq
     rng = self.make_rng('augment')
     r_mask, r_crop, r_perm, r_choice = jax.random.split(rng, 4)
     b, length = seq.shape[0], seq.shape[1]
@@ -206,7 +216,7 @@ class SeqAugment(nn.Module):
                     jnp.where((choice == 1)[:, None, None], cropped,
                               reordered))
     if mask is not None:
-      return [out, mask]
+      return [out, mask] + extra
     return out
 
 

@@ -29,6 +29,7 @@ def get_activation(name: str) -> Optional[Callable]:
       'elu': nn.elu,
       'selu': nn.selu,
       'softplus': nn.softplus,
+      'softmax': nn.softmax,
       'leaky_relu': nn.leaky_relu,
       'identity': lambda x: x,
       'linear': lambda x: x,

@@ -93,9 +93,13 @@ def _flatten(values: List[Any]) -> List[Any]:
 
 
 def _merge(values: List[Any], axis: int):
-  values = _flatten(values)
   if len(values) == 1:
     return values[0]
+  # list-valued inputs merge into one flat LIST, not a concat — blocks
+  # like Gate/CDN wrap tensors via input_fn "lambda x: [x]" and rely on
+  # this (reference backbone.py merge_inputs:532-550)
+  if any(isinstance(v, (list, tuple)) for v in values):
+    return _flatten(values)
   return jnp.concatenate(values, axis=axis)
 
 
@@ -110,9 +114,39 @@ class Package(nn.Module):
   pkg_config: Any                      # BlockPackage or BackboneTower proto
   packages: Dict[str, 'Package'] = None
 
+  def _package_outer_deps(self, pkg_name: str, outer_blocks,
+                          seen=None) -> set:
+    """Outer-block names a package (transitively) reads: inner blocks may
+    reference backbone blocks directly (reference backbone.py:163-167
+    registers these as backbone-dag edges) and package_input may chain to
+    another package."""
+    seen = seen if seen is not None else set()
+    if pkg_name in seen or pkg_name not in (self.packages or {}):
+      return set()
+    seen.add(pkg_name)
+    cfg = self.packages[pkg_name].pkg_config
+    inner = {b.name for b in cfg.blocks}
+    deps = set()
+    for b in cfg.blocks:
+      for bi in b.inputs:
+        which = bi.WhichOneof('name')
+        if which == 'block_name' and bi.block_name not in inner and \
+                bi.block_name in outer_blocks:
+          deps.add(bi.block_name)
+        elif which == 'package_name':
+          deps |= self._package_outer_deps(bi.package_name, outer_blocks,
+                                           seen)
+          if bi.package_input:
+            if bi.package_input in outer_blocks:
+              deps.add(bi.package_input)
+            else:
+              deps |= self._package_outer_deps(bi.package_input,
+                                               outer_blocks, seen)
+    return deps
+
   @nn.compact
   def __call__(self, batch, pulled, training: bool = False,
-               package_input=None):
+               package_input=None, outer_values=None):
     blocks = {b.name: b for b in self.pkg_config.blocks}
     group_names = set(self.ctx.groups)
 
@@ -128,9 +162,15 @@ class Package(nn.Module):
                 bi.feature_group_name != b.name:
           # a block may be named after a feature group it wraps
           dag.add_edge(bi.feature_group_name, b.name)
-        elif which == 'package_name' and bi.package_input in blocks:
-          # the package's input is computed by another block: order it
-          dag.add_edge(bi.package_input, b.name)
+        elif which == 'package_name':
+          if bi.package_input in blocks:
+            # the package's input is computed by another block: order it
+            dag.add_edge(bi.package_input, b.name)
+          else:
+            for dep in self._package_outer_deps(bi.package_input, blocks):
+              dag.add_edge(dep, b.name)
+          for dep in self._package_outer_deps(bi.package_name, blocks):
+            dag.add_edge(dep, b.name)
 
     values: Dict[str, Any] = {}
     group_cache: Dict[str, Any] = {}
@@ -151,20 +191,36 @@ class Package(nn.Module):
         else:
           v = feature_group_value(gname)
       elif which == 'block_name':
-        v = values[bi.block_name]
+        if bi.block_name in values:
+          v = values[bi.block_name]
+        elif outer_values is not None and bi.block_name in outer_values:
+          # an inner-package block may read an outer backbone block
+          # (reference Package.backbone_block_outputs)
+          v = outer_values[bi.block_name]
+        else:
+          v = values[bi.block_name]          # KeyError with block name
       elif which == 'package_name':
         pkg = (self.packages or {}).get(bi.package_name)
         if pkg is None:
           raise KeyError('unknown package %r' % bi.package_name)
+        ov = dict(outer_values or {})
+        ov.update(values)
         pkg_in = None
         if bi.package_input:
           # NB: no `or` fallback — truthiness of a traced array crashes
-          pkg_in = values[bi.package_input] \
-              if bi.package_input in values \
-              else feature_group_value(bi.package_input)
+          if bi.package_input in values:
+            pkg_in = values[bi.package_input]
+          elif bi.package_input in (self.packages or {}):
+            # package_input naming another PACKAGE: run it and feed its
+            # output (reference backbone.py:233-238)
+            pkg_in = self.packages[bi.package_input](
+                batch, pulled, training, outer_values=ov)
+          else:
+            pkg_in = feature_group_value(bi.package_input)
           if bi.package_input_fn:
             pkg_in = eval_lambda(bi.package_input_fn)(pkg_in)
-        v = pkg(batch, pulled, training, package_input=pkg_in)
+        v = pkg(batch, pulled, training, package_input=pkg_in,
+                outer_values=ov)
       elif which == 'use_package_input':
         if package_input is None:
           raise ValueError('block %r uses package input but none was '
@@ -192,6 +248,11 @@ class Package(nn.Module):
       return outs if len(outs) > 1 else outs[0]
     concat = list(self.pkg_config.concat_blocks) or \
         dag.leaf_nodes([b.name for b in self.pkg_config.blocks])
+    if len(concat) == 1 and isinstance(values[concat[0]], (list, tuple)):
+      # a single list-valued output (e.g. SeqAugment's [seq, mask, ...])
+      # keeps its structure — flattening it into a 2d concat would feed
+      # downstream consumers (BST target slots) garbage
+      return list(values[concat[0]])
     outs = _flatten([values[n] for n in concat])
     outs = [o if o.ndim == 2 else o.reshape(o.shape[0], -1) for o in outs]
     return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]

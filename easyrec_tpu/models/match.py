@@ -136,6 +136,11 @@ class MatchModel(BaseModel):
       loss = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-9)
       return loss, {'softmax_cross_entropy': loss}
     logits = outputs['logits']
+    if self.config.loss_type == LossType.L2_LOSS:
+      # point-wise regression on the (scaled) similarity
+      # (reference dssm.py:123, match_model.py:261 'y' + l2_loss)
+      loss = L.l2_loss(labels, logits, weights)
+      return loss, {'l2_loss': loss}
     loss = L.sigmoid_cross_entropy(labels, logits, weights)
     return loss, {'sigmoid_cross_entropy': loss}
 
@@ -159,13 +164,19 @@ class MatchModel(BaseModel):
         mi['neg_sam_logits'] = jnp.concatenate(
             [pos[:, None], logits[:, b:]], axis=1)
       return mi
+    if self.config.loss_type == LossType.L2_LOSS:
+      return {'labels': labels, 'probs': outputs['logits'],
+              'preds': outputs['logits'], 'weights': weights}
     return {'labels': labels, 'probs': outputs['probs'],
             'preds': outputs['probs'], 'weights': weights}
 
   def export_outputs(self, outputs):
     out = {'user_emb': outputs['user_tower_emb'],
             'item_emb': outputs['item_tower_emb']}
-    if 'probs' in outputs:
+    if self.config.loss_type == LossType.L2_LOSS:
+      if 'logits' in outputs:
+        out['y'] = outputs['logits']    # reference dssm.py get_outputs 'y'
+    elif 'probs' in outputs:
       out['probs'] = outputs['probs']
     return out
 

@@ -152,3 +152,13 @@ def test_auto_expand_input_fields():
   cfg = get_configs_from_pipeline_str(text)
   names = [f.input_name for f in cfg.data_config.input_fields]
   assert names == ['label', 'f1', 'f2', 'f3', 'iid']
+
+
+def test_auto_expand_group_feature_names():
+  """feature_groups expand name[lo-hi] ranges unconditionally
+  (reference feature_column/feature_group.py:51)."""
+  text = MINI_CONFIG.replace('feature_names: "uid"',
+                             'feature_names: "f[1-3]"')
+  cfg = get_configs_from_pipeline_str(text)
+  g = cfg.model_config.feature_groups[0]
+  assert list(g.feature_names)[:3] == ['f1', 'f2', 'f3']

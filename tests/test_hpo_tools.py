@@ -143,3 +143,20 @@ def test_pre_check_catches_errors(tmp_path):
   problems = check_config(cfg)
   assert any('nope' in p for p in problems)
   assert any('ghost' in p for p in problems)
+
+
+def test_convert_config_format_round_trip(tmp_path):
+  """text .config -> .json -> .config preserves the pipeline proto
+  (reference tools/convert_config_format.py)."""
+  import glob
+  import os
+  from easyrec_tpu.tools import convert_config_format as ccf
+  src = sorted(glob.glob(os.path.join(
+      os.path.dirname(__file__), '..', 'samples', 'deepfm.config')))[0]
+  js = str(tmp_path / 'p.json')
+  back = str(tmp_path / 'p.config')
+  ccf.main(['--input_config', src, '--output_config', js])
+  ccf.main(['--input_config', js, '--output_config', back])
+  a = ccf.load_config(src)
+  b = ccf.load_config(back)
+  assert a == b

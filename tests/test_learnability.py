@@ -381,6 +381,33 @@ def test_rank_interaction_learned(name, tmp_path):
   assert m['auc'] > 0.70, '%s failed interaction gate: %s' % (name, m)
 
 
+def test_bfloat16_compute_quality(tmp_path):
+  """train_config.compute_dtype: bfloat16 (forward/backward matmuls in
+  bf16, f32 params/optimizer) must clear the same interaction AUC gate
+  as f32 — guards the mixed-precision path before it's used for speed."""
+  body = RANK_BODIES['FM']
+  train = os.path.join(str(tmp_path), 'train.csv')
+  evalp = os.path.join(str(tmp_path), 'eval.csv')
+  make_csv(train, 16384, seed=5)
+  make_csv(evalp, 4096, seed=6)
+  lf = '"lint"'
+  text = CONFIG.format(train=train, eval=evalp, num_steps=250,
+                       metrics=AUC_METRIC, label_fields=lf,
+                       model_body=body)
+  text = text.replace('num_steps: 250',
+                      'num_steps: 250\n  compute_dtype: "bfloat16"')
+  path = os.path.join(str(tmp_path), 'pipeline.config')
+  with open(path, 'w') as f:
+    f.write(text)
+  cfg = get_configs_from_pipeline_file(path)
+  assert cfg.train_config.compute_dtype == 'bfloat16'
+  trainer = Trainer(cfg)
+  import jax.numpy as jnp
+  assert trainer.compute_dtype == jnp.bfloat16
+  m = Trainer(cfg).fit(checkpoint=False)['eval_metrics']
+  assert m['auc'] > 0.70, 'bf16 compute failed interaction gate: %s' % m
+
+
 @pytest.mark.parametrize('name', sorted(SEQ_BODIES), ids=sorted(SEQ_BODIES))
 def test_sequence_attention_learned(name, tmp_path):
   # BST's post-LN transformer stalls at lr 0.02 (plateau ~0.72 measured);

@@ -37,7 +37,7 @@ def _row_value(col, rng, i):
   if col == 'tags':
     k = rng.integers(1, 4)
     return '|'.join('t%d' % rng.integers(0, 50) for _ in range(k))
-  if col in ('age', 'price'):
+  if col in ('age', 'price', 'teacher'):
     return '%.3f' % rng.random()
   if col == 'seq_cate':
     k = rng.integers(1, 6)
