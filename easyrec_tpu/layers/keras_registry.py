@@ -411,10 +411,30 @@ def _build_masknet(p: Parameter, name: str):
   return _SingleInput(inner=inner, takes_training=True, name=name)
 
 
+class _FMAdapter(nn.Module):
+  """FM input: a list of same-dim [B, D] tensors (stacked to [B, F, D],
+  reference keras/interaction.py:24-33) or a 3d [B, F, D] tensor."""
+  use_variant: bool = False
+
+  @nn.compact
+  def __call__(self, inputs, training: bool = False):
+    x = inputs
+    if isinstance(x, (list, tuple)):
+      dims = {int(v.shape[-1]) for v in x}
+      if len(dims) != 1:
+        raise ValueError('all embedding dims must be equal in FM layer: '
+                         '%s' % sorted(dims))
+      x = jnp.stack(list(x), axis=1)
+    if x.ndim != 3:
+      raise ValueError('input of FM layer must be a 3d tensor or a list '
+                       'of 2d tensors, got shape %s' % (x.shape,))
+    return IX.FM(use_variant=self.use_variant)(x)
+
+
 @register_layer('FM')
 def _build_fm(p: Parameter, name: str):
-  inner = IX.FM(use_variant=p.get_bool('use_variant', False))
-  return _SingleInput(inner=inner, name=name)
+  return _FMAdapter(use_variant=p.get_bool('use_variant', False),
+                    name=name)
 
 
 class _CrossAdapter(nn.Module):

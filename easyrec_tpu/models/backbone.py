@@ -418,7 +418,9 @@ class Package(nn.Module):
         if len(feature_list) > 1 else feature_list[0]
     flat = _norm(flat)
     if cfg.output_2d_tensor_and_feature_list:
-      return [flat] + feature_list
+      # a PAIR [2d, <list>] — input_slice '[1]' selects the whole
+      # per-feature list (reference common_layers.py:143)
+      return [flat, feature_list]
     return flat
 
 
