@@ -207,9 +207,10 @@ def update_ev_state(slots: Dict[str, dict],
 
       def run(table, math_fn, hyp):
         if mesh is not None and mesh.devices.size > 1:
-          return sparse_lib._packed_update_sharded(
+          new, _overflow = sparse_lib._packed_update_sharded(
               mesh, table, ids, ones, hyp, math_fn, meta1,
               use_pallas, False)
+          return new
         return pt.apply_packed_update(table, ids, ones, hyp, math_fn,
                                       meta1, use_pallas)
 

@@ -296,7 +296,8 @@ def apply_sparse_updates_packed(tables: Dict[str, jnp.ndarray],
                                 pack_metas: Dict[str, object],
                                 use_pallas: bool,
                                 interpret: bool = False,
-                                mesh=None):
+                                mesh=None,
+                                stats: Dict[str, jnp.ndarray] = None):
   """Packed-layout twin of apply_sparse_updates: weights + optimizer
   slots live interleaved in ONE combined array per fused table; the
   update is one fused sort/segment-sum prep + one Mosaic group-RMW
@@ -320,9 +321,12 @@ def apply_sparse_updates_packed(tables: Dict[str, jnp.ndarray],
     ids = jnp.concatenate(id_parts) if len(id_parts) > 1 else id_parts[0]
     g = jnp.concatenate(g_parts) if len(g_parts) > 1 else g_parts[0]
     if mesh is not None and mesh.devices.size > 1:
-      new_tables[key] = _packed_update_sharded(
+      new_tables[key], overflow = _packed_update_sharded(
           mesh, table, ids, g, hypers, math_fn, meta,
           use_pallas, interpret)
+      if stats is not None:
+        stats['update_overflow'] = \
+            stats.get('update_overflow', jnp.int32(0)) + overflow
     else:
       new_tables[key] = pt.apply_packed_update(
           table, ids, g, hypers,
@@ -330,8 +334,8 @@ def apply_sparse_updates_packed(tables: Dict[str, jnp.ndarray],
   return new_tables
 
 
-from easyrec_tpu.parallel.exchange import (build_route, exchange_mode,
-                                           send_to_owners)
+from easyrec_tpu.parallel.exchange import (build_route, capacity_rows,
+                                           exchange_mode, send_to_owners)
 
 
 def _packed_update_sharded(mesh, table, ids, g, hypers, block_math,
@@ -372,7 +376,6 @@ def _packed_update_sharded(mesh, table, ids, g, hypers, block_math,
 
   mode = exchange_mode(mesh)
   n_loc = ids.shape[0] // n_dev
-  cap_out = n_loc * n_dev   # worst case: every shard's uniques are mine
 
   def local_fn_allgather(tbl, ids_l, g_l, hyp):
     ids_all = jax.lax.all_gather(ids_l, axes, tiled=True)
@@ -385,9 +388,10 @@ def _packed_update_sharded(mesh, table, ids, g, hypers, block_math,
     g_all = jnp.where(mine[:, None], g_all, 0.0)
     # predicated DMAs: on most shards the local scratch group holds
     # REAL rows — padding entries must not duplicate a live group's push
-    return pt.apply_packed_update(tbl, lids, g_all, hyp, block_math,
-                                  lmeta, use_pallas, interpret=interpret,
-                                  predicate=True)
+    new = pt.apply_packed_update(tbl, lids, g_all, hyp, block_math,
+                                 lmeta, use_pallas, interpret=interpret,
+                                 predicate=True)
+    return new, jnp.zeros((), jnp.int32)
 
   def local_fn_a2a(tbl, ids_l, g_l, hyp):
     # 1. local dedup: scratch id = n_dev*local_rows sorts PAST every real
@@ -395,8 +399,14 @@ def _packed_update_sharded(mesh, table, ids, g, hypers, block_math,
     #    n_dev -> sent nowhere)
     scratch = n_dev * local_rows
     uids, ug = dedup_sum(ids_l.astype(jnp.int32), g_l, scratch)
-    # 2-3. owner-partitioned routing (parallel/exchange.py)
-    route = build_route(uids, local_rows, n_dev, axes)
+    # 2-3. owner-partitioned routing with capacity-bounded owner buffers
+    # (parallel/exchange.py; dropped rows skip one step's update and are
+    # counted into the replicated overflow output). live_owners: shards
+    # holding REAL rows — padded packed geometry parks small tables'
+    # rows on the first shards only
+    live = -(-meta.rows // local_rows)
+    route = build_route(uids, local_rows, n_dev, axes,
+                        cap=capacity_rows(n_loc, n_dev, live))
     emulate = (mode == 'a2a_emulated')
     # ids travel OWNER-relative: the chunk for owner t holds ids in
     # [t*local_rows, (t+1)*local_rows) -> id % local_rows is t-local.
@@ -405,9 +415,10 @@ def _packed_update_sharded(mesh, table, ids, g, hypers, block_math,
     rids = send_to_owners(route, lids_send, 0, axes, emulate, n_dev)
     rg = send_to_owners(route, ug, 0, axes, emulate, n_dev)
     rids = jnp.clip(rids, 0, local_rows - 1)  # defensive
-    return pt.apply_packed_update(tbl, rids, rg, hyp, block_math,
-                                  lmeta, use_pallas, interpret=interpret,
-                                  predicate=True)
+    new = pt.apply_packed_update(tbl, rids, rg, hyp, block_math,
+                                 lmeta, use_pallas, interpret=interpret,
+                                 predicate=True)
+    return new, jax.lax.psum(route.overflow, axes)
 
   local_fn = local_fn_allgather if mode == 'allgather' else local_fn_a2a
   # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
@@ -416,5 +427,5 @@ def _packed_update_sharded(mesh, table, ids, g, hypers, block_math,
   fn = shard_map(
       local_fn, mesh=mesh,
       in_specs=(P(axes, None), P(axes), P(axes, None), P()),
-      out_specs=P(axes, None), check_vma=False)
+      out_specs=(P(axes, None), P()), check_vma=False)
   return fn(table, ids, g, hypers)

@@ -291,8 +291,12 @@ class Trainer:
 
     def train_step(state: TrainState, batch):
       packs = emb_ops.pack_all_views(layout, batch)
+      # exchange overflow counters (capacity-bounded owner buffers,
+      # parallel/exchange.py): surfaced in the loss dict so dropped
+      # rows are visible in logs/TB instead of silent
+      xstats = {}
       pulled = emb_ops.pull_embeddings(state.tables, packs, pack_metas,
-                                       mesh=ep_mesh)
+                                       mesh=ep_mesh, stats=xstats)
       dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
 
       def loss_fn(params, pulled):
@@ -361,7 +365,7 @@ class Trainer:
         new_tables = sparse_lib.apply_sparse_updates_packed(
             state.tables, packs, g_pulled, sparse_opt,
             emb_lr, state.step, pack_metas, use_pallas=packed_pallas,
-            mesh=mesh)
+            mesh=mesh, stats=xstats)
         new_slots = state.slots
       else:
         new_tables, new_slots = sparse_lib.apply_sparse_updates(
@@ -386,6 +390,8 @@ class Trainer:
           opt_state=new_opt_state, tables=new_tables, slots=new_slots)
       loss_dict = dict(loss_dict)
       loss_dict['total_loss'] = loss
+      for k, v in xstats.items():
+        loss_dict['exchange_%s' % k] = v.astype(jnp.float32)
       return new_state, loss_dict
 
     return jax.jit(train_step, donate_argnums=(0,))
