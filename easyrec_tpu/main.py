@@ -113,7 +113,8 @@ def evaluate(pipeline_config: ConfigOrPath,
   trainer = Trainer(config, devices=devices, check_mode=check_mode)
   first = next(iter(trainer.eval_input()))
   state = trainer.init_state(first)
-  mgr = ckpt_lib.CheckpointManager(config.model_dir)
+  mgr = ckpt_lib.CheckpointManager(config.model_dir,
+                                 layout_stamp=trainer.layout_stamp())
   restored = mgr.restore_latest(state)
   if restored is None:
     raise FileNotFoundError('no checkpoint under %s' % config.model_dir)
@@ -153,7 +154,8 @@ def export(pipeline_config: ConfigOrPath,
   trainer = Trainer(config, devices=devices)
   batch = synthetic_batch(trainer.specs, trainer.ctx.label_fields, 8)
   state = trainer.init_state(batch)
-  mgr = ckpt_lib.CheckpointManager(config.model_dir)
+  mgr = ckpt_lib.CheckpointManager(config.model_dir,
+                                 layout_stamp=trainer.layout_stamp())
   if checkpoint_path:
     step = int(os.path.basename(checkpoint_path))
     state = mgr.restore(step, state)
@@ -189,7 +191,8 @@ def predict(pipeline_config: ConfigOrPath,
                        input_path, mode='predict')
   first = next(iter(pipe))
   state = trainer.init_state(first)
-  mgr = ckpt_lib.CheckpointManager(config.model_dir)
+  mgr = ckpt_lib.CheckpointManager(config.model_dir,
+                                 layout_stamp=trainer.layout_stamp())
   restored = mgr.restore_latest(state)
   if restored is None:
     raise FileNotFoundError('no checkpoint under %s' % config.model_dir)

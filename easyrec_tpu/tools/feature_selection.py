@@ -23,7 +23,8 @@ def feature_importance(pipeline_config) -> dict:
   trainer = Trainer(pipeline_config)
   batch = next(iter(trainer.eval_input()))
   state = trainer.init_state(batch)
-  mgr = ckpt_lib.CheckpointManager(pipeline_config.model_dir)
+  mgr = ckpt_lib.CheckpointManager(pipeline_config.model_dir,
+                                 layout_stamp=trainer.layout_stamp())
   restored = mgr.restore_latest(state)
   if restored is None:
     raise FileNotFoundError('no checkpoint under %s' %

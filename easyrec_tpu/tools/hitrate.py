@@ -32,7 +32,8 @@ def compute_hitrate(pipeline_config, top_k: int = 10,
   eval_iter = iter(trainer.eval_input())
   first = next(eval_iter)
   state = trainer.init_state(first)
-  mgr = ckpt_lib.CheckpointManager(pipeline_config.model_dir)
+  mgr = ckpt_lib.CheckpointManager(pipeline_config.model_dir,
+                                 layout_stamp=trainer.layout_stamp())
   restored = mgr.restore_latest(state)
   if restored is None:
     raise FileNotFoundError('no checkpoint under %s' %

@@ -144,6 +144,12 @@ class Trainer:
           self.pack_metas, self.ev_plan,
           shards=self.mesh.devices.size)
 
+  def layout_stamp(self) -> dict:
+    """Geometry fingerprint for checkpoint layout-version checking
+    (train/checkpoints.py layout_stamp)."""
+    from easyrec_tpu.train import checkpoints as ckpt_lib
+    return ckpt_lib.layout_stamp(self.pack_metas, self._packed_compact)
+
   def _mesh_on_tpu(self) -> bool:
     # the mesh's own devices, NOT jax.default_backend(): a CPU-device
     # trainer in a TPU process (e.g. bench baselines) must not pick the
@@ -640,7 +646,8 @@ class Trainer:
     restored = None
     if checkpoint and self.model_dir:
       manager = ckpt_lib.CheckpointManager(
-          self.model_dir, max_to_keep=int(tc.keep_checkpoint_max) or 10)
+          self.model_dir, max_to_keep=int(tc.keep_checkpoint_max) or 10,
+          layout_stamp=self.layout_stamp())
       if tc.write_graph and tc.HasField('write_graph'):
         # graph.pbtxt analog (reference CheckpointSaverHook writes the
         # graph def): the train step's StableHLO dump. Explicit opt-in
