@@ -135,13 +135,23 @@ def timeit(fn, state, batch, iters=30):
 
 def main():
   import os
-  cfg = criteo_deepfm_config(
-      batch_size=int(os.environ.get('BENCH_BATCH_SIZE', 4096)),
-      hash_bucket_size=int(os.environ.get('BENCH_HASH_BUCKETS', 1000000)))
+  from easyrec_tpu.utils import flagship
   bs = int(os.environ.get('BENCH_BATCH_SIZE', 4096))
+  model = os.environ.get('BENCH_MODEL', 'deepfm')
+  seq_len = int(os.environ.get('BENCH_SEQ_LEN', 50))
+  if model == 'deepfm':
+    cfg = criteo_deepfm_config(
+        batch_size=bs,
+        hash_bucket_size=int(os.environ.get('BENCH_HASH_BUCKETS', 1000000)))
+    labels = ['label']
+  else:
+    cfg = getattr(flagship, 'taobao_%s_config' % model)(
+        batch_size=bs, seq_len=seq_len)
+    labels = ['clk', 'buy'] if model == 'mmoe' else ['clk']
   trainer = Trainer(cfg)
-  print('packed_mode =', trainer.packed_mode, 'batch =', bs)
-  batch = synthetic_batch(trainer.specs, ['label'], bs, seed=0)
+  print('model =', model, 'packed_mode =', trainer.packed_mode,
+        'batch =', bs)
+  batch = synthetic_batch(trainer.specs, labels, bs, seed=0)
   sharded = trainer.rules.shard_batch(batch)
   state = trainer.init_state(batch)
 

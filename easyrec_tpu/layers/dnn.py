@@ -63,6 +63,11 @@ class DNN(nn.Module):
   use_bn: bool = True
   dropout_ratio: Sequence[float] = ()
   use_final_activation: bool = True
+  # two-tower embedding heads end with a PLAIN linear dense in the
+  # reference (hidden_units.pop() + tf.layers.dense, e.g. dssm.py:43-62,
+  # dat.py:55-76, dropoutnet.py:80-135, mind.py:139-154): both the
+  # activation AND bn are skipped on the last layer there
+  use_final_bn: bool = True
   compute_dtype: jnp.dtype = jnp.float32
 
   @classmethod
@@ -80,10 +85,10 @@ class DNN(nn.Module):
     x = x.astype(self.compute_dtype)
     for i, units in enumerate(self.hidden_units):
       x = nn.Dense(units, dtype=self.compute_dtype, name='dense_%d' % i)(x)
-      if self.use_bn:
+      is_last = (i == len(self.hidden_units) - 1)
+      if self.use_bn and (not is_last or self.use_final_bn):
         x = nn.BatchNorm(use_running_average=not training, momentum=0.99,
                          dtype=self.compute_dtype, name='bn_%d' % i)(x)
-      is_last = (i == len(self.hidden_units) - 1)
       if not is_last or self.use_final_activation:
         if act is None:  # dice
           x = Dice(name='dice_%d' % i)(x, training)

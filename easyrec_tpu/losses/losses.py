@@ -310,6 +310,18 @@ def listwise_distill_loss(labels, logits, session_ids, weights=1.0,
                             label_is_logits=False)
 
 
+def _log1p_sum_exp(logits, mask):
+  """log(1 + sum_i mask_i * exp(logits_i)) per row, overflow-safe:
+  gamma*ap terms reach +126 at gamma=32 (exp -> inf -> NaN grads), so
+  shift by the row max like logsumexp with an implicit 0 logit."""
+  live = mask > 0
+  masked = jnp.where(live, logits, -jnp.inf)
+  m = jnp.maximum(jnp.max(masked, axis=1), 0.0)
+  s = jnp.exp(-m) + jnp.sum(
+      jnp.where(live, jnp.exp(masked - m[:, None]), 0.0), axis=1)
+  return m + jnp.log(s)
+
+
 def circle_loss(embeddings, labels, weights=1.0, margin: float = 0.25,
                 gamma: float = 32.0):
   """Circle loss over L2-normalized embeddings; labels are group ids."""
@@ -325,8 +337,8 @@ def circle_loss(embeddings, labels, weights=1.0, margin: float = 0.25,
   an = jnp.maximum(sim + margin, 0.0)
   logit_p = -gamma * ap * (sim - (1 - margin))
   logit_n = gamma * an * (sim - margin)
-  loss_p = jnp.log1p(jnp.sum(jnp.exp(logit_p) * pos_mask, axis=1))
-  loss_n = jnp.log1p(jnp.sum(jnp.exp(logit_n) * neg_mask, axis=1))
+  loss_p = _log1p_sum_exp(logit_p, pos_mask)
+  loss_n = _log1p_sum_exp(logit_n, neg_mask)
   return _weighted_mean(loss_p + loss_n, weights)
 
 
@@ -341,10 +353,8 @@ def multi_similarity_loss(embeddings, labels, weights=1.0,
   eye = jnp.eye(b, dtype=bool)
   pos_mask = (same & ~eye).astype(sim.dtype)
   neg_mask = (~same).astype(sim.dtype)
-  pos_term = jnp.log1p(jnp.sum(
-      jnp.exp(-alpha * (sim - lamb)) * pos_mask, axis=1)) / alpha
-  neg_term = jnp.log1p(jnp.sum(
-      jnp.exp(beta * (sim - lamb)) * neg_mask, axis=1)) / beta
+  pos_term = _log1p_sum_exp(-alpha * (sim - lamb), pos_mask) / alpha
+  neg_term = _log1p_sum_exp(beta * (sim - lamb), neg_mask) / beta
   return _weighted_mean(pos_term + neg_term, weights)
 
 

@@ -181,6 +181,15 @@ class MatchModel(BaseModel):
     return out
 
 
+def _tower_dnn(cfg, name, **kw):
+  """Tower embedding head: the reference pops the last hidden unit off
+  the DNN and applies it as a PLAIN linear dense (no activation, no bn)
+  — dssm.py:42-62, dat.py:55-76, dropoutnet.py:80-135, mind.py:139-154.
+  Equivalent here: same stack with a linear, bn-free final layer."""
+  return DNN.from_config(cfg, name=name, use_final_activation=False,
+                         use_final_bn=False, **kw)
+
+
 class _TwoTowerModule(nn.Module):
   ctx: Any
   model: Any
@@ -206,10 +215,10 @@ class _TwoTowerModule(nn.Module):
     else:
       user_in = il.group_concat(pulled, batch, ctx.group_features('user'))
       item_in = il.group_concat(pulled, batch, ctx.group_features('item'))
-    user_dnn = DNN.from_config(self.user_dnn_cfg, name='user_dnn',
-                               compute_dtype=ctx.compute_dtype)
-    item_dnn = DNN.from_config(self.item_dnn_cfg, name='item_dnn',
-                               compute_dtype=ctx.compute_dtype)
+    user_dnn = _tower_dnn(self.user_dnn_cfg, 'user_dnn',
+                          compute_dtype=ctx.compute_dtype)
+    item_dnn = _tower_dnn(self.item_dnn_cfg, 'item_dnn',
+                          compute_dtype=ctx.compute_dtype)
 
     # DIN target attention on the user tower when seq_att_groups are
     # declared: the attention query is the (candidate) item
@@ -303,8 +312,9 @@ class DSSMSENet(MatchModel):
 
 
 class _DATModule(nn.Module):
-  """Dual-augmented two-tower: each tower also consumes an augmented
-  vector supervised to mimic the OTHER tower's output (AMM loss)."""
+  """Dual-augmented two-tower (reference dat.py:30-110): each tower's
+  INPUT includes an augmented vector (tf.concat at dat.py:59-75) that
+  the AMM loss supervises to mimic the OTHER tower's output."""
   ctx: Any
   model: Any
 
@@ -315,21 +325,30 @@ class _DATModule(nn.Module):
     cfg = ctx.model_config.dat
     user_in = il.group_concat(pulled, batch, ctx.group_features('user'))
     item_in = il.group_concat(pulled, batch, ctx.group_features('item'))
-    user_emb = DNN.from_config(cfg.user_tower.dnn, name='user_dnn')(
-        user_in, training)
-    item_emb = DNN.from_config(cfg.item_tower.dnn, name='item_dnn')(
-        item_in, training)
-    d = user_emb.shape[-1]
-    # augmented vectors from dedicated 'user_id_aug'/'item_id_aug' groups
-    # if present, else learned projections
-    if 'user_augment' in ctx.groups:
-      au = nn.Dense(d, name='user_aug_proj')(il.group_concat(
-          pulled, batch, ctx.group_features('user_augment')))
-      ai = nn.Dense(d, name='item_aug_proj')(il.group_concat(
-          pulled, batch, ctx.group_features('item_augment')))
+    u_last = cfg.user_tower.dnn.hidden_units[-1]
+    i_last = cfg.item_tower.dnn.hidden_units[-1]
+    # augmented vectors from the reference's dedicated groups
+    # (dat.py:34-37 asserts user_id_augment/item_id_augment); learned
+    # projections when the config omits them (extension)
+    if 'user_id_augment' in ctx.groups and \
+        'item_id_augment' in ctx.groups:
+      au = il.group_concat(pulled, batch,
+                           ctx.group_features('user_id_augment'))
+      ai = il.group_concat(pulled, batch,
+                           ctx.group_features('item_id_augment'))
     else:
-      au = nn.Dense(d, name='user_aug_proj')(user_in)
-      ai = nn.Dense(d, name='item_aug_proj')(item_in)
+      au = nn.Dense(i_last, name='user_aug_proj')(user_in)
+      ai = nn.Dense(u_last, name='item_aug_proj')(item_in)
+    user_emb = _tower_dnn(cfg.user_tower.dnn, 'user_dnn')(
+        jnp.concatenate([user_in, au], axis=-1), training)
+    item_emb = _tower_dnn(cfg.item_tower.dnn, 'item_dnn')(
+        jnp.concatenate([item_in, ai], axis=-1), training)
+    # AMM compares augmented_u against item_tower_emb (and vice versa):
+    # fit dims when the augmented embedding width differs
+    if au.shape[-1] != i_last:
+      au = nn.Dense(i_last, name='user_aug_fit')(au)
+    if ai.shape[-1] != u_last:
+      ai = nn.Dense(u_last, name='item_aug_fit')(ai)
     return {'user_tower_emb': user_emb, 'item_tower_emb': item_emb,
             'augmented_u': au, 'augmented_i': ai}
 
@@ -415,11 +434,11 @@ class _MINDModule(nn.Module):
     k = interests.shape[1]
     tiled = jnp.repeat(user_feat[:, None, :], k, axis=1)
     concat = jnp.concatenate([interests, tiled], axis=-1)
-    user_interests = DNN.from_config(cfg.concat_dnn, name='concat_dnn')(
+    user_interests = _tower_dnn(cfg.concat_dnn, 'concat_dnn')(
         concat, training)                           # [B, K, D]
 
     item_in = il.group_concat(pulled, batch, ctx.group_features('item'))
-    item_emb = DNN.from_config(cfg.item_dnn, name='item_dnn')(
+    item_emb = _tower_dnn(cfg.item_dnn, 'item_dnn')(
         item_in, training)
 
     # label-guided attention (mind.py:168-200): softmax(simi^pow) over
@@ -479,9 +498,9 @@ class _MultiTowerRecallModule(nn.Module):
     cfg = ctx.model_config.multi_tower_recall
     user_in = il.group_concat(pulled, batch, ctx.group_features('user'))
     item_in = il.group_concat(pulled, batch, ctx.group_features('item'))
-    user_emb = DNN.from_config(cfg.user_tower.dnn, name='user_dnn')(
+    user_emb = _tower_dnn(cfg.user_tower.dnn, 'user_dnn')(
         user_in, training)
-    item_emb = DNN.from_config(cfg.item_tower.dnn, name='item_dnn')(
+    item_emb = _tower_dnn(cfg.item_tower.dnn, 'item_dnn')(
         item_in, training)
     both = jnp.concatenate([user_emb, item_emb], axis=1)
     final = DNN.from_config(cfg.final_dnn, name='final_dnn')(both, training)
@@ -540,9 +559,9 @@ class _DropoutNetModule(nn.Module):
       outs.append(DNN.from_config(dnn_cfg, name=name)(x, training))
     u_in = jnp.concatenate([o for o in outs[:2] if o is not None], axis=1)
     i_in = jnp.concatenate([o for o in outs[2:] if o is not None], axis=1)
-    user_emb = DNN.from_config(cfg.user_tower, name='user_tower')(
+    user_emb = _tower_dnn(cfg.user_tower, 'user_tower')(
         u_in, training)
-    item_emb = DNN.from_config(cfg.item_tower, name='item_tower')(
+    item_emb = _tower_dnn(cfg.item_tower, 'item_tower')(
         i_in, training)
     sim = jnp.sum(_normalize(user_emb) * _normalize(item_emb), axis=1)
     return {'user_tower_emb': user_emb, 'item_tower_emb': item_emb,

@@ -21,15 +21,39 @@ from easyrec_tpu.protos import common_pb2
 Similarity = common_pb2.Similarity
 
 
-class _PDNModule(nn.Module):
-  """PDN: score = direct(user, item) + sum_t u2i(user, trigger_t) *
-  i2i(trigger_t, item) over the user's behavior sequence (triggers).
+def _linear_final(cfg, name):
+  """last_layer_no_activation=True, last_layer_no_batch_norm=True —
+  every PDN sub-net head in the reference (pdn.py:85-94, 112-133,
+  147-170, 190-196)."""
+  return DNN.from_config(cfg, name=name, use_final_activation=False,
+                         use_final_bn=False)
 
-  Feature groups: 'user', 'item', and a sequence group 'hist' whose
-  per-step embeddings are the trigger items (reference model/pdn.py).
+
+class _PDNModule(nn.Module):
+  """PDN (reference model/pdn.py:42-200): per-position POSITIVE path
+  scores — trigger_out = exp(trigger_dnn(u2i_dnn([u2i_seq; i_seq]) +
+  user_fea)), sim_out = exp(sim_dnn([cross, cross, i2i_seq, item])) with
+  cross = i2i_dnn(i_seq) * item_fea — masked-summed over the behavior
+  sequence, plus softplus direct-similarity and softplus bias nets.
+  probs = 1 - exp(-sum)  (additive hazards); logits = log(probs).
+
+  Feature groups: 'user', 'item', optional 'bias'; sequence groups
+  'u2i_seq' / 'i_seq' / 'i2i_seq' (reference layout). A single 'hist'
+  group may stand in for all three (our compact sample layout).
   """
   ctx: Any
   model: Any
+
+  def _seq(self, il, pulled, batch, group):
+    seqs, mask = [], None
+    for f in self.ctx.group_features(group):
+      if self.ctx.specs[f].kind != 'sequence':
+        continue
+      s, m = il.sequence_embedding(pulled, batch, f)
+      seqs.append(s)
+      mask = m if mask is None else jnp.maximum(mask, m)
+    return (jnp.concatenate(seqs, axis=-1) if len(seqs) > 1 else seqs[0],
+            mask)
 
   @nn.compact
   def __call__(self, batch, pulled, training: bool = False):
@@ -39,58 +63,73 @@ class _PDNModule(nn.Module):
 
     user_in = il.group_concat(pulled, batch, ctx.group_features('user'))
     item_in = il.group_concat(pulled, batch, ctx.group_features('item'))
-    user_emb = DNN.from_config(cfg.user_dnn, name='user_dnn')(
-        user_in, training)
-    item_emb = DNN.from_config(cfg.item_dnn, name='item_dnn')(
-        item_in, training)
 
-    # triggers: the user's behavior sequence
-    hist_names = [f for f in ctx.group_features('hist')
-                  if ctx.specs[f].kind == 'sequence']
-    seqs, mask = [], None
-    for h in hist_names:
-      s, m = il.sequence_embedding(pulled, batch, h)
-      seqs.append(s)
-      mask = m if mask is None else jnp.maximum(mask, m)
-    hist = jnp.concatenate(seqs, axis=-1) if len(seqs) > 1 else seqs[0]
-    trigger = DNN.from_config(cfg.trigger_dnn, name='trigger_dnn')(
-        hist, training)                               # [B, L, Dt]
-
-    # trigger path: u2i weight per step x i2i relevance per step
-    L_steps = trigger.shape[1]
-    u_tiled = jnp.repeat(user_emb[:, None, :], L_steps, axis=1)
-    u2i_in = jnp.concatenate([u_tiled, trigger], axis=-1)
-    u2i = DNN.from_config(cfg.u2i_dnn, name='u2i_dnn')(u2i_in, training)
-    u2i_w = nn.softplus(nn.Dense(1, name='u2i_w')(u2i))[..., 0]  # [B, L]
-
-    i_tiled = jnp.repeat(item_emb[:, None, :], L_steps, axis=1)
-    i2i_in = jnp.concatenate(
-        [trigger, i_tiled, trigger * i_tiled], axis=-1)
-    i2i = DNN.from_config(cfg.i2i_dnn, name='i2i_dnn')(i2i_in, training)
-    i2i_s = nn.Dense(1, name='i2i_s')(i2i)[..., 0]               # [B, L]
-
-    trigger_score = jnp.sum(u2i_w * i2i_s * mask, axis=1)
-
-    # direct path
-    du = DNN.from_config(cfg.direct_user_dnn, name='direct_user')(
-        user_in, training) if len(cfg.direct_user_dnn.hidden_units) \
-        else user_emb
-    di = DNN.from_config(cfg.direct_item_dnn, name='direct_item')(
-        item_in, training) if len(cfg.direct_item_dnn.hidden_units) \
-        else item_emb
-    if self.model.simi_func == Similarity.COSINE:
-      direct = jnp.sum(_normalize(du) * _normalize(di), axis=1)
+    if 'i_seq' in ctx.groups:
+      i_seq, mask = self._seq(il, pulled, batch, 'i_seq')
+      u2i_seq, _ = self._seq(il, pulled, batch, 'u2i_seq') \
+          if 'u2i_seq' in ctx.groups else (i_seq, mask)
+      i2i_seq, _ = self._seq(il, pulled, batch, 'i2i_seq') \
+          if 'i2i_seq' in ctx.groups else (i_seq, mask)
     else:
-      direct = jnp.sum(du * di, axis=1)
+      i_seq, mask = self._seq(il, pulled, batch, 'hist')
+      u2i_seq = i2i_seq = i_seq
 
-    logits = direct + trigger_score
-    if len(cfg.bias_dnn.hidden_units):
-      bias_in = jnp.concatenate([user_in, item_in], axis=-1)
-      bias = DNN.from_config(cfg.bias_dnn, name='bias_dnn')(
-          bias_in, training)
-      logits = logits + nn.Dense(1, name='bias_out')(bias)[:, 0]
-    return {'user_tower_emb': du, 'item_tower_emb': di,
-            'logits': logits, 'probs': jax.nn.sigmoid(logits)}
+    # ---- trigger net (pdn.py:74-105)
+    user_fea = DNN.from_config(cfg.user_dnn, name='user_dnn')(
+        user_in, training)
+    tseq = DNN.from_config(cfg.u2i_dnn, name='u2i_dnn')(
+        jnp.concatenate([u2i_seq, i_seq], axis=-1), training)
+    merged = tseq + user_fea[:, None, :]
+    trigger_out = jnp.exp(_linear_final(cfg.trigger_dnn, 'trigger_dnn')(
+        merged, training))                              # [B, L, 1]
+
+    # ---- similarity net (pdn.py:107-142)
+    item_fea = DNN.from_config(cfg.item_dnn, name='item_dnn')(
+        item_in, training)
+    sim_seq = DNN.from_config(cfg.i2i_dnn, name='i2i_dnn')(
+        i_seq, training)
+    cross = sim_seq * item_fea[:, None, :]
+    l_steps = i_seq.shape[1]
+    item_tile = jnp.repeat(item_fea[:, None, :], l_steps, axis=1)
+    sim_in = jnp.concatenate([cross, cross, i2i_seq, item_tile], axis=-1)
+    sim_out = jnp.exp(_linear_final(cfg.sim_dnn, 'sim_dnn')(
+        sim_in, training)) if len(cfg.sim_dnn.hidden_units) else \
+        jnp.ones_like(trigger_out)                      # [B, L, 1]
+
+    score = jnp.sum((trigger_out * sim_out)[..., 0] * mask, axis=1)
+
+    # ---- direct net (pdn.py:144-185): softplus(scaled similarity)
+    du = di = None
+    if len(cfg.direct_user_dnn.hidden_units) and \
+        len(cfg.direct_item_dnn.hidden_units):
+      du = _linear_final(cfg.direct_user_dnn, 'direct_user')(
+          user_in, training)
+      di = _linear_final(cfg.direct_item_dnn, 'direct_item')(
+          item_in, training)
+      if self.model.simi_func == Similarity.COSINE:
+        du, di = _normalize(du), _normalize(di)
+      direct = jnp.sum(du * di, axis=1)
+      if cfg.scale_simi:
+        w = self.param('direct_sim_w', nn.initializers.ones, (1,))
+        b = self.param('direct_sim_b', nn.initializers.zeros, (1,))
+        direct = direct * jnp.abs(w[0]) + b[0]
+      score = score + nn.softplus(direct)
+
+    # ---- bias net (pdn.py:187-199)
+    if len(cfg.bias_dnn.hidden_units) and 'bias' in ctx.groups:
+      bias_in = il.group_concat(pulled, batch, ctx.group_features('bias'))
+      bias = _linear_final(cfg.bias_dnn, 'bias_dnn')(bias_in, training)
+      score = score + nn.softplus(bias[:, 0])
+
+    # additive-hazard link: probs in [0, 1); logits = log(probs) feeds
+    # the reference's sigmoid-CE pointwise loss unchanged (pdn.py:61-64)
+    probs = 1.0 - jnp.exp(-score)
+    logits = jnp.log(jnp.clip(probs, 1e-8, 1 - 1e-8))
+    out = {'logits': logits, 'probs': probs,
+           'trigger_out': trigger_out[..., 0], 'sim_out': sim_out[..., 0]}
+    if du is not None:
+      out['user_tower_emb'], out['item_tower_emb'] = du, di
+    return out
 
 
 @register_model('PDN')
@@ -103,6 +142,8 @@ class PDN(MatchModel):
   def build_loss(self, outputs, batch):
     labels = self.labels(batch)
     weights = self.sample_weights(batch)
+    # reference routes PDN through the CLASSIFICATION pointwise loss on
+    # its log-prob 'logits' (match_model.py:257-263)
     loss = L.sigmoid_cross_entropy(labels, outputs['logits'], weights)
     return loss, {'sigmoid_cross_entropy': loss}
 
@@ -128,7 +169,10 @@ class _CMLModule(nn.Module):
                   num_layers=int(hw.num_layers) or 1,
                   name='highway_%d' % i)(x, training)
     if len(cfg.dnn.hidden_units):
-      x = DNN.from_config(cfg.dnn, name='dnn')(x, training)
+      # reference collaborative_metric_learning.py:104-112: last hidden
+      # applied as a plain linear dense
+      x = DNN.from_config(cfg.dnn, name='dnn', use_final_activation=False,
+                          use_final_bn=False)(x, training)
     if cfg.output_l2_normalized_emb:
       x = _normalize(x)
     return {'float_emb': x}

@@ -465,6 +465,23 @@ def _seg_sum_pallas(expanded: jnp.ndarray, flat: jnp.ndarray,
 
 # ----------------------------------------------------------- update prep
 
+def _expand_lanes(sgrads: jnp.ndarray, lane: jnp.ndarray,
+                  meta: PackMeta):
+  """[N, dim] grads + per-row lane -> [N, part_width] compact rows:
+  tiled[:, q] = sgrads[:, q % dim] masked to q // dim == lane."""
+  n = sgrads.shape[0]
+  pw = meta.part_width
+  live = meta.pack * meta.dim
+  tiled = jnp.tile(sgrads.astype(jnp.float32), (1, live // meta.dim))
+  q = jnp.arange(live, dtype=jnp.int32)
+  sel = (q // meta.dim)[None, :] == lane[:, None]
+  expanded = jnp.where(sel, tiled, 0.0)
+  if pw != live:
+    expanded = jnp.concatenate(
+        [expanded, jnp.zeros((n, pw - live), jnp.float32)], axis=1)
+  return expanded
+
+
 def _prep_sorted(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta):
   """Shared head of the update prep: sort + group dedup + compact lane
   expansion. Returns (ugids [cap], expanded [N, part_width], flat [N],
@@ -499,15 +516,7 @@ def _prep_sorted(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta):
   # input — but measured 2x SLOWER in-step: the [*, dim] minor axis
   # tile-pads to 128 lanes on TPU, so the un-expanded form inflates the
   # scatter 8x. The 128-lane expanded form below is load-bearing.)
-  pw = meta.part_width
-  live = meta.pack * meta.dim
-  tiled = jnp.tile(sgrads, (1, live // meta.dim))
-  q = jnp.arange(live, dtype=jnp.int32)
-  sel = (q // meta.dim)[None, :] == lane[:, None]
-  expanded = jnp.where(sel, tiled, 0.0)
-  if pw != live:
-    expanded = jnp.concatenate(
-        [expanded, jnp.zeros((n, pw - live), jnp.float32)], axis=1)
+  expanded = _expand_lanes(sgrads, lane, meta)
   # sids sorted => (gseg, sub) sorted => flat sorted; duplicates and
   # same-physical-row collisions sum in one pass.
   flat = gseg * 8 + sub
@@ -535,7 +544,31 @@ def group_prep(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta,
   + one-hot matmul accumulation) is an opt-in alternative
   (EASYREC_SEG_SUM_KERNEL=1); correctness is pinned by
   tests/test_packed_table.py::test_seg_sum_kernel_parity. The fused RMW
-  kernel (_rmw_fused_pallas) skips this materialization entirely."""
+  kernel (_rmw_fused_pallas) skips this materialization entirely.
+
+  SORT-FREE path: when cap would reach meta.groups anyway (sequence-
+  heavy steps on small tables — Taobao DIN pushes 471k ids at a 19.4k-
+  group table), the argsort/dedup buys nothing: every group may be
+  touched, so key the segment-sum by the physical row directly and
+  return ugids = arange(groups). Measured 11.4 vs 16.9 ms at the DIN
+  shape (benchmarks/bench_prep_variants.py); per-row lazy semantics are
+  preserved because the RMW kernel masks zero-grad rows
+  (_math_and_mask `touched`). EASYREC_NOSORT_PREP=0 restores the
+  sorted path everywhere."""
+  n = ids.shape[0]
+  _SEG_B0 = _seg_b()
+  q0 = _SEG_B0 // 8
+  want_cap = min(-(-n // q0) * q0, meta.groups)
+  if want_cap >= meta.groups and \
+      _os.environ.get('EASYREC_NOSORT_PREP', '1') == '1':
+    within = ids % meta.group_rows
+    lane = within % meta.pack
+    expanded = _expand_lanes(grads, lane, meta)
+    flat = (ids // meta.group_rows) * 8 + within // meta.pack
+    gg = jax.ops.segment_sum(expanded, flat,
+                             num_segments=meta.groups * 8)
+    return jnp.arange(meta.groups, dtype=ids.dtype), \
+        gg.reshape(meta.groups, 8, meta.part_width)
   ugids, expanded, flat, cap = _prep_sorted(ids, grads, meta)
   pw = meta.part_width
   _SEG_B = _seg_b()

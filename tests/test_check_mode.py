@@ -129,6 +129,39 @@ def test_check_mode_off_no_validation(tmp_path):
   next(iter(pipe))
 
 
+def test_seq_raw_and_lookup_validators_direct():
+  from easyrec_tpu.data import check
+
+  good = np.array(['1|2;3|4', '', '5|6'])
+  check._check_seq_raw(good, '|', ';', 2, 'seq')
+  with pytest.raises(CheckError, match=r"field 'seq' row 1.*'3'.*"
+                                       r"raw_input_dim=2"):
+    check._check_seq_raw(np.array(['1|2', '3;4|5']), '|', ';', 2, 'seq')
+  with pytest.raises(CheckError, match=r"field 'seq' row 0.*'x'"):
+    check._check_seq_raw(np.array(['1|x;2|3']), '|', ';', 2, 'seq')
+
+  check._check_lookup_map(np.array(['a:1|b:2', '']), '|', ':', 'lk')
+  with pytest.raises(CheckError, match=r"field 'lk' row 1.*'b:2:3'"):
+    check._check_lookup_map(np.array(['a:1', 'b:2:3']), '|', ':', 'lk')
+
+
+def test_blank_kv_weight_fails():
+  from easyrec_tpu.data import check
+  with pytest.raises(CheckError, match=r"row 0.*weight ''"):
+    check._check_kv_tags(np.array(['a:']), '|', ':', 'kv')
+
+
+def test_vectorized_clean_batch_is_fast():
+  # the fast path must not loop rows in Python: 200k rows in well
+  # under a second (the per-row version took several seconds)
+  import time
+  from easyrec_tpu.data import check
+  vals = np.array(['0.1|0.2|0.3'] * 200000)
+  t0 = time.perf_counter()
+  check._check_raw_vector(vals, '|', 3, 'vec')
+  assert time.perf_counter() - t0 < 1.0
+
+
 def test_cli_flag_plumbs_to_trainer(tmp_path):
   from easyrec_tpu.train_eval import get_parser
   args = get_parser().parse_args(

@@ -31,6 +31,56 @@ def _signs(rng, n):
   return rng.choice([-1.0, 1.0], n)
 
 
+def _auc_of_probs(vals, mass):
+  """Exact AUC of the Bayes-optimal scorer for a label drawn Bern(p)
+  with p taking `vals` with probability `mass`: rank by p, positives
+  contribute mass*p, negatives mass*(1-p); ties count half."""
+  order = np.argsort(vals)
+  vals, mass = np.asarray(vals, np.float64)[order], \
+      np.asarray(mass, np.float64)[order]
+  a = mass * vals
+  b = mass * (1.0 - vals)
+  cum_b = np.concatenate([[0.0], np.cumsum(b)[:-1]])
+  return float((np.sum(a * cum_b) + 0.5 * np.sum(a * b)) /
+               (np.sum(a) * np.sum(b)))
+
+
+def bayes_aucs():
+  """Closed-form Bayes-optimal AUC per synthetic label, from the same
+  fixed signal tables make_csv uses. Gates assert models land within a
+  stated margin of these — a round-number bar would let a half-broken
+  tower pass (VERDICT r2 weak #2)."""
+  srng = np.random.default_rng(99)
+  s_i, s_c = _signs(srng, N_IID), _signs(srng, N_CATE)
+  s_u, s_k = _signs(srng, N_UID), _signs(srng, N_CATE)
+  out = {}
+  lint = 1 / (1 + np.exp(-2.8 * np.outer(s_i, s_c).ravel()))
+  out['lint'] = _auc_of_probs(lint, np.full(lint.size, 1.0 / lint.size))
+  lctr = 1 / (1 + np.exp(-2.2 * s_u))
+  out['lctr'] = _auc_of_probs(lctr, np.full(lctr.size, 1.0 / lctr.size))
+  lcvr = 1 / (1 + np.exp(-2.2 * s_k))
+  out['lcvr'] = _auc_of_probs(lcvr, np.full(lcvr.size, 1.0 / lcvr.size))
+  # lseq: p=0.85 iff cate in seq; seq elements uniform, L uniform 1..MAX
+  ls = np.arange(1, MAX_SEQ + 1)
+  p_member = float(np.mean(1 - (1 - 1.0 / N_CATE) ** ls))
+  out['lseq'] = _auc_of_probs([0.85, 0.15], [p_member, 1 - p_member])
+  return out
+
+
+BAYES = bayes_aucs()  # {'lint': ~0.943, 'lseq': ~0.826, 'lctr'/'lcvr': ~0.90}
+
+# Stated margins below the Bayes-optimal AUC. 0.03 of margin covers
+# finite-eval noise (4096 rows: AUC std ~0.007) plus short-run
+# convergence slack; families that structurally cannot reach the bound
+# (ESMM's cvr tower trains through pCTR*pCVR) get a documented wider one.
+MARGIN = {
+    'rank': 0.03,
+    'seq': 0.03,
+    'mt': 0.03,
+    'esmm_cvr': 0.08,
+}
+
+
 def make_csv(path, n, seed):
   rng = np.random.default_rng(seed)
   srng = np.random.default_rng(99)          # signal tables: fixed across files
@@ -378,7 +428,10 @@ def _train_eval(tmp_path, body, label_fields, metrics=AUC_METRIC,
                          ids=sorted(RANK_BODIES))
 def test_rank_interaction_learned(name, tmp_path):
   m = _train_eval(tmp_path, RANK_BODIES[name], ['lint'])
-  assert m['auc'] > 0.70, '%s failed interaction gate: %s' % (name, m)
+  bar = BAYES['lint'] - MARGIN['rank']
+  assert m['auc'] > bar, \
+      '%s interaction gate: auc=%.4f < bayes %.4f - %.2f' % (
+          name, m['auc'], BAYES['lint'], MARGIN['rank'])
 
 
 def test_bfloat16_compute_quality(tmp_path):
@@ -405,7 +458,9 @@ def test_bfloat16_compute_quality(tmp_path):
   import jax.numpy as jnp
   assert trainer.compute_dtype == jnp.bfloat16
   m = Trainer(cfg).fit(checkpoint=False)['eval_metrics']
-  assert m['auc'] > 0.70, 'bf16 compute failed interaction gate: %s' % m
+  bar = BAYES['lint'] - MARGIN['rank']
+  assert m['auc'] > bar, \
+      'bf16 interaction gate: auc=%.4f < %.4f' % (m['auc'], bar)
 
 
 @pytest.mark.parametrize('name', sorted(SEQ_BODIES), ids=sorted(SEQ_BODIES))
@@ -415,22 +470,33 @@ def test_sequence_attention_learned(name, tmp_path):
   lr = 0.005 if name == 'MultiTowerBST' else None
   m = _train_eval(tmp_path, SEQ_BODIES[name], ['lseq'],
                   num_steps=600 if lr else 250, lr=lr)
-  assert m['auc'] > 0.75, '%s failed sequence gate: %s' % (name, m)
+  bar = BAYES['lseq'] - MARGIN['seq']
+  assert m['auc'] > bar, \
+      '%s sequence gate: auc=%.4f < bayes %.4f - %.2f' % (
+          name, m['auc'], BAYES['lseq'], MARGIN['seq'])
 
 
 @pytest.mark.parametrize('name', sorted(MT_BODIES), ids=sorted(MT_BODIES))
 def test_multitask_per_task_learned(name, tmp_path):
   m = _train_eval(tmp_path, MT_BODIES[name], ['lctr', 'lcvr'])
-  assert m['auc_ctr'] > 0.65, '%s ctr gate: %s' % (name, m)
-  assert m['auc_cvr'] > 0.65, '%s cvr gate: %s' % (name, m)
+  assert m['auc_ctr'] > BAYES['lctr'] - MARGIN['mt'], \
+      '%s ctr gate: auc=%.4f < bayes %.4f - %.2f' % (
+          name, m['auc_ctr'], BAYES['lctr'], MARGIN['mt'])
+  assert m['auc_cvr'] > BAYES['lcvr'] - MARGIN['mt'], \
+      '%s cvr gate: auc=%.4f < bayes %.4f - %.2f' % (
+          name, m['auc_cvr'], BAYES['lcvr'], MARGIN['mt'])
 
 
 def test_esmm_per_task_learned(tmp_path):
   # ESMM's cvr tower trains on pCTR*pCVR against the cvr label; both task
   # signals are feature-driven so both AUCs must clear the bar.
   m = _train_eval(tmp_path, ESMM_BODY, ['lctr', 'lcvr'])
-  assert m['auc_ctr'] > 0.65, 'esmm ctr gate: %s' % m
-  assert m['auc_cvr'] > 0.60, 'esmm cvr gate: %s' % m
+  assert m['auc_ctr'] > BAYES['lctr'] - MARGIN['mt'], \
+      'esmm ctr gate: auc=%.4f' % m['auc_ctr']
+  # the cvr tower is supervised through pCTR*pCVR (biased objective) —
+  # it cannot reach the plain-cvr Bayes bound; gate with a wider margin
+  assert m['auc_cvr'] > BAYES['lcvr'] - MARGIN['esmm_cvr'], \
+      'esmm cvr gate: auc=%.4f' % m['auc_cvr']
 
 
 MIND_CONFIG = """

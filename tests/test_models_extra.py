@@ -134,12 +134,12 @@ MODEL_CONFIGS = {
   pdn {
     user_dnn { hidden_units: [16, 8] use_bn: false }
     item_dnn { hidden_units: [16, 8] use_bn: false }
-    trigger_dnn { hidden_units: [8] use_bn: false }
     u2i_dnn { hidden_units: [8] use_bn: false }
+    trigger_dnn { hidden_units: [8, 1] use_bn: false }
     i2i_dnn { hidden_units: [8] use_bn: false }
+    sim_dnn { hidden_units: [8, 1] use_bn: false }
     direct_user_dnn { hidden_units: [8] use_bn: false }
     direct_item_dnn { hidden_units: [8] use_bn: false }
-    bias_dnn { hidden_units: [4] use_bn: false }
     item_id: "iid"
   }
 """,
