@@ -72,3 +72,64 @@ def test_big_model_parity_and_incremental(tmp_path):
   pb2 = np.asarray([r['probs'] for r in out_b2], np.float32)
   assert not np.allclose(pb2, pb, atol=1e-6), \
       'big-model predictions should change after the delta'
+
+
+class _FakeRedis:
+  """mget/mset/get/set duck-type of redis-py — validates the wire
+  contract (key layout + byte encoding) without a reachable broker."""
+
+  def __init__(self):
+    self.kv = {}
+
+  def mget(self, names):
+    return [self.kv.get(n) for n in names]
+
+  def mset(self, mapping):
+    self.kv.update(mapping)
+
+  def set(self, name, value):
+    self.kv[name] = value
+
+  def get(self, name):
+    return self.kv.get(name)
+
+
+def test_redis_transport_roundtrip():
+  """KVTransport interface: the redis backend (fake client) serves the
+  same gathers/updates as the file backend (reference
+  export_big_model.py:43 redis kv_module)."""
+  import numpy as np
+  from easyrec_tpu.export import big_model as bm
+
+  rng = np.random.default_rng(0)
+  tables = {'emb16': rng.normal(size=(64, 16)).astype(np.float32),
+            'wide': rng.normal(size=(32, 1)).astype(np.float32)}
+  fake = _FakeRedis()
+  bm.write_kv_store('/nonexistent', tables, uri='redis://test:6379',
+                    client=fake)
+  stores = bm.open_kv_store('/nonexistent', uri='redis://test:6379',
+                            client=fake)
+  ids = np.array([[3, 7], [63, 0]])
+  np.testing.assert_allclose(stores['emb16'].gather(ids),
+                             tables['emb16'][ids], rtol=0)
+  # write-through delta then re-gather
+  new = np.full((2, 16), 5.0, np.float32)
+  stores['emb16'].update_rows(np.array([3, 7]), new)
+  got = stores['emb16'].gather(np.array([3, 7]))
+  np.testing.assert_allclose(got, new)
+  # key layout is the reference's '<ns>:<table>:<row>'
+  assert 'easyrec:emb16:3' in fake.kv
+  # missing rows gather zeros (cold-start parity with reference kv)
+  cold = bm.RedisKVTable(fake, 'easyrec', 'emb16',
+                         {'rows': 64, 'dim': 16})
+  fake2 = _FakeRedis()
+  cold2 = bm.RedisKVTable(fake2, 'easyrec', 'emb16',
+                          {'rows': 64, 'dim': 16})
+  assert float(np.abs(cold2.gather(np.array([1]))).sum()) == 0.0
+
+
+def test_unknown_transport_uri_pointed():
+  import pytest
+  from easyrec_tpu.export import big_model as bm
+  with pytest.raises(ValueError, match='unknown KV transport'):
+    bm.make_transport('/tmp', 'oss://bucket/x')

@@ -57,6 +57,19 @@ def _row_value(col, rng, i):
   raise KeyError(col)
 
 
+def _typed_value(field, rng):
+  """Generic value for fg.json-generated columns: by declared input
+  type, with '<seq>__<sub>' names getting |-joined position lists."""
+  from easyrec_tpu.protos import data_pb2
+  ft = data_pb2.DatasetConfig.FieldType
+  if field.input_type in (ft.FLOAT, ft.DOUBLE, ft.INT32, ft.INT64):
+    return '%.3f' % rng.random()
+  if '__' in field.input_name:
+    k = rng.integers(1, 6)
+    return '|'.join('v%d' % rng.integers(0, 50) for _ in range(k))
+  return 'v%d' % rng.integers(0, 50)
+
+
 def _write_csv(path, cols, n, seed):
   rng = np.random.default_rng(seed)
   with open(path, 'w') as f:
@@ -106,15 +119,25 @@ def sample_data(tmp_path_factory):
 
 def _column_subset(cfg, paths, tmp):
   """Sample configs may declare a subset of the shared schema columns;
-  regenerate the CSVs with exactly the declared input_fields."""
-  cols = [f.input_name for f in cfg.data_config.input_fields]
-  base = STANDARD_COLS if 'img_vec' not in cols else MM_COLS
-  if cols == base[:len(cols)] and all(c in base for c in cols):
-    pass  # prefix of the shared schema still parses positionally
+  regenerate the CSVs with exactly the declared input_fields. fg-driven
+  configs (generated input_fields) fall back to typed generic values."""
+  fields = list(cfg.data_config.input_fields)
+  cols = [f.input_name for f in fields]
+  known = set(STANDARD_COLS) | set(MM_COLS) | {'teacher'}
   train = os.path.join(tmp, 'train.csv')
   evalp = os.path.join(tmp, 'eval.csv')
-  _write_csv(train, cols, 256, seed=11)
-  _write_csv(evalp, cols, 64, seed=12)
+  if all(c in known for c in cols):
+    _write_csv(train, cols, 256, seed=11)
+    _write_csv(evalp, cols, 64, seed=12)
+  else:
+    for path, n, seed in ((train, 256, 11), (evalp, 64, 12)):
+      rng = np.random.default_rng(seed)
+      with open(path, 'w') as f:
+        for i in range(n):
+          f.write(','.join(
+              _row_value(c, rng, i) if c in known else
+              _typed_value(fld, rng)
+              for c, fld in zip(cols, fields)) + '\n')
   return train, evalp
 
 
@@ -125,6 +148,13 @@ def test_sample_trains(path, sample_data, tmp_path):
   from easyrec_tpu.train.trainer import Trainer
 
   cfg = get_configs_from_pipeline_file(path)
+  repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  if cfg.fg_json_path:
+    # mirror the driver (main.py): fg.json generates data/feature configs
+    from easyrec_tpu.utils.fg_util import load_fg_json_to_config
+    if not os.path.isabs(cfg.fg_json_path):
+      cfg.fg_json_path = os.path.join(repo_root, cfg.fg_json_path)
+    load_fg_json_to_config(cfg)
   problems = check_config(cfg)
   assert problems == [], problems
 
