@@ -79,6 +79,24 @@ def build(trainer, update: str):
         w = jnp.take(table, uids, axis=0)
         upd = w - 0.001 * m / (jnp.sqrt(v) + 1e-8)
         loss = loss + 0.0 * jnp.sum(upd)
+    if update in ('deep-prep-sort', 'deep-prep-expand') and \
+        pack_metas is not None:
+      # finer prep stages IN-STEP: sort+takes only / +lane expansion
+      from easyrec_tpu.ops import packed_table as pt
+      key = [k for k in state.tables if not k.startswith('wide')][0]
+      meta = pack_metas[key]
+      ids = packs[key].reshape(-1)
+      g = g_pulled[key].reshape(-1, meta.dim)
+      order = jnp.argsort(ids)
+      sids = jnp.take(ids, order)
+      sgrads = jnp.take(g, order, axis=0).astype(jnp.float32)
+      if update == 'deep-prep-expand':
+        within = sids % meta.group_rows
+        lane = within % meta.pack
+        expanded = pt._expand_lanes(sgrads, lane, meta)
+        loss = loss + 0.0 * jnp.sum(expanded)
+      else:
+        loss = loss + 0.0 * (jnp.sum(sgrads) + jnp.sum(sids))
     if update == 'deep-rawscatter' and pack_metas is None:
       # three raw scatter-adds with NO dedup (scatter cost alone)
       key = [k for k in state.tables if not k.startswith('wide')][0]

@@ -97,6 +97,18 @@ def _lookup_ids(col, config, rows: int) -> np.ndarray:
   if config.num_buckets > 0:
     ids = _to_int(col)
     return np.clip(ids, 0, int(config.num_buckets) - 1)
+  if list(config.boundaries):
+    # numeric values bucketized by boundaries (sequence sub_feature_type
+    # RawFeature + boundaries: reference feature_column sequence
+    # bucketized path, dbmtl_on_numeric_boundary_sequence_feature)
+    vals = np.zeros(len(col), dtype=np.float64)
+    for i, v in enumerate(_to_numpy_str(col)):
+      try:
+        vals[i] = float(v)
+      except ValueError:
+        pass
+    bounds = np.asarray(config.boundaries, dtype=np.float64)
+    return np.searchsorted(bounds, vals, side='right').astype(np.int64)
   if config.vocab_list or config.vocab_file:
     vocab = list(config.vocab_list)
     if not vocab and config.vocab_file:

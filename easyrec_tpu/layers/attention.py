@@ -29,9 +29,12 @@ class DinAttention(nn.Module):
   attention_normalizer: str = 'softmax'
 
   @nn.compact
-  def __call__(self, query, keys, mask, training: bool = False):
+  def __call__(self, query, keys, mask, training: bool = False, aux=()):
     # query [..., D], keys [..., L, D], mask [..., L] — extra leading
-    # dims (e.g. per-sampled-negative queries [B, N, D]) broadcast through
+    # dims (e.g. per-sampled-negative queries [B, N, D]) broadcast through.
+    # aux: extra [..., L, Da] value sequences attended with the SAME
+    # weights, concatenated after the main output (reference
+    # sequence_feature_layer aux_hist_seq handling).
     q = jnp.broadcast_to(query[..., None, :], keys.shape)
     att_in = jnp.concatenate([q, keys, q - keys, q * keys], axis=-1)
     scores = DNN(hidden_units=tuple(self.attention_dims) + (1,),
@@ -44,7 +47,12 @@ class DinAttention(nn.Module):
       weights = weights * (mask.sum(axis=-1, keepdims=True) > 0)
     else:  # sigmoid
       weights = nn.sigmoid(scores) * mask
-    return jnp.einsum('...l,...ld->...d', weights, keys)
+    out = jnp.einsum('...l,...ld->...d', weights, keys)
+    if aux:
+      outs = [out] + [jnp.einsum('...l,...ld->...d', weights, a)
+                      for a in aux]
+      out = jnp.concatenate(outs, axis=-1)
+    return out
 
 
 class MultiHeadSelfAttention(nn.Module):

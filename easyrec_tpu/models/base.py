@@ -59,6 +59,7 @@ class ModelContext:
       for m in g.seq_att_map:
         names.extend(m.key)
         names.extend(m.hist_seq)
+        names.extend(m.aux_hist_seq)
     return list(dict.fromkeys(names))
 
   def wide_feature_names(self) -> List[str]:

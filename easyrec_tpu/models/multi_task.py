@@ -18,6 +18,7 @@ from easyrec_tpu.layers.dnn import DNN
 from easyrec_tpu.layers.multi_task import CGCLayer, MMoE as MMoELayer
 from easyrec_tpu.losses import losses as L
 from easyrec_tpu.models.base import BaseModel, register_model
+from easyrec_tpu.models.seq_input import group_input
 from easyrec_tpu.protos import models_pb2
 
 LossType = models_pb2.LossType
@@ -148,7 +149,7 @@ class _SimpleMultiTaskModule(nn.Module):
     il = ctx.input_layer
     cfg = ctx.model_config.simple_multi_task
     group = next(iter(ctx.groups))
-    x = il.group_concat(pulled, batch, ctx.group_features(group))
+    x = group_input(ctx, pulled, batch, group, training)
     out = {}
     for tower in cfg.task_towers:
       logits = _tower_head(tower, x, training, tower.tower_name)
@@ -178,7 +179,7 @@ class _MMoEModule(nn.Module):
     il = ctx.input_layer
     cfg = ctx.model_config.mmoe
     group = next(iter(ctx.groups))
-    x = il.group_concat(pulled, batch, ctx.group_features(group))
+    x = group_input(ctx, pulled, batch, group, training)
     towers = list(cfg.task_towers)
     expert_cfg = cfg.expert_dnn if cfg.HasField('expert_dnn') else \
         cfg.experts[0].dnn
@@ -219,14 +220,14 @@ class _ESMMModule(nn.Module):
     feats = []
     if len(cfg.groups) > 0:
       for tower in cfg.groups:
-        x = il.group_concat(pulled, batch, ctx.group_features(tower.input))
+        x = group_input(ctx, pulled, batch, tower.input, training)
         feats.append(DNN.from_config(tower.dnn,
                                      name='group_%s' % tower.input)(
                                          x, training))
       x = jnp.concatenate(feats, axis=1) if len(feats) > 1 else feats[0]
     else:
       group = next(iter(ctx.groups))
-      x = il.group_concat(pulled, batch, ctx.group_features(group))
+      x = group_input(ctx, pulled, batch, group, training)
     ctr_logits = _tower_head(cfg.ctr_tower, x, training, 'ctr')
     cvr_logits = _tower_head(cfg.cvr_tower, x, training, 'cvr')
     p_ctr = jax.nn.sigmoid(ctr_logits)
@@ -313,7 +314,7 @@ class _DBMTLModule(nn.Module):
           batch, pulled, training)
     else:
       group = next(iter(ctx.groups))
-      x = il.group_concat(pulled, batch, ctx.group_features(group))
+      x = group_input(ctx, pulled, batch, group, training)
     if cfg.HasField('bottom_dnn') and len(cfg.bottom_dnn.hidden_units):
       x = DNN.from_config(cfg.bottom_dnn, name='bottom_dnn')(x, training)
     towers = list(cfg.task_towers)
@@ -374,7 +375,7 @@ class _PLEModule(nn.Module):
     il = ctx.input_layer
     cfg = ctx.model_config.ple
     group = next(iter(ctx.groups))
-    x = il.group_concat(pulled, batch, ctx.group_features(group))
+    x = group_input(ctx, pulled, batch, group, training)
     towers = list(cfg.task_towers)
     num_task = len(towers)
     task_inputs = [x] * num_task

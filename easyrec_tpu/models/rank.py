@@ -22,6 +22,7 @@ from easyrec_tpu.layers.dnn import DNN
 from easyrec_tpu.layers.interaction import FM as FMLayer
 from easyrec_tpu.layers.interaction import CrossNet, DotInteraction
 from easyrec_tpu.models.base import ModelContext, RankModel, register_model
+from easyrec_tpu.models.seq_input import group_input, seq_group_tensors
 
 
 def _final_logits(x, n, name='logits'):
@@ -50,8 +51,10 @@ class _DeepFMModule(nn.Module):
         if ctx.specs[f].kind == 'categorical'])
     fm_out = FMLayer(use_variant=True, name='fm')(fm_in)
 
-    # deep tower
-    deep_in = il.group_concat(pulled, batch, deep_names)
+    # deep tower (group-level sequence_features attended in)
+    deep_in = group_input(ctx, pulled, batch, 'deep', training) \
+        if 'deep' in ctx.groups else il.group_concat(pulled, batch,
+                                                     deep_names)
     deep_out = DNN.from_config(cfg.dnn, name='dnn',
                                compute_dtype=ctx.compute_dtype)(
                                    deep_in, training)
@@ -96,7 +99,9 @@ class _WideAndDeepModule(nn.Module):
     deep_names = ctx.group_features('deep')
     wide_names = ctx.group_features('wide')
     wide = il.wide_logits(pulled, batch, wide_names)
-    deep_in = il.group_concat(pulled, batch, deep_names)
+    deep_in = group_input(ctx, pulled, batch, 'deep', training) \
+        if 'deep' in ctx.groups else il.group_concat(pulled, batch,
+                                                     deep_names)
     deep = DNN.from_config(cfg.dnn, name='dnn',
                            compute_dtype=ctx.compute_dtype)(deep_in,
                                                             training)
@@ -138,7 +143,7 @@ class _MultiTowerModule(nn.Module):
     cfg = ctx.model_config.multi_tower
     tower_outs = []
     for tower in cfg.towers:
-      x = il.group_concat(pulled, batch, ctx.group_features(tower.input))
+      x = group_input(ctx, pulled, batch, tower.input, training)
       tower_outs.append(
           DNN.from_config(tower.dnn, name='tower_%s' % tower.input,
                           compute_dtype=ctx.compute_dtype)(x, training))
@@ -154,24 +159,16 @@ class _MultiTowerModule(nn.Module):
 
   def _seq_group_tensors(self, group_name, batch, pulled):
     ctx = self.ctx
-    il = ctx.input_layer
     group = ctx.seq_att_groups[group_name]
-    keys, seqs, mask = [], [], None
-    for m in group.seq_att_map:
-      for k in m.key:
-        keys.append(il.feature_embedding(pulled, batch, k))
-      for h in m.hist_seq:
-        seq, msk = il.sequence_embedding(pulled, batch, h)
-        seqs.append(seq)
-        mask = msk if mask is None else jnp.maximum(mask, msk)
-    query = jnp.concatenate(keys, axis=1) if len(keys) > 1 else keys[0]
-    hist = jnp.concatenate(seqs, axis=2) if len(seqs) > 1 else seqs[0]
-    return query, hist, mask
+    query, hist, mask, aux = seq_group_tensors(ctx, group, batch, pulled)
+    return query, hist, mask, aux
 
   def _din_tower(self, tower, batch, pulled, training):
-    query, hist, mask = self._seq_group_tensors(tower.input, batch, pulled)
+    query, hist, mask, aux = self._seq_group_tensors(
+        tower.input, batch, pulled)
     group = self.ctx.seq_att_groups[tower.input]
-    need_key = getattr(group, 'need_key_feature', True)
+    need_key = getattr(group, 'need_key_feature', True) and \
+        query is not None
     if not need_key:
       # no target key: the masked mean of the history is the query
       # (reference seq_input_layer need_key_feature=false)
@@ -187,7 +184,8 @@ class _MultiTowerModule(nn.Module):
                        name='key_transform_%s' % tower.input)(query)
     att = DinAttention(
         attention_dims=tuple(tower.dnn.hidden_units)[:-1] or (32,),
-        name='din_%s' % tower.input)(query, hist, mask, training)
+        name='din_%s' % tower.input)(query, hist, mask, training,
+                                     aux=tuple(aux))
     seq_dnn = getattr(group, 'seq_dnn', None)
     if seq_dnn is not None and len(seq_dnn.hidden_units):
       att = DNN.from_config(seq_dnn, name='seq_dnn_%s' % tower.input)(
@@ -197,13 +195,19 @@ class _MultiTowerModule(nn.Module):
     return jnp.concatenate([att, query], axis=1)
 
   def _bst_tower(self, tower, batch, pulled, training):
-    query, hist, mask = self._seq_group_tensors(tower.input, batch, pulled)
+    query, hist, mask, _ = self._seq_group_tensors(
+        tower.input, batch, pulled)
     hidden = hist.shape[-1]
+    # the legacy MultiTowerBST has NO dropout anywhere (reference
+    # model/multi_tower_bst.py attention_net/add_and_norm — unlike the
+    # backbone BST keras layer which defaults to 0.1/0.1)
     return BSTEncoder(
         hidden_size=hidden,
         num_heads=int(tower.multi_head_size) or 4,
         intermediate_size=hidden * 4,
         max_position=max(int(tower.seq_len), hist.shape[1] + 1),
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
         name='bst_%s' % tower.input)(hist, mask, target=query,
                                      training=training)
 
@@ -229,13 +233,15 @@ class _DCNModule(nn.Module):
     ctx = self.ctx
     il = ctx.input_layer
     cfg = ctx.model_config.dcn
-    deep_in = il.group_concat(
-        pulled, batch, ctx.group_features(cfg.deep_tower.input))
+    deep_in = group_input(ctx, pulled, batch, cfg.deep_tower.input,
+                          training)
+    # the towers usually share one group: render (and attend) it once
+    cross_in = deep_in if cfg.cross_tower.input == cfg.deep_tower.input \
+        else group_input(ctx, pulled, batch, cfg.cross_tower.input,
+                         training)
     deep = DNN.from_config(cfg.deep_tower.dnn, name='deep',
                            compute_dtype=ctx.compute_dtype)(deep_in,
                                                             training)
-    cross_in = il.group_concat(
-        pulled, batch, ctx.group_features(cfg.cross_tower.input))
     cross = CrossNet(num_layers=int(cfg.cross_tower.cross_num) or 3,
                      name='cross')(cross_in)
     final_in = jnp.concatenate([deep, cross], axis=1)
@@ -268,6 +274,15 @@ class _AutoIntModule(nn.Module):
     names = [f for f in ctx.group_features(group)
              if ctx.specs[f].kind == 'categorical']
     x = il.group_stack(pulled, batch, names)
+    # group-level sequence_features join the interaction as one more
+    # field (attended history vector projected to the field dim)
+    from easyrec_tpu.models.seq_input import seq_att_output
+    for sg in ctx.groups[group].sequence_features:
+      att = seq_att_output(ctx, sg, batch, pulled, training)
+      if att.shape[-1] != x.shape[-1]:
+        att = nn.Dense(x.shape[-1],
+                       name='seq_proj_%s' % (sg.group_name or 'seq'))(att)
+      x = jnp.concatenate([x, att[:, None, :]], axis=1)
     heads = int(cfg.multi_head_num) or 1
     head_size = int(cfg.multi_head_size) or x.shape[-1]
     for i in range(int(cfg.interacting_layer_num) or 1):

@@ -1,0 +1,113 @@
+"""Group-level sequence_features: DIN target attention rendered into any
+feature group's input vector.
+
+Reference contract: a FeatureGroupConfig may embed
+`sequence_features { seq_att_map { key ... hist_seq ... aux_hist_seq ... } }`
+sub-groups; the reference input layer attends each one and CONCATENATES
+the attended history vector onto the group's dense features for every
+model family (easy_rec/python/layers/input_layer.py:96-110 ->
+layers/sequence_feature_layer.py:123-260). This module is the TPU-native
+equivalent: pure function over the pulled embeddings, called inside any
+flax module that consumes a feature group.
+
+Semantics mirrored from sequence_feature_layer.target_attention:
+  - the score net is the sub-group's seq_dnn (default [128, 64, 32, 1]);
+  - aux_hist_seq sequences are attended with the SAME scores and
+    concatenated after the main attended vector;
+  - need_key_feature appends the (possibly transformed) key to the
+    output; allow_key_transform resolves key/hist dim mismatches by
+    zero-padding the key (seq dim > key dim, transform_dnn unset) or by
+    Dense-projecting both key and history.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from easyrec_tpu.layers.attention import DinAttention
+
+_DEFAULT_ATT_DIMS = (128, 64, 32)
+
+
+def seq_group_tensors(ctx, group, batch, pulled):
+  """One SeqAttGroupConfig -> (query [B, Dq] | None, hist [B, L, D],
+  mask [B, L], aux [list of [B, L, Da]])."""
+  il = ctx.input_layer
+  keys, seqs, aux, mask = [], [], [], None
+  for m in group.seq_att_map:
+    for k in m.key:
+      keys.append(il.feature_embedding(pulled, batch, k))
+    for h in m.hist_seq:
+      seq, msk = il.sequence_embedding(pulled, batch, h)
+      seqs.append(seq)
+      mask = msk if mask is None else jnp.maximum(mask, msk)
+    for a in getattr(m, 'aux_hist_seq', ()):
+      seq, _ = il.sequence_embedding(pulled, batch, a)
+      aux.append(seq)
+  query = None
+  if keys:
+    query = jnp.concatenate(keys, axis=1) if len(keys) > 1 else keys[0]
+  hist = jnp.concatenate(seqs, axis=2) if len(seqs) > 1 else seqs[0]
+  return query, hist, mask, aux
+
+
+def seq_att_output(ctx, group, batch, pulled, training: bool):
+  """Attend one sequence_features sub-group; returns [B, D_out].
+
+  Must be called inside an @nn.compact module (creates the score-net and
+  transform params). Param scope is keyed by the sub-group name so two
+  sub-groups in one feature group don't collide."""
+  gname = group.group_name or 'seq'
+  query, hist, mask, aux = seq_group_tensors(ctx, group, batch, pulled)
+  need_key = bool(getattr(group, 'need_key_feature', True)) and \
+      query is not None
+  if query is None:
+    # no target key declared: masked mean of the history is the query
+    denom = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
+    query = (hist * mask[:, :, None]).sum(axis=1) / denom
+  elif query.shape[-1] != hist.shape[-1]:
+    if not getattr(group, 'allow_key_transform', False):
+      raise ValueError(
+          'sequence_features group %r: key dim %d != hist dim %d; set '
+          'allow_key_transform to pad/project the key'
+          % (gname, query.shape[-1], hist.shape[-1]))
+    if hist.shape[-1] > query.shape[-1] and \
+        not getattr(group, 'transform_dnn', False):
+      # reference pads the key up to the sequence dim
+      query = jnp.pad(query,
+                      ((0, 0), (0, hist.shape[-1] - query.shape[-1])))
+    else:
+      query = nn.Dense(hist.shape[-1],
+                       name='sequence_key_transform_%s' % gname)(query)
+      hist = nn.Dense(hist.shape[-1],
+                      name='sequence_fea_transform_%s' % gname)(hist)
+  seq_dnn = getattr(group, 'seq_dnn', None)
+  att_dims = tuple(seq_dnn.hidden_units)[:-1] \
+      if seq_dnn is not None and len(seq_dnn.hidden_units) > 1 \
+      else _DEFAULT_ATT_DIMS
+  att = DinAttention(attention_dims=att_dims,
+                     name='seq_dnn_%s' % gname)(
+                         query, hist, mask, training, aux=tuple(aux))
+  if need_key:
+    return jnp.concatenate([att, query], axis=1)
+  return att
+
+
+def group_input(ctx, pulled, batch, group_name: str, training: bool):
+  """Group dense input: plain embedding concat + every declared
+  sequence_features sub-group attended and appended (reference
+  input_layer.__call__ concat order: features then seq outputs).
+
+  Drop-in for il.group_concat(pulled, batch, ctx.group_features(name));
+  creates NO params for groups without sequence_features, so existing
+  configs' param trees are unchanged."""
+  il = ctx.input_layer
+  x = il.group_concat(pulled, batch, ctx.group_features(group_name))
+  g = ctx.groups[group_name]
+  parts = [x]
+  for sg in g.sequence_features:
+    parts.append(seq_att_output(ctx, sg, batch, pulled, training))
+  if len(parts) == 1:
+    return x
+  return jnp.concatenate(parts, axis=1)

@@ -42,6 +42,9 @@ def _row_value(col, rng, i):
   if col == 'seq_cate':
     k = rng.integers(1, 6)
     return '|'.join('c%d' % rng.integers(0, 8) for _ in range(k))
+  if col == 'seq_price':
+    k = rng.integers(1, 6)
+    return '|'.join('%.2f' % (rng.random() * 100) for _ in range(k))
   if col == 'title':
     k = rng.integers(1, 5)
     return '|'.join('w%d' % rng.integers(0, 100) for _ in range(k))
@@ -123,7 +126,7 @@ def _column_subset(cfg, paths, tmp):
   configs (generated input_fields) fall back to typed generic values."""
   fields = list(cfg.data_config.input_fields)
   cols = [f.input_name for f in fields]
-  known = set(STANDARD_COLS) | set(MM_COLS) | {'teacher'}
+  known = set(STANDARD_COLS) | set(MM_COLS) | {'teacher', 'seq_price'}
   train = os.path.join(tmp, 'train.csv')
   evalp = os.path.join(tmp, 'eval.csv')
   if all(c in known for c in cols):
@@ -138,6 +141,64 @@ def _column_subset(cfg, paths, tmp):
               _row_value(c, rng, i) if c in known else
               _typed_value(fld, rng)
               for c, fld in zip(cols, fields)) + '\n')
+  return train, evalp
+
+
+def _convert_format(cfg, train, evalp, tmp):
+  """Input-type-bearing samples (TFRecord/Parquet/gzip CSV) get their
+  fixture data converted from the generated CSV into the declared wire
+  format, exercising the real readers end to end."""
+  from easyrec_tpu.protos import data_pb2
+  dc = cfg.data_config
+  itype = data_pb2.DatasetConfig.InputType.Name(dc.input_type)
+  fields = list(dc.input_fields)
+  ft = data_pb2.DatasetConfig.FieldType
+
+  def rows(path):
+    with open(path) as f:
+      for line in f:
+        vals = line.rstrip('\n').split(dc.separator or ',')
+        row = {}
+        for fld, v in zip(fields, vals):
+          if fld.input_type in (ft.FLOAT, ft.DOUBLE):
+            row[fld.input_name] = float(v)
+          elif fld.input_type in (ft.INT32, ft.INT64):
+            row[fld.input_name] = int(float(v))
+          else:
+            row[fld.input_name] = v
+        yield row
+
+  if itype in ('TFRecordInput', 'BatchTFRecordInput'):
+    from easyrec_tpu.data import tfrecord
+    out = []
+    for path, tag in ((train, 'train'), (evalp, 'eval')):
+      dst = os.path.join(tmp, '%s.tfrecord' % tag)
+      tfrecord.write_records(
+          dst, (tfrecord.columns_to_example(r) for r in rows(path)))
+      out.append(dst)
+    return out[0], out[1]
+  if itype.startswith('Parquet') or itype == 'HiveParquetInput':
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    out = []
+    for path, tag in ((train, 'train'), (evalp, 'eval')):
+      data = list(rows(path))
+      cols = {f.input_name: [r[f.input_name] for r in data]
+              for f in fields}
+      dst = os.path.join(tmp, '%s.parquet' % tag)
+      pq.write_table(pa.table(cols), dst)
+      out.append(dst)
+    return out[0], out[1]
+  if itype == 'CSVInput' and cfg.train_input_path.endswith('.gz'):
+    import gzip
+    import shutil
+    out = []
+    for path, tag in ((train, 'train'), (evalp, 'eval')):
+      dst = os.path.join(tmp, '%s.csv.gz' % tag)
+      with open(path, 'rb') as src, gzip.open(dst, 'wb') as g:
+        shutil.copyfileobj(src, g)
+      out.append(dst)
+    return out[0], out[1]
   return train, evalp
 
 
@@ -159,6 +220,7 @@ def test_sample_trains(path, sample_data, tmp_path):
   assert problems == [], problems
 
   train, evalp = _column_subset(cfg, sample_data, str(tmp_path))
+  train, evalp = _convert_format(cfg, train, evalp, str(tmp_path))
   cfg.train_input_path = train
   cfg.eval_input_path = evalp
   cfg.model_dir = ''                       # no checkpointing
