@@ -97,6 +97,41 @@ def build(trainer, update: str):
         loss = loss + 0.0 * jnp.sum(expanded)
       else:
         loss = loss + 0.0 * (jnp.sum(sgrads) + jnp.sum(sids))
+    if update in ('deep-prep-bf16', 'deep-prep-bf16mix') and \
+        pack_metas is not None:
+      # segsum byte-width A/B: expanded+gg in bf16 (traffic halves) vs
+      # bf16 payload with f32 accumulation-by-XLA (dtype of segment_sum
+      # output follows input)
+      from easyrec_tpu.ops import packed_table as pt
+      key = [k for k in state.tables if not k.startswith('wide')][0]
+      meta = pack_metas[key]
+      ids = packs[key].reshape(-1)
+      g = g_pulled[key].reshape(-1, meta.dim)
+      order = jnp.argsort(ids)
+      sids = jnp.take(ids, order)
+      sgrads = jnp.take(g, order, axis=0).astype(jnp.float32)
+      within = sids % meta.group_rows
+      lane = within % meta.pack
+      expanded = pt._expand_lanes(sgrads, lane, meta)
+      gids = sids // meta.group_rows
+      sub = within // meta.pack
+      first = jnp.concatenate([jnp.ones((1,), bool),
+                               gids[1:] != gids[:-1]])
+      gseg = jnp.cumsum(first) - 1
+      flat = gseg * 8 + sub
+      _SEG_B = pt._seg_b()
+      q = _SEG_B // 8
+      cap = min(-(-ids.shape[0] // q) * q, meta.groups)
+      if update == 'deep-prep-bf16':
+        gg = jax.ops.segment_sum(expanded.astype(jnp.bfloat16), flat,
+                                 num_segments=cap * 8,
+                                 indices_are_sorted=True)
+      else:
+        gg = jax.ops.segment_sum(expanded.astype(jnp.bfloat16)
+                                 .astype(jnp.float32), flat,
+                                 num_segments=cap * 8,
+                                 indices_are_sorted=True)
+      loss = loss + 0.0 * jnp.sum(gg.astype(jnp.float32))
     if update == 'deep-rawscatter' and pack_metas is None:
       # three raw scatter-adds with NO dedup (scatter cost alone)
       key = [k for k in state.tables if not k.startswith('wide')][0]

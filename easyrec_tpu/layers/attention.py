@@ -27,6 +27,11 @@ class DinAttention(nn.Module):
   """
   attention_dims: Sequence[int] = (32, 16)
   attention_normalizer: str = 'softmax'
+  # reference DIN score nets are plain DNNs whose hidden activation is
+  # the config's (default tf.nn.relu), last layer linear
+  # (multi_tower_din.py:82 last_layer_no_activation,
+  # sequence_feature_layer.py din_layer)
+  activation: str = 'relu'
 
   @nn.compact
   def __call__(self, query, keys, mask, training: bool = False, aux=()):
@@ -38,7 +43,7 @@ class DinAttention(nn.Module):
     q = jnp.broadcast_to(query[..., None, :], keys.shape)
     att_in = jnp.concatenate([q, keys, q - keys, q * keys], axis=-1)
     scores = DNN(hidden_units=tuple(self.attention_dims) + (1,),
-                 activation='sigmoid', use_bn=False,
+                 activation=self.activation, use_bn=False,
                  use_final_activation=False,
                  name='att_dnn')(att_in, training)[..., 0]   # [..., L]
     if self.attention_normalizer == 'softmax':

@@ -76,6 +76,7 @@ class _DINAdapter(nn.Module):
   """[seq, mask, query] -> DIN target attention output [B, D]."""
   attention_dims: tuple
   attention_normalizer: str = 'softmax'
+  activation: str = 'relu'
   need_target_feature: bool = True
 
   @nn.compact
@@ -91,6 +92,7 @@ class _DINAdapter(nn.Module):
       query = nn.Dense(seq.shape[-1], name='query_proj')(query)
     return DinAttention(attention_dims=self.attention_dims,
                         attention_normalizer=self.attention_normalizer,
+                        activation=self.activation,
                         name='din')(query, seq, mask, training)
 
 
@@ -513,6 +515,8 @@ def _build_din(p: Parameter, name: str):
   return _DINAdapter(attention_dims=dims,
                      attention_normalizer=p.get_str(
                          'attention_normalizer', 'softmax'),
+                     activation=(dnn.activation or 'relu')
+                     if dnn is not None else 'relu',
                      need_target_feature=p.get_bool('need_target_feature',
                                                     True),
                      name=name)

@@ -184,6 +184,7 @@ class _MultiTowerModule(nn.Module):
                        name='key_transform_%s' % tower.input)(query)
     att = DinAttention(
         attention_dims=tuple(tower.dnn.hidden_units)[:-1] or (32,),
+        activation=tower.dnn.activation or 'relu',
         name='din_%s' % tower.input)(query, hist, mask, training,
                                      aux=tuple(aux))
     seq_dnn = getattr(group, 'seq_dnn', None)

@@ -86,7 +86,8 @@ def seq_att_output(ctx, group, batch, pulled, training: bool):
   att_dims = tuple(seq_dnn.hidden_units)[:-1] \
       if seq_dnn is not None and len(seq_dnn.hidden_units) > 1 \
       else _DEFAULT_ATT_DIMS
-  att = DinAttention(attention_dims=att_dims,
+  act = (seq_dnn.activation or 'relu') if seq_dnn is not None else 'relu'
+  att = DinAttention(attention_dims=att_dims, activation=act,
                      name='seq_dnn_%s' % gname)(
                          query, hist, mask, training, aux=tuple(aux))
   if need_key:

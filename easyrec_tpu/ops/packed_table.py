@@ -84,6 +84,16 @@ def _chunk_mb():
   return int(_os.environ.get('EASYREC_PACKED_CHUNK_MB', 12))
 
 
+def _gg_bf16():
+  # bf16 gradient-sum buffer: the segment-sum into gg is HBM-bandwidth
+  # bound (655 MB zero-init + scattered adds at flagship shapes);
+  # halving the bytes measured 10.0 -> 8.18 ms in-step (PERF.md r3).
+  # Grads round to bf16 (~2^-8 relative) before the optimizer math —
+  # same order as the compact bf16 moment pairs; quality pinned by the
+  # learnability gates. EASYREC_GG_BF16=0 restores f32.
+  return _os.environ.get('EASYREC_GG_BF16', '1') == '1'
+
+
 class PackMeta:
   """Static geometry of one packed table (n_parts = 1 + optimizer
   slots).
@@ -564,6 +574,8 @@ def group_prep(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta,
     within = ids % meta.group_rows
     lane = within % meta.pack
     expanded = _expand_lanes(grads, lane, meta)
+    if _gg_bf16():
+      expanded = expanded.astype(jnp.bfloat16)
     flat = (ids // meta.group_rows) * 8 + within // meta.pack
     gg = jax.ops.segment_sum(expanded, flat,
                              num_segments=meta.groups * 8)
@@ -581,8 +593,11 @@ def group_prep(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta,
   if not div_ok:
     seg_kernel = False
   if seg_kernel or (interpret and div_ok):
+    # the Mosaic segmented-sum kernel is f32-only
     gg = _seg_sum_pallas(expanded, flat, cap * 8, interpret=interpret)
   else:
+    if _gg_bf16():
+      expanded = expanded.astype(jnp.bfloat16)
     gg = jax.ops.segment_sum(expanded, flat, num_segments=cap * 8,
                              indices_are_sorted=True)
   return ugids, gg.reshape(cap, 8, pw)
@@ -788,7 +803,7 @@ def _rmw_pallas(table: jnp.ndarray,
     def math_tile(s, _):
       sl = pl.ds(s * sub, sub)
       old = buf[sl].reshape(sub * 8, w).astype(jnp.float32)
-      gc = gg_ref[sl].reshape(sub * 8, pw)
+      gc = gg_ref[sl].reshape(sub * 8, pw).astype(jnp.float32)
       new = _math_and_mask(old, gc, hyp, math_fn, meta, tm, e0t_m,
                            kroll)
       buf[sl] = new.reshape(sub, 8, w).astype(buf.dtype)
@@ -867,7 +882,7 @@ def _rmw_pallas(table: jnp.ndarray,
     def math_tile(s, _):
       sl = pl.ds(s * sub, sub)
       old = buf[cur, sl].reshape(sub * 8, w).astype(jnp.float32)
-      gc = gg_ref[sl].reshape(sub * 8, pw)
+      gc = gg_ref[sl].reshape(sub * 8, pw).astype(jnp.float32)
       new = _math_and_mask(old, gc, hyp, math_fn, meta, tm, e0t_m,
                            kroll)
       buf[cur, sl] = new.reshape(sub, 8, w).astype(buf.dtype)
@@ -1223,7 +1238,9 @@ def _rmw_xla(table, ugids, gg, hypers, math_fn, meta: PackMeta):
   e0t = jnp.asarray(
       _extract_matrix(w, meta.cc, meta.dim, 0, meta.part_width)).T
   tm = jnp.asarray(_touch_matrix(w, meta.cc)).astype(jnp.bfloat16)
-  new = _math_and_mask(old, gg.reshape(n * 8, meta.part_width),
+  new = _math_and_mask(old,
+                       gg.reshape(n * 8, meta.part_width)
+                       .astype(jnp.float32),
                        lambda k: hvec[k], math_fn, meta, tm, e0t,
                        lambda x, s: jnp.roll(x, s, axis=1))
   t3 = table.reshape(meta.groups, 8, w)

@@ -160,3 +160,29 @@ def test_convert_config_format_round_trip(tmp_path):
   a = ccf.load_config(src)
   b = ccf.load_config(back)
   assert a == b
+
+
+def test_convert_rtp_fg_tool(tmp_path):
+  """fg.json -> standalone pipeline config (reference
+  tools/convert_rtp_fg.py), both from-scratch and --base_config merge."""
+  import os
+  from easyrec_tpu.tools import convert_rtp_fg as tool
+  from easyrec_tpu.config import get_configs_from_pipeline_file
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  fg = os.path.join(repo, 'samples', 'fg', 'taobao_fg.json')
+  out = os.path.join(str(tmp_path), 'gen.config')
+  tool.main(['--rtp_fg', fg, '--label', 'clk', '--output_path', out])
+  cfg = get_configs_from_pipeline_file(out)
+  assert list(cfg.data_config.label_fields) == ['clk']
+  assert len(cfg.feature_config.features) > 5
+  assert cfg.data_config.input_fields[0].input_name == 'clk'
+
+  base = os.path.join(repo, 'samples', 'taobao_fg.config')
+  out2 = os.path.join(str(tmp_path), 'merged.config')
+  tool.main(['--rtp_fg', fg, '--base_config', base,
+             '--output_path', out2])
+  cfg2 = get_configs_from_pipeline_file(out2)
+  assert not cfg2.fg_json_path            # fully materialized
+  assert len(cfg2.feature_config.features) == \
+      len(cfg.feature_config.features)
+  assert cfg2.model_config.model_class    # model section preserved

@@ -515,3 +515,38 @@ def test_dat_recall_learned(tmp_path):
   assert m['recall@5'] > bar, \
       'DAT recall gate: %.4f < ceiling %.4f - 0.06' % (
           m['recall@5'], bayes_inbatch_recall())
+
+
+GROUP_SEQ_MMOE = """
+  model_class: "MMoE"
+  feature_groups {
+    group_name: "all"
+    feature_names: "uid" feature_names: "cate"
+    wide_deep: DEEP
+    sequence_features {
+      group_name: "seq_fea"
+      seq_dnn { hidden_units: [32, 16, 1] }
+      seq_att_map { key: "cate" hist_seq: "seq_cate" }
+    }
+  }
+  mmoe {
+    expert_dnn { hidden_units: [32, 16] use_bn: false }
+    num_expert: 2
+    task_towers {
+      tower_name: "ctr" label_name: "lpdn"
+      dnn { hidden_units: [16] use_bn: false } num_class: 1
+      loss_type: CLASSIFICATION weight: 1.0
+      metrics_set { auc {} }
+    }
+  }
+"""
+
+
+def test_group_seq_attention_learned(tmp_path):
+  """Group-level sequence_features gate: lpdn = Bern(0.85 if cate in
+  seq_cate else 0.15) is learnable only if the DIN attention inside the
+  feature group actually attends the history against the cate key
+  (models/seq_input.py; reference input_layer + sequence_feature_layer).
+  """
+  m = _run(tmp_path, GROUP_SEQ_MMOE, 'lpdn')
+  _gate_auc(m, BAYES['lpdn'] - MARGIN['pdn'], 'group-seq-attention')

@@ -46,7 +46,28 @@ def test_pull_parity(dim, n_parts):
 
 def _run_both(optimizer, dim=16, rows=500, n_ids=137, steps=3,
               interpret=False, atol=1e-5, compact=False):
-  """Plain update_rows vs packed combined apply over a few steps."""
+  """Plain update_rows vs packed combined apply over a few steps.
+
+  Pins EASYREC_GG_BF16=0: these are NUMERICS instruments for the kernel
+  math against the plain f32 path; the default bf16 gradient-sum buffer
+  trades exactness for bandwidth and is covered by its own tolerance
+  test (test_gg_bf16_close_to_f32) + the packed e2e/learnability AUC
+  gates."""
+  import os
+  old_bf16 = os.environ.get('EASYREC_GG_BF16')
+  os.environ['EASYREC_GG_BF16'] = '0'
+  try:
+    return _run_both_inner(optimizer, dim, rows, n_ids, steps,
+                           interpret, atol, compact)
+  finally:
+    if old_bf16 is None:
+      os.environ.pop('EASYREC_GG_BF16', None)
+    else:
+      os.environ['EASYREC_GG_BF16'] = old_bf16
+
+
+def _run_both_inner(optimizer, dim, rows, n_ids, steps, interpret, atol,
+                    compact):
   n_parts = 1 + len(optimizer.slot_names)
   meta = pt.PackMeta(rows, dim, n_parts, compact=compact)
   rng = np.random.RandomState(2)
@@ -282,7 +303,9 @@ def _run_sharded(mode, interpret, steps=2, rows=4096, dim=16, n_ids=600,
 
   import os
   old = os.environ.get('EASYREC_PACKED_EXCHANGE')
+  old_bf16 = os.environ.get('EASYREC_GG_BF16')
   os.environ['EASYREC_PACKED_EXCHANGE'] = mode
+  os.environ['EASYREC_GG_BF16'] = '0'   # numerics instrument (see _run_both)
   try:
     for step in range(steps):
       ids_np = rng.randint(0, rows, n_ids).astype(np.int32)
@@ -304,6 +327,10 @@ def _run_sharded(mode, interpret, steps=2, rows=4096, dim=16, n_ids=600,
       os.environ.pop('EASYREC_PACKED_EXCHANGE', None)
     else:
       os.environ['EASYREC_PACKED_EXCHANGE'] = old
+    if old_bf16 is None:
+      os.environ.pop('EASYREC_GG_BF16', None)
+    else:
+      os.environ['EASYREC_GG_BF16'] = old_bf16
 
   got_w, got_slots = pt.unpack_host(np.asarray(packed), meta, rows)
   np.testing.assert_allclose(got_w[:rows - 1],
@@ -646,3 +673,36 @@ def test_dense_path_engages_and_grouped_otherwise(monkeypatch):
   pt.apply_packed_update(table, ids[:100], grads[:100], hyp,
                          opt.block_math, meta, use_pallas=False)
   assert 'dense' not in calls, 'sparse table should stay grouped'
+
+
+def test_gg_bf16_close_to_f32(monkeypatch):
+  """The default bf16 gradient-sum buffer (EASYREC_GG_BF16=1, measured
+  -1.8 ms/step on the flagship — PERF.md r3) must stay CLOSE to the f32
+  path: grads round at ~2^-8 relative before the optimizer math, so one
+  Adam step at lr=0.05 may move a weight by at most ~lr. Gross cast bugs
+  (wrong lane, wrong part) blow way past this tolerance; genuine quality
+  is pinned by the packed e2e + learnability AUC gates."""
+  optimizer = sparse_lib.sparse_adam()
+  rows, dim, n_ids = 512, 16, 160
+  meta = pt.PackMeta(rows, dim, 1 + len(optimizer.slot_names))
+  rng = np.random.RandomState(5)
+  w0 = rng.randn(rows, dim).astype(np.float32) * 0.1
+  slots0 = [np.full((rows, dim), optimizer.slot_init[i], np.float32)
+            for i in range(len(optimizer.slot_names))]
+  ids = jnp.asarray(rng.randint(0, rows, n_ids).astype(np.int32))
+  grads = jnp.asarray(rng.randn(n_ids, dim).astype(np.float32))
+  hyp = optimizer.hypers(jnp.float32(0.05), jnp.int32(0))
+
+  outs = {}
+  for flag in ('1', '0'):
+    monkeypatch.setenv('EASYREC_GG_BF16', flag)
+    packed = jnp.asarray(pt.pack_host(w0, slots0, meta))
+    out = pt.apply_packed_update(packed, ids, grads, hyp,
+                                 optimizer.block_math, meta,
+                                 use_pallas=False)
+    outs[flag], _ = pt.unpack_host(np.asarray(out), meta, rows)
+  # bf16 grads shift the normalized Adam step by O(2^-8 / (|g|+eps))-ish;
+  # 0.02 (= 0.4 * lr) catches structural bugs, tolerates rounding
+  np.testing.assert_allclose(outs['1'], outs['0'], rtol=0, atol=0.02)
+  assert not np.allclose(outs['1'], outs['0'], rtol=0, atol=0.0), \
+      'bf16 path appears to be bit-identical to f32 — knob not applied?'
