@@ -219,8 +219,10 @@ class _ESMMModule(nn.Module):
     cfg = ctx.model_config.esmm
     feats = []
     if len(cfg.groups) > 0:
+      from easyrec_tpu.models.seq_input import group_input_fn
+      gi = group_input_fn(ctx, pulled, batch, training)
       for tower in cfg.groups:
-        x = group_input(ctx, pulled, batch, tower.input, training)
+        x = gi(tower.input)
         feats.append(DNN.from_config(tower.dnn,
                                      name='group_%s' % tower.input)(
                                          x, training))

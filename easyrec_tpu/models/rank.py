@@ -142,8 +142,10 @@ class _MultiTowerModule(nn.Module):
     il = ctx.input_layer
     cfg = ctx.model_config.multi_tower
     tower_outs = []
+    from easyrec_tpu.models.seq_input import group_input_fn
+    gi = group_input_fn(ctx, pulled, batch, training)
     for tower in cfg.towers:
-      x = group_input(ctx, pulled, batch, tower.input, training)
+      x = gi(tower.input)
       tower_outs.append(
           DNN.from_config(tower.dnn, name='tower_%s' % tower.input,
                           compute_dtype=ctx.compute_dtype)(x, training))

@@ -52,13 +52,16 @@ def seq_group_tensors(ctx, group, batch, pulled):
   return query, hist, mask, aux
 
 
-def seq_att_output(ctx, group, batch, pulled, training: bool):
+def seq_att_output(ctx, group, batch, pulled, training: bool,
+                   scope: str = ''):
   """Attend one sequence_features sub-group; returns [B, D_out].
 
   Must be called inside an @nn.compact module (creates the score-net and
-  transform params). Param scope is keyed by the sub-group name so two
-  sub-groups in one feature group don't collide."""
-  gname = group.group_name or 'seq'
+  transform params). `scope` (enclosing-group-qualified, deduplicated —
+  see group_input) keys the param scope so two sub-groups with missing
+  or duplicate group_names rendered in one module don't collide
+  (advisor r3 finding); bare callers fall back to the sub-group name."""
+  gname = scope or (group.group_name or 'seq')
   query, hist, mask, aux = seq_group_tensors(ctx, group, batch, pulled)
   need_key = bool(getattr(group, 'need_key_feature', True)) and \
       query is not None
@@ -83,9 +86,18 @@ def seq_att_output(ctx, group, batch, pulled, training: bool):
       hist = nn.Dense(hist.shape[-1],
                       name='sequence_fea_transform_%s' % gname)(hist)
   seq_dnn = getattr(group, 'seq_dnn', None)
-  att_dims = tuple(seq_dnn.hidden_units)[:-1] \
-      if seq_dnn is not None and len(seq_dnn.hidden_units) > 1 \
-      else _DEFAULT_ATT_DIMS
+  if seq_dnn is not None and len(seq_dnn.hidden_units):
+    hu = tuple(seq_dnn.hidden_units)
+    if hu[-1] != 1:
+      # the score net's last layer IS the attention logit; silently
+      # dropping a non-1 last unit would train a different net than
+      # configured (advisor r3 finding)
+      raise ValueError(
+          'sequence_features group %r: seq_dnn.hidden_units must end in '
+          '1 (the attention score); got %s' % (gname, list(hu)))
+    att_dims = hu[:-1]   # may be empty: a single linear score layer
+  else:
+    att_dims = _DEFAULT_ATT_DIMS
   act = (seq_dnn.activation or 'relu') if seq_dnn is not None else 'relu'
   att = DinAttention(attention_dims=att_dims, activation=act,
                      name='seq_dnn_%s' % gname)(
@@ -107,8 +119,43 @@ def group_input(ctx, pulled, batch, group_name: str, training: bool):
   x = il.group_concat(pulled, batch, ctx.group_features(group_name))
   g = ctx.groups[group_name]
   parts = [x]
-  for sg in g.sequence_features:
-    parts.append(seq_att_output(ctx, sg, batch, pulled, training))
+  for sg, scope in zip(g.sequence_features,
+                       seq_scopes(group_name, g.sequence_features)):
+    parts.append(seq_att_output(ctx, sg, batch, pulled, training,
+                                scope=scope))
   if len(parts) == 1:
     return x
   return jnp.concatenate(parts, axis=1)
+
+
+def group_input_fn(ctx, pulled, batch, training: bool):
+  """Memoized group_input for modules whose towers may SHARE a feature
+  group (MultiTower, ESMM, MMoE/PLE/DBMTL task towers): the group — and
+  its sequence_features attention params — is rendered ONCE and reused,
+  matching the reference input layer's per-group (not per-tower) build
+  and avoiding duplicate flax scopes (advisor r3 finding)."""
+  cache = {}
+
+  def gi(group_name: str):
+    if group_name not in cache:
+      cache[group_name] = group_input(ctx, pulled, batch, group_name,
+                                      training)
+    return cache[group_name]
+
+  return gi
+
+
+def seq_scopes(group_name: str, sub_groups):
+  """Unique param-scope names for a group's sequence_features:
+  '<group>_<sub-name>' with a positional suffix on missing/duplicate
+  sub-group names, so towers sharing a feature group and unnamed
+  sub-groups never collide in one flax scope."""
+  seen = {}
+  scopes = []
+  for sg in sub_groups:
+    base = sg.group_name or 'seq'
+    n = seen.get(base, 0)
+    seen[base] = n + 1
+    scopes.append('%s_%s%s' % (group_name, base,
+                               '' if n == 0 else '_%d' % n))
+  return scopes

@@ -84,14 +84,27 @@ def _chunk_mb():
   return int(_os.environ.get('EASYREC_PACKED_CHUNK_MB', 12))
 
 
-def _gg_bf16():
-  # bf16 gradient-sum buffer: the segment-sum into gg is HBM-bandwidth
-  # bound (655 MB zero-init + scattered adds at flagship shapes);
-  # halving the bytes measured 10.0 -> 8.18 ms in-step (PERF.md r3).
-  # Grads round to bf16 (~2^-8 relative) before the optimizer math —
-  # same order as the compact bf16 moment pairs; quality pinned by the
-  # learnability gates. EASYREC_GG_BF16=0 restores f32.
-  return _os.environ.get('EASYREC_GG_BF16', '1') == '1'
+def _gg_mode():
+  # Gradient-sum buffer dtype policy. The segment-sum into gg is
+  # HBM-bandwidth bound (655 MB zero-init + scattered adds at flagship
+  # shapes; PERF.md r3): f32 10.02 ms, full bf16 8.18 ms, bf16-payload/
+  # f32-accumulate 9.07 ms in-step. Full bf16 ALSO ACCUMULATES in bf16,
+  # so hot ids with thousands of near-cancelling duplicate grads per
+  # batch can lose far more than the ~2^-8 payload rounding (swamping);
+  # until the real-data AUC anchors validate it, the DEFAULT is 'mix':
+  # payload rounds to bf16 (bounded ~2^-8 per element) but accumulation
+  # stays f32 (advisor r3 medium finding). EASYREC_GG_BF16=1 opts into
+  # full bf16; =0 restores pure f32.
+  return _os.environ.get('EASYREC_GG_BF16', 'mix')
+
+
+def _gg_cast(expanded):
+  mode = _gg_mode()
+  if mode == '1':
+    return expanded.astype(jnp.bfloat16)
+  if mode == 'mix':
+    return expanded.astype(jnp.bfloat16).astype(jnp.float32)
+  return expanded
 
 
 class PackMeta:
@@ -573,9 +586,7 @@ def group_prep(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta,
       _os.environ.get('EASYREC_NOSORT_PREP', '1') == '1':
     within = ids % meta.group_rows
     lane = within % meta.pack
-    expanded = _expand_lanes(grads, lane, meta)
-    if _gg_bf16():
-      expanded = expanded.astype(jnp.bfloat16)
+    expanded = _gg_cast(_expand_lanes(grads, lane, meta))
     flat = (ids // meta.group_rows) * 8 + within // meta.pack
     gg = jax.ops.segment_sum(expanded, flat,
                              num_segments=meta.groups * 8)
@@ -596,9 +607,8 @@ def group_prep(ids: jnp.ndarray, grads: jnp.ndarray, meta: PackMeta,
     # the Mosaic segmented-sum kernel is f32-only
     gg = _seg_sum_pallas(expanded, flat, cap * 8, interpret=interpret)
   else:
-    if _gg_bf16():
-      expanded = expanded.astype(jnp.bfloat16)
-    gg = jax.ops.segment_sum(expanded, flat, num_segments=cap * 8,
+    gg = jax.ops.segment_sum(_gg_cast(expanded), flat,
+                             num_segments=cap * 8,
                              indices_are_sorted=True)
   return ugids, gg.reshape(cap, 8, pw)
 

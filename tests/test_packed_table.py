@@ -675,13 +675,17 @@ def test_dense_path_engages_and_grouped_otherwise(monkeypatch):
   assert 'dense' not in calls, 'sparse table should stay grouped'
 
 
-def test_gg_bf16_close_to_f32(monkeypatch):
-  """The default bf16 gradient-sum buffer (EASYREC_GG_BF16=1, measured
-  -1.8 ms/step on the flagship — PERF.md r3) must stay CLOSE to the f32
-  path: grads round at ~2^-8 relative before the optimizer math, so one
-  Adam step at lr=0.05 may move a weight by at most ~lr. Gross cast bugs
-  (wrong lane, wrong part) blow way past this tolerance; genuine quality
-  is pinned by the packed e2e + learnability AUC gates."""
+@pytest.mark.parametrize('use_pallas', [False, True])
+def test_gg_bf16_close_to_f32(monkeypatch, use_pallas):
+  """The gg-buffer dtype modes (EASYREC_GG_BF16: 'mix' default = bf16
+  payload + f32 accumulation, '1' = full bf16, '0' = pure f32; PERF.md
+  r3) must stay CLOSE to the f32 path: grads round at ~2^-8 relative
+  before the optimizer math, so one Adam step at lr=0.05 may move a
+  weight by at most ~lr. Gross cast bugs (wrong lane, wrong part) blow
+  way past this tolerance; genuine quality is pinned by the packed e2e
+  + learnability AUC gates. The use_pallas=True leg runs the Mosaic RMW
+  kernel in interpret mode so the gg_ref .astype(f32) casts in
+  _rmw_pallas are exercised off-TPU too (advisor r3 finding)."""
   optimizer = sparse_lib.sparse_adam()
   rows, dim, n_ids = 512, 16, 160
   meta = pt.PackMeta(rows, dim, 1 + len(optimizer.slot_names))
@@ -694,15 +698,19 @@ def test_gg_bf16_close_to_f32(monkeypatch):
   hyp = optimizer.hypers(jnp.float32(0.05), jnp.int32(0))
 
   outs = {}
-  for flag in ('1', '0'):
+  for flag in ('1', 'mix', '0'):
     monkeypatch.setenv('EASYREC_GG_BF16', flag)
     packed = jnp.asarray(pt.pack_host(w0, slots0, meta))
     out = pt.apply_packed_update(packed, ids, grads, hyp,
                                  optimizer.block_math, meta,
-                                 use_pallas=False)
+                                 use_pallas=use_pallas,
+                                 interpret=use_pallas)
     outs[flag], _ = pt.unpack_host(np.asarray(out), meta, rows)
   # bf16 grads shift the normalized Adam step by O(2^-8 / (|g|+eps))-ish;
   # 0.02 (= 0.4 * lr) catches structural bugs, tolerates rounding
   np.testing.assert_allclose(outs['1'], outs['0'], rtol=0, atol=0.02)
-  assert not np.allclose(outs['1'], outs['0'], rtol=0, atol=0.0), \
-      'bf16 path appears to be bit-identical to f32 — knob not applied?'
+  np.testing.assert_allclose(outs['mix'], outs['0'], rtol=0, atol=0.02)
+  for flag in ('1', 'mix'):
+    assert not np.allclose(outs[flag], outs['0'], rtol=0, atol=0.0), \
+        'EASYREC_GG_BF16=%s appears bit-identical to f32 — not applied?' \
+        % flag
