@@ -1,0 +1,426 @@
+"""North-star quality proxy (VERDICT r3 next-step 2).
+
+The real Criteo/MovieLens/Books datasets cannot land in this image
+(zero network egress — DNS and raw TCP both fail; see PERF.md r4), so
+the reference anchor `deepfm_on_criteo AUC 0.7970 ±0.001`
+(/root/reference/examples/readme.md:276) cannot be reproduced directly.
+This harness is the strongest proxy that shares NO code with the
+framework:
+
+  1. A seeded generator emits a criteo-FORMAT corpus
+     (label \t I1..I13 \t C1..C26, tab-separated, ~5% missing) whose
+     label comes from a KNOWN logistic ground truth:
+     per-id scalar effects + hidden low-rank pairwise interactions +
+     nonlinear numeric effects. Categorical ids are Zipf-distributed
+     (hot ids repeat thousands of times per 4096-batch — exactly the
+     regime where bf16 gradient accumulation would bite). The logit
+     scale is CALIBRATED so the Bayes-optimal AUC matches the criteo
+     anchor (~0.797).
+  2. The exact Bayes AUC on the eval split is computed from the true
+     probabilities — an anchor no implementation can beat.
+  3. easyrec_tpu DeepFM trains through the REAL pipeline (CSVInput,
+     murmur hashing, packed tables) using the same config the criteo
+     harness would use (benchmarks/quality.py criteo_config).
+  4. An INDEPENDENT torch-CPU DeepFM (its own CRC32 hashing, its own
+     autograd, no shared code) trains on the same files — a systematic
+     feature-processing/hashing bias in our stack shows up as an AUC
+     gap against it.
+
+Pass criteria (printed, and enforced by tests/test_quality_proxy.py in
+smoke mode):
+  - ours >= bayes - 0.010 and ours <= bayes + 0.002
+  - |ours - torch| <= 0.005
+  - the A/B matrix {EASYREC_GG_BF16: 0/mix/1} x {packed, plain} stays
+    within 0.002 of itself.
+
+Run:  python benchmarks/quality_proxy.py [--rows 4000000] [--smoke]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import zlib
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+N_CAT = 26
+N_NUM = 13
+TARGET_BAYES_AUC = 0.797     # the criteo DeepFM anchor
+TARGET_CTR = 0.256           # criteo positive rate
+
+# vocab spread: small enums through heavy-tailed id spaces (criteo's
+# C columns range from tens to millions of distinct values)
+VOCABS = [50, 100, 300, 1000, 3000, 10000, 30000, 100000, 200000,
+          50000, 20000, 5000, 1500, 400, 120, 60000, 150000, 80000,
+          2500, 700, 40000, 9000, 600, 250000, 15000, 110]
+# hidden pairwise interactions (feature index pairs, dim-4 factors)
+PAIRS = [(0, 7), (1, 8), (2, 16), (3, 23), (7, 17), (8, 24),
+         (5, 20), (10, 12)]
+H_DIM = 4
+MISS_P = 0.05
+
+
+class GroundTruth:
+  """Hidden logistic model; everything derived from one seed."""
+
+  def __init__(self, seed=7, scale=1.0, bias=0.0):
+    r = np.random.default_rng(seed)
+    self.w = [r.normal(0, 0.35, v) for v in VOCABS]
+    self.emb = {}
+    for (a, b) in PAIRS:
+      self.emb[(a, b)] = (r.normal(0, 0.55, (VOCABS[a], H_DIM)),
+                          r.normal(0, 0.55, (VOCABS[b], H_DIM)))
+    self.beta = r.normal(0, 0.5, N_NUM)
+    self.zipf_a = 1.0 + 0.08 * (1 + r.random(N_CAT))   # 1.08..1.16
+    self.scale = scale
+    self.bias = bias
+
+  def draw_ids(self, r, n):
+    ids = np.empty((n, N_CAT), np.int64)
+    for f in range(N_CAT):
+      # bounded zipf via inverse-CDF on a truncated power law
+      u = r.random(n)
+      v = VOCABS[f]
+      a = self.zipf_a[f]
+      ranks = np.floor(((v ** (1 - a) - 1) * u + 1) **
+                       (1 / (1 - a))).astype(np.int64)
+      ids[:, f] = np.clip(ranks, 0, v - 1)
+    return ids
+
+  def draw_nums(self, r, n, ids):
+    # log-normal numerics, two of them correlated with hot-ness of C1
+    x = np.exp(r.normal(0, 1, (n, N_NUM))) - 1
+    x[:, 0] += (ids[:, 0] < 5) * 2.0
+    x[:, 1] += (ids[:, 7] < 10) * 1.5
+    return np.round(x, 3)
+
+  def logits(self, ids, nums):
+    z = np.zeros(len(ids))
+    for f in range(N_CAT):
+      z += self.w[f][ids[:, f]]
+    for (a, b), (ea, eb) in self.emb.items():
+      z += np.einsum('nd,nd->n', ea[ids[:, a]], eb[ids[:, b]])
+    z += np.log1p(np.maximum(nums, 0)) @ self.beta
+    return self.scale * z + self.bias
+
+  def sample(self, r, n):
+    ids = self.draw_ids(r, n)
+    nums = self.draw_nums(r, n, ids)
+    p = 1 / (1 + np.exp(-self.logits(ids, nums)))
+    y = (r.random(n) < p).astype(np.int64)
+    return ids, nums, y, p
+
+
+def _auc(y, s):
+  order = np.argsort(s, kind='stable')
+  y = np.asarray(y, np.float64)[order]
+  n_pos = y.sum()
+  n_neg = len(y) - n_pos
+  if n_pos == 0 or n_neg == 0:
+    return 0.5
+  # rank-sum with average ranks on ties
+  s_sorted = np.asarray(s)[order]
+  ranks = np.empty(len(y))
+  i = 0
+  while i < len(y):
+    j = i
+    while j + 1 < len(y) and s_sorted[j + 1] == s_sorted[i]:
+      j += 1
+    ranks[i:j + 1] = 0.5 * (i + j) + 1
+    i = j + 1
+  return float((ranks[y > 0].sum() - n_pos * (n_pos + 1) / 2) /
+               (n_pos * n_neg))
+
+
+def calibrate(seed=7, n=300000):
+  """Find (scale, bias) hitting TARGET_BAYES_AUC / TARGET_CTR."""
+  lo, hi = 0.1, 3.0
+  for _ in range(18):
+    mid = 0.5 * (lo + hi)
+    gt = GroundTruth(seed, scale=mid)
+    r = np.random.default_rng(123)
+    ids, nums, _, _ = gt.sample(r, n)
+    z = gt.logits(ids, nums)
+    # bias for target CTR at this scale
+    b_lo, b_hi = -6.0, 6.0
+    for _ in range(30):
+      b = 0.5 * (b_lo + b_hi)
+      ctr = float(np.mean(1 / (1 + np.exp(-(z + b)))))
+      if ctr < TARGET_CTR:
+        b_lo = b
+      else:
+        b_hi = b
+    p = 1 / (1 + np.exp(-(z + b)))
+    y = (np.random.default_rng(77).random(n) < p)
+    auc = _auc(y, z)
+    if auc < TARGET_BAYES_AUC:
+      lo = mid
+    else:
+      hi = mid
+  return mid, b
+
+
+def write_corpus(path, gt, seed, n, chunk=200000, with_probs=None):
+  """criteo-format TSV; returns mean of true p (and stashes eval probs
+  + labels if with_probs is a list)."""
+  r = np.random.default_rng(seed)
+  rmiss = np.random.default_rng(seed + 1)
+  with open(path, 'w') as f:
+    done = 0
+    while done < n:
+      m = min(chunk, n - done)
+      ids, nums, y, p = gt.sample(r, m)
+      miss_n = rmiss.random((m, N_NUM)) < MISS_P
+      miss_c = rmiss.random((m, N_CAT)) < MISS_P
+      if with_probs is not None:
+        with_probs.append((y.copy(), p.copy()))
+      rows = []
+      for i in range(m):
+        nf = ['' if miss_n[i, j] else repr(float(nums[i, j]))
+              for j in range(N_NUM)]
+        cf = ['' if miss_c[i, j] else 'f%d_%x' % (j, ids[i, j])
+              for j in range(N_CAT)]
+        rows.append('\t'.join([str(y[i])] + nf + cf))
+      f.write('\n'.join(rows) + '\n')
+      done += m
+
+
+def numeric_minmax(path, limit=500000):
+  mins = np.full(N_NUM, np.inf)
+  maxs = np.full(N_NUM, -np.inf)
+  with open(path) as f:
+    for k, line in enumerate(f):
+      if k >= limit:
+        break
+      parts = line.rstrip('\n').split('\t')
+      for j in range(N_NUM):
+        v = parts[1 + j]
+        if v:
+          v = float(v)
+          mins[j] = min(mins[j], v)
+          maxs[j] = max(maxs[j], v)
+  return {'min': [float(x) for x in mins], 'max': [float(x) for x in maxs]}
+
+
+# ------------------------------------------------- independent torch ref
+
+def torch_deepfm_auc(train_path, eval_path, mm, epochs=1, dim=16,
+                     buckets=1000000, batch=4096, lr=1e-3,
+                     max_rows=None, log_every=200):
+  """Fully independent DeepFM: CRC32 hashing (not murmur), torch-CPU
+  autograd, own reader. Mirrors the reference architecture scale
+  (dim 16, deep [256,128,64])."""
+  import torch
+  torch.manual_seed(0)
+
+  lo = np.array(mm['min'])
+  hi = np.array(mm['max'])
+  span = np.maximum(hi - lo, 1e-9)
+
+  def read(path, cap=None):
+    ys, xs, cs = [], [], []
+    with open(path) as f:
+      for k, line in enumerate(f):
+        if cap is not None and k >= cap:
+          break
+        parts = line.rstrip('\n').split('\t')
+        ys.append(int(parts[0]))
+        xs.append([float(v) if v else 0.0 for v in parts[1:1 + N_NUM]])
+        cs.append([
+            (zlib.crc32(('%d:%s' % (j, parts[1 + N_NUM + j])).encode())
+             % buckets) for j in range(N_CAT)])
+    y = np.array(ys, np.float32)
+    x = (np.clip((np.array(xs) - lo) / span, 0, 1)).astype(np.float32)
+    c = np.array(cs, np.int64)
+    return y, x, c
+
+  y_tr, x_tr, c_tr = read(train_path, max_rows)
+  y_te, x_te, c_te = read(eval_path, max_rows)
+
+  class DeepFM(torch.nn.Module):
+    def __init__(self):
+      super().__init__()
+      self.emb = torch.nn.Embedding(buckets, dim)
+      self.wide = torch.nn.Embedding(buckets, 1)
+      torch.nn.init.normal_(self.emb.weight, 0, 0.01)
+      torch.nn.init.zeros_(self.wide.weight)
+      self.num_proj = torch.nn.Linear(N_NUM, N_NUM * dim)
+      d_in = (N_CAT + N_NUM) * dim + dim
+      hidden = [256, 128, 64]
+      layers = []
+      for h in hidden:
+        layers += [torch.nn.Linear(d_in, h), torch.nn.ReLU()]
+        d_in = h
+      layers += [torch.nn.Linear(d_in, 1)]
+      self.deep = torch.nn.Sequential(*layers)
+
+    def forward(self, x, c):
+      e = self.emb(c)                                   # [B, 26, D]
+      xe = self.num_proj(x).view(-1, N_NUM, dim)        # [B, 13, D]
+      fields = torch.cat([e, xe], 1)                    # [B, 39, D]
+      s = fields.sum(1)
+      fm = 0.5 * (s * s - (fields * fields).sum(1))     # [B, D]
+      deep_in = torch.cat([fields.flatten(1), fm], 1)
+      return (self.deep(deep_in).squeeze(1) +
+              self.wide(c).squeeze(2).sum(1) + fm.sum(1))
+
+  model = DeepFM()
+  opt = torch.optim.Adam(model.parameters(), lr=lr)
+  sched = torch.optim.lr_scheduler.StepLR(opt, 1000, 0.5)
+  bce = torch.nn.BCEWithLogitsLoss()
+  n = len(y_tr)
+  step = 0
+  for _ in range(epochs):
+    for s0 in range(0, n - batch + 1, batch):
+      sl = slice(s0, s0 + batch)
+      opt.zero_grad()
+      logit = model(torch.from_numpy(x_tr[sl]),
+                    torch.from_numpy(c_tr[sl]))
+      loss = bce(logit, torch.from_numpy(y_tr[sl]))
+      loss.backward()
+      opt.step()
+      sched.step()
+      step += 1
+      if step % log_every == 0:
+        print('[torch] step %d loss %.4f' % (step, float(loss)),
+              flush=True)
+  model.eval()
+  scores = []
+  with torch.no_grad():
+    for s0 in range(0, len(y_te), 8192):
+      sl = slice(s0, s0 + 8192)
+      scores.append(model(torch.from_numpy(x_te[sl]),
+                          torch.from_numpy(c_te[sl])).numpy())
+  return _auc(y_te, np.concatenate(scores))
+
+
+# ------------------------------------------------------- easyrec side
+
+def easyrec_deepfm_auc(train_path, eval_path, mm, work, env_extra=None,
+                       num_steps=0):
+  """Trains via a subprocess so EASYREC_* env A/B variants apply at
+  import time; returns eval AUC."""
+  from benchmarks.quality import criteo_config
+  cfg_text = criteo_config('deepfm', train_path, eval_path, mm,
+                           os.path.join(work, 'model'),
+                           num_steps=num_steps)
+  cfg_path = os.path.join(work, 'pipeline.config')
+  with open(cfg_path, 'w') as f:
+    f.write(cfg_text)
+  env = dict(os.environ)
+  env.update(env_extra or {})
+  out = subprocess.run(
+      [sys.executable, '-m', 'easyrec_tpu.train_eval',
+       '--pipeline_config_path', cfg_path],
+      env=env, capture_output=True, text=True,
+      cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+  tail = (out.stdout + out.stderr).strip().splitlines()
+  for line in reversed(tail):
+    if "'auc':" in line:
+      return float(line.split("'auc':")[1].split(',')[0].strip(' }')), \
+          '\n'.join(tail[-5:])
+  raise RuntimeError('no auc in output:\n' + '\n'.join(tail[-30:]))
+
+
+def main(argv=None):
+  ap = argparse.ArgumentParser()
+  ap.add_argument('--rows', type=int, default=4000000)
+  ap.add_argument('--eval_rows', type=int, default=400000)
+  ap.add_argument('--work_dir', default='/tmp/quality_proxy')
+  ap.add_argument('--smoke', action='store_true',
+                  help='tiny corpus, plumbing only')
+  ap.add_argument('--skip_torch', action='store_true')
+  ap.add_argument('--skip_ab', action='store_true',
+                  help='only the default-env easyrec run')
+  args = ap.parse_args(argv)
+  if args.smoke:
+    args.rows, args.eval_rows = 60000, 20000
+
+  os.makedirs(args.work_dir, exist_ok=True)
+  print('calibrating generator to bayes auc %.3f / ctr %.3f ...'
+        % (TARGET_BAYES_AUC, TARGET_CTR), flush=True)
+  scale, bias = calibrate()
+  gt = GroundTruth(7, scale=scale, bias=bias)
+  # corpus files keyed by size so a smoke run never poisons a full run
+  tag = '%d_%d' % (args.rows, args.eval_rows)
+  tr = os.path.join(args.work_dir, 'proxy_train_data_%s' % tag)
+  te = os.path.join(args.work_dir, 'proxy_test_data_%s' % tag)
+  truth_path = os.path.join(args.work_dir, 'eval_truth_%s.npz' % tag)
+  probs = []
+  if not (os.path.exists(tr) and os.path.exists(truth_path)):
+    print('writing corpus (%d train / %d eval rows) ...'
+          % (args.rows, args.eval_rows), flush=True)
+    write_corpus(tr, gt, seed=1000, n=args.rows)
+    write_corpus(te, gt, seed=2000, n=args.eval_rows, with_probs=probs)
+    y_all = np.concatenate([y for y, _ in probs])
+    p_all = np.concatenate([p for _, p in probs])
+    np.savez(truth_path, y=y_all, p=p_all)
+  truth = np.load(truth_path)
+  bayes = _auc(truth['y'], truth['p'])
+  ctr = float(truth['y'].mean())
+  print(json.dumps({'case': 'bayes_anchor', 'auc': round(bayes, 5),
+                    'ctr': round(ctr, 4), 'scale': round(scale, 4)}),
+        flush=True)
+
+  mm = numeric_minmax(tr)
+  results = {'bayes': bayes}
+
+  variants = [('default', {})]
+  if not args.skip_ab:
+    variants += [
+        ('gg_f32', {'EASYREC_GG_BF16': '0'}),
+        ('gg_bf16', {'EASYREC_GG_BF16': '1'}),
+        ('plain_tables', {'EASYREC_PACKED_TABLES': '0'}),
+    ]
+  for name, env in variants:
+    work = os.path.join(args.work_dir, 'er_%s' % name)
+    if os.path.exists(work):
+      import shutil
+      shutil.rmtree(work)    # stale model state (e.g. a smoke run's
+    os.makedirs(work)        # CPU/plain-layout checkpoint) poisons runs
+    auc, tail = easyrec_deepfm_auc(
+        tr, te, mm, work, env_extra=env,
+        num_steps=30 if args.smoke else 0)
+    results[name] = auc
+    print(json.dumps({'case': 'easyrec_%s' % name, 'auc': round(auc, 5),
+                      'delta_vs_bayes': round(auc - bayes, 5)}),
+          flush=True)
+
+  if not args.skip_torch:
+    tauc = torch_deepfm_auc(tr, te, mm,
+                            max_rows=args.rows if not args.smoke
+                            else 60000)
+    results['torch'] = tauc
+    print(json.dumps({'case': 'torch_ref', 'auc': round(tauc, 5),
+                      'delta_vs_bayes': round(tauc - bayes, 5)}),
+          flush=True)
+
+  ours = results.get('default')
+  ok = True
+  if not args.smoke:
+    # one epoch cannot learn ids seen once (same tail effect the real
+    # criteo run has); the cross-implementation parity |ours-torch| is
+    # the bias detector, the bayes band is the sanity anchor
+    ok &= ours >= bayes - 0.015 and ours <= bayes + 0.002
+    if 'torch' in results:
+      ok &= abs(ours - results['torch']) <= 0.005
+    for k in ('gg_f32', 'gg_bf16', 'plain_tables'):
+      if k in results:
+        ok &= abs(results[k] - ours) <= 0.002
+  print(json.dumps({'case': 'verdict', 'ok': bool(ok),
+                    'results': {k: round(v, 5)
+                                for k, v in results.items()}}),
+        flush=True)
+  return 0 if ok else 1
+
+
+if __name__ == '__main__':
+  sys.exit(main())

@@ -633,6 +633,7 @@ class Trainer:
     # save_checkpoints_secs; either trigger saves)
     save_secs = int(tc.save_checkpoints_secs)
     last_save_time = [time.time()]
+    overflow_windows = [0]   # consecutive over-threshold log windows
 
     train_pipe = self.train_input()
     train_iter = iter(train_pipe)
@@ -789,6 +790,38 @@ class Trainer:
         dt = time.time() - t0
         rate = window_examples / max(dt, 1e-6)
         logging.info('step %d: loss=%.5f (%.1f ex/s)', step, loss_val, rate)
+        # exchange-overflow guardrail (VERDICT r3 weak #9): a badly
+        # skewed table silently training worse is NOT ok — abort loudly
+        # when the drop RATE stays above threshold. Checked only at log
+        # cadence so the step stays pipelined (no extra device syncs).
+        abort_rate = float(tc.overflow_abort_rate)
+        if abort_rate > 0:
+          dropped = sum(float(v) for k, v in loss_dict.items()
+                        if k.startswith('exchange_') and
+                        k.endswith('overflow'))
+          slots = sum(int(np.prod(v.shape))
+                      for k, v in batch.items() if k.endswith('.ids'))
+          if slots and dropped / slots > abort_rate:
+            overflow_windows[0] += 1
+            logging.warning(
+                'exchange overflow %.1f%% of %d id slots at step %d '
+                '(window %d/%d before abort) — raise '
+                'EASYREC_EXCHANGE_CAP_FACTOR or rebalance the table',
+                100.0 * dropped / slots, slots, step,
+                overflow_windows[0], int(tc.overflow_abort_windows))
+            if overflow_windows[0] >= int(tc.overflow_abort_windows):
+              raise RuntimeError(
+                  'exchange overflow rate %.1f%% exceeded '
+                  'train_config.overflow_abort_rate=%.3f for %d '
+                  'consecutive logging windows: the capacity-bounded '
+                  'owner buffers (parallel/exchange.py) are dropping '
+                  'ids — raise EASYREC_EXCHANGE_CAP_FACTOR, shrink the '
+                  'per-chip batch, or set overflow_abort_rate: 0 to '
+                  'accept the drops.'
+                  % (100.0 * dropped / slots, abort_rate,
+                     overflow_windows[0]))
+          else:
+            overflow_windows[0] = 0
         history.append({'step': step, 'loss': loss_val,
                         'examples_per_sec': rate})
         if summary is not None:
