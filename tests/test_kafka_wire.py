@@ -1,0 +1,211 @@
+"""Byte-level Kafka wire fixtures (VERDICT r3 next-step 7).
+
+The consumer's record parsing was previously validated only against the
+in-repo mock broker — both ends of the wire shared this repo's
+understanding, so a spec misreading would pass. These tests build
+fetch payloads with an INDEPENDENT encoder written directly from the
+Kafka protocol documents (KIP-98 RecordBatch v2 layout; the pre-0.11
+MessageSet layout; KIP-31 relative inner offsets), including real
+CRC32C checksums from a table-driven implementation below — no code is
+shared with easyrec_tpu/data/kafka_client.py.
+
+Layouts encoded here (field order is the fixture):
+  v2 RecordBatch: baseOffset i64 | batchLength i32 | leaderEpoch i32 |
+    magic(2) i8 | crc32c u32 (over attrs..end) | attrs i16 |
+    lastOffsetDelta i32 | firstTs i64 | maxTs i64 | producerId i64 |
+    producerEpoch i16 | baseSeq i32 | numRecords i32 | records
+  v2 record: length varint | attrs i8 | tsDelta varint |
+    offsetDelta varint | keyLen varint | key | valLen varint | value |
+    numHeaders varint | headers
+  legacy entry: offset i64 | size i32 | crc32 u32 | magic i8 | attrs i8
+    | (v1) timestamp i64 | key BYTES | value BYTES
+"""
+
+import struct
+import zlib
+
+import pytest
+
+from easyrec_tpu.data.kafka_client import KafkaError, parse_record_batches
+
+
+# --------------------------------------------------- independent crc32c
+
+def _crc32c_table():
+  poly = 0x82F63B78
+  table = []
+  for n in range(256):
+    c = n
+    for _ in range(8):
+      c = (c >> 1) ^ poly if c & 1 else c >> 1
+    table.append(c)
+  return table
+
+
+_TABLE = _crc32c_table()
+
+
+def crc32c(data: bytes) -> int:
+  crc = 0xFFFFFFFF
+  for b in data:
+    crc = _TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+  return crc ^ 0xFFFFFFFF
+
+
+def test_crc32c_known_vectors():
+  """RFC 3720 B.4 test vectors pin the independent implementation."""
+  assert crc32c(b'\x00' * 32) == 0x8A9136AA
+  assert crc32c(b'\xff' * 32) == 0x62A8AB43
+  assert crc32c(bytes(range(32))) == 0x46DD794E
+
+
+# ------------------------------------------------ independent encoders
+
+def uvarint(v: int) -> bytes:
+  out = b''
+  while True:
+    b = v & 0x7F
+    v >>= 7
+    if v:
+      out += bytes([b | 0x80])
+    else:
+      return out + bytes([b])
+
+
+def zigzag(v: int) -> bytes:
+  return uvarint((v << 1) ^ (v >> 63))
+
+
+def v2_record(ts_delta, off_delta, key, value) -> bytes:
+  body = b'\x00'                                # record attrs
+  body += zigzag(ts_delta) + zigzag(off_delta)
+  body += (zigzag(-1) if key is None
+           else zigzag(len(key)) + key)
+  body += zigzag(len(value)) + value
+  body += zigzag(0)                             # no headers
+  return zigzag(len(body)) + body
+
+
+def v2_batch(base_offset, records, codec=0, codec_payload=None) -> bytes:
+  payload = codec_payload if codec_payload is not None \
+      else b''.join(records)
+  after_crc = struct.pack('>hiqqqhii', codec, len(records) - 1,
+                          1000, 1001, -1, -1, -1, len(records))
+  after_crc += payload
+  body = struct.pack('>iBI', -1, 2, crc32c(after_crc)) + after_crc
+  return struct.pack('>qi', base_offset, len(body)) + body
+
+
+def legacy_entry(offset, key, value, magic=1, attrs=0, ts=77) -> bytes:
+  m = struct.pack('>bb', magic, attrs)
+  if magic == 1:
+    m += struct.pack('>q', ts)
+  m += (struct.pack('>i', -1) if key is None
+        else struct.pack('>i', len(key)) + key)
+  m += struct.pack('>i', len(value)) + value
+  m = struct.pack('>I', zlib.crc32(m)) + m
+  return struct.pack('>qi', offset, len(m)) + m
+
+
+# -------------------------------------------------------------- tests
+
+def test_v2_uncompressed_two_records():
+  recs = [v2_record(0, 0, b'k0', b'row0'),
+          v2_record(5, 1, None, b'row1')]
+  data = v2_batch(100, recs)
+  got = parse_record_batches(data)
+  assert got == [(100, b'k0', b'row0'), (101, None, b'row1')]
+
+
+def test_v2_gzip_batch():
+  recs = b''.join([v2_record(0, 0, None, b'a,b,c'),
+                   v2_record(1, 1, None, b'd,e,f')])
+  data = v2_batch(7, [b'', b''], codec=1,
+                  codec_payload=zlib.compress(recs))
+  got = parse_record_batches(data)
+  assert got == [(7, None, b'a,b,c'), (8, None, b'd,e,f')]
+
+
+def test_v2_snappy_fails_with_remediation():
+  data = v2_batch(0, [b''], codec=2, codec_payload=b'\x00garbage')
+  with pytest.raises(KafkaError, match='snappy'):
+    parse_record_batches(data)
+  data = v2_batch(0, [b''], codec=3, codec_payload=b'\x00garbage')
+  with pytest.raises(KafkaError, match='lz4'):
+    parse_record_batches(data)
+
+
+def test_legacy_v0_uncompressed():
+  data = legacy_entry(42, b'key', b'value', magic=0)
+  assert parse_record_batches(data) == [(42, b'key', b'value')]
+
+
+def test_legacy_v1_uncompressed_run():
+  data = legacy_entry(5, None, b'r5') + legacy_entry(6, None, b'r6')
+  assert parse_record_batches(data) == [(5, None, b'r5'),
+                                        (6, None, b'r6')]
+
+
+def test_legacy_v1_gzip_wrapper_relative_offsets():
+  """KIP-31: inner offsets are 0..N-1 deltas; the wrapper's offset is
+  the ABSOLUTE offset of the last inner record."""
+  inner = legacy_entry(0, None, b'i0') + legacy_entry(1, None, b'i1') \
+      + legacy_entry(2, None, b'i2')
+  data = legacy_entry(302, None, zlib.compress(inner), magic=1, attrs=1)
+  got = parse_record_batches(data)
+  assert got == [(300, None, b'i0'), (301, None, b'i1'),
+                 (302, None, b'i2')]
+
+
+def test_legacy_v0_gzip_wrapper_absolute_offsets():
+  """v0 compressed wrappers carry broker-assigned ABSOLUTE inner
+  offsets (pre-KIP-31) — no rebase."""
+  inner = legacy_entry(10, None, b'a', magic=0) + \
+      legacy_entry(11, None, b'b', magic=0)
+  data = legacy_entry(11, None, zlib.compress(inner), magic=0, attrs=1)
+  got = parse_record_batches(data)
+  assert got == [(10, None, b'a'), (11, None, b'b')]
+
+
+def test_mixed_legacy_then_v2():
+  """A fetch may straddle a broker's message-format upgrade."""
+  data = legacy_entry(1, None, b'old') + \
+      v2_batch(2, [v2_record(0, 0, None, b'new')])
+  assert parse_record_batches(data) == [(1, None, b'old'),
+                                        (2, None, b'new')]
+
+
+def test_truncated_trailer_tolerated():
+  full = v2_batch(0, [v2_record(0, 0, None, b'whole')])
+  data = full + v2_batch(1, [v2_record(0, 0, None, b'cut')])[:-7]
+  assert parse_record_batches(data) == [(0, None, b'whole')]
+  # truncated legacy trailer too
+  data2 = legacy_entry(9, None, b'ok') + legacy_entry(10, None, b'x')[:-3]
+  assert parse_record_batches(data2) == [(9, None, b'ok')]
+
+
+def test_golden_hex_fixture():
+  """A frozen byte-for-byte v2 fixture: if either the encoder above or
+  the parser drifts from the spec, this literal catches it."""
+  data = v2_batch(100, [v2_record(0, 0, b'k0', b'row0'),
+                        v2_record(5, 1, None, b'row1')])
+  # the golden hex, field by field per the spec layout (varints are
+  # zigzag, so e.g. record length 12 encodes as 0x18)
+  golden = bytes.fromhex(
+      '0000000000000064'                              # baseOffset 100
+      '00000049'                                      # batchLength 73
+      'ffffffff'                                      # leaderEpoch -1
+      '02'                                            # magic 2
+      '20e0c3b2'                                      # crc32c
+      '0000'                                          # attrs (no codec)
+      '00000001'                                      # lastOffsetDelta
+      '00000000000003e8' '00000000000003e9'           # first/max ts
+      'ffffffffffffffff' 'ffff' 'ffffffff'            # producer id/ep/seq
+      '00000002'                                      # numRecords
+      '18' '00' '00' '00' '04' '6b30'                 # len attr ts off k
+      '08' '726f7730' '00'                            # 'row0', 0 headers
+      '14' '00' '0a' '02' '01'                        # len attr ts=5 off=1
+      '08' '726f7731' '00')                           # key=-1, 'row1'
+  assert golden == data, (golden.hex(), data.hex())
+  assert parse_record_batches(golden) == [(100, b'k0', b'row0'),
+                                          (101, None, b'row1')]
