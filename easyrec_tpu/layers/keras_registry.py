@@ -338,7 +338,7 @@ def _build_senet(p: Parameter, name: str):
       num_squeeze_group=p.get_int('num_squeeze_group', 2),
       use_skip_connection=p.get_bool('use_skip_connection', True),
       use_output_layer_norm=p.get_bool('use_output_layer_norm', True))
-  return _SingleInput(inner=inner, name=name)
+  return _FieldsInput(inner=inner, name=name)
 
 
 @register_layer('BiLinear', 'Bilinear')
@@ -482,11 +482,37 @@ def _build_cin(p: Parameter, name: str):
   return _SingleInput(inner=inner, name=name)
 
 
+class _FieldsInput(nn.Module):
+  """Adapter for field-interaction layers whose reference forms accept
+  EITHER a [B, F, D] tensor or a LIST of per-field [B, D] tensors
+  (e.g. DotInteraction fed `[bottom_mlp] + feature_list`, SENet fed an
+  only_output_feature_list block) — stack lists on a new field axis."""
+  inner: nn.Module
+
+  @nn.compact
+  def __call__(self, inputs, training: bool = False):
+    x = inputs
+    if isinstance(x, (list, tuple)):
+      if len(x) == 1 and getattr(x[0], 'ndim', 2) == 3:
+        x = x[0]
+      else:
+        flat = []
+        for v in x:
+          # 3-D members (an already-stacked block merged with a feature
+          # list) contribute their fields individually
+          if v.ndim == 3:
+            flat.extend(jnp.moveaxis(v, 1, 0))
+          else:
+            flat.append(v)
+        x = jnp.stack(flat, axis=1)
+    return self.inner(x)
+
+
 @register_layer('DotInteraction')
 def _build_dot_interaction(p: Parameter, name: str):
   inner = IX.DotInteraction(
       self_interaction=p.get_bool('self_interaction', False))
-  return _SingleInput(inner=inner, name=name)
+  return _FieldsInput(inner=inner, name=name)
 
 
 @register_layer('MMoE')

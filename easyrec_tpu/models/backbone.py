@@ -47,6 +47,9 @@ class _TFShim:
   sqrt = staticmethod(jnp.sqrt)
   add_n = staticmethod(lambda xs: sum(xs))
   multiply = staticmethod(jnp.multiply)
+  unstack = staticmethod(lambda x, axis=0: [
+      jnp.squeeze(v, axis=axis)
+      for v in jnp.split(x, x.shape[axis], axis=axis)])
   divide = staticmethod(jnp.divide)
   split = staticmethod(lambda x, num, axis=-1: jnp.split(x, num, axis=axis))
   gather = staticmethod(lambda x, ids, axis=0: jnp.take(x, ids, axis=axis))
