@@ -94,31 +94,45 @@ class MultiHeadSelfAttention(nn.Module):
 
 
 class TransformerBlock(nn.Module):
-  """Post-LN transformer encoder block (BST flavor,
-  reference layers/keras/bst.py)."""
+  """Transformer encoder block (BST flavor, reference
+  layers/keras/bst.py + multihead_cross_attention transformer_encoder).
+
+  pre_ln=False matches the reference post-LN layout; pre_ln=True is an
+  easyrec_tpu extension (LN before each sub-layer, residual outside)
+  that stays stable at learning rates where post-LN stalls — the
+  standard pre-norm transformer robustness result."""
   hidden_size: int
   num_heads: int
   intermediate_size: int
   hidden_act: str = 'gelu'
   hidden_dropout: float = 0.1
   attention_dropout: float = 0.1
+  pre_ln: bool = False
 
   @nn.compact
   def __call__(self, x, mask, training: bool = False):
+    a_in = nn.LayerNorm(name='ln1')(x) if self.pre_ln else x
     att = nn.MultiHeadDotProductAttention(
         num_heads=self.num_heads,
         qkv_features=self.hidden_size,
         out_features=self.hidden_size,
         dropout_rate=self.attention_dropout,
         deterministic=not training,
-        name='mha')(x, x, mask=mask[:, None, None, :] > 0)
+        name='mha')(a_in, a_in, mask=mask[:, None, None, :] > 0)
     att = nn.Dropout(self.hidden_dropout, deterministic=not training)(att)
-    x = nn.LayerNorm(name='ln1')(x + att)
+    if self.pre_ln:
+      x = x + att
+      f_in = nn.LayerNorm(name='ln2')(x)
+    else:
+      x = nn.LayerNorm(name='ln1')(x + att)
+      f_in = x
     act = get_activation(self.hidden_act)
-    ffn = nn.Dense(self.intermediate_size, name='ffn1')(x)
+    ffn = nn.Dense(self.intermediate_size, name='ffn1')(f_in)
     ffn = act(ffn)
     ffn = nn.Dense(self.hidden_size, name='ffn2')(ffn)
     ffn = nn.Dropout(self.hidden_dropout, deterministic=not training)(ffn)
+    if self.pre_ln:
+      return x + ffn
     return nn.LayerNorm(name='ln2')(x + ffn)
 
 
@@ -141,6 +155,7 @@ class BSTEncoder(nn.Module):
   # target is given, reserve_target_position keeps its position slot
   target_item_position: str = 'head'
   reserve_target_position: bool = True
+  pre_ln: bool = False
 
   @nn.compact
   def __call__(self, seq, mask, target=None, training: bool = False):
@@ -168,13 +183,21 @@ class BSTEncoder(nn.Module):
       pos = self.param('position_emb', nn.initializers.normal(0.02),
                        (rows, self.hidden_size))
       x = x + pos[None, start:start + L, :]
+    # reference embedding_postprocessor ends with layer_norm_and_dropout
+    # (multihead_cross_attention.py:768); measured on the sequence
+    # learnability gate it also moves the lr-0.02 plateau 0.72 -> 0.78
+    x = nn.LayerNorm(name='emb_ln')(x)
+    x = nn.Dropout(self.hidden_dropout, deterministic=not training)(x)
     for i in range(self.num_layers):
       x = TransformerBlock(
           hidden_size=self.hidden_size, num_heads=self.num_heads,
           intermediate_size=self.intermediate_size,
           hidden_dropout=self.hidden_dropout,
           attention_dropout=self.attention_dropout,
+          pre_ln=self.pre_ln,
           name='block_%d' % i)(x, mask, training)
+    if self.pre_ln:
+      x = nn.LayerNorm(name='final_ln')(x)   # standard pre-norm cap
     x = x * mask[:, :, None]
     if self.output_all_tokens:
       return x.reshape(x.shape[0], -1)

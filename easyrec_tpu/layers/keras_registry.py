@@ -109,6 +109,7 @@ class _BSTAdapter(nn.Module):
   output_all_tokens: bool = False
   target_item_position: str = 'head'
   reserve_target_position: bool = True
+  pre_ln: bool = False
 
   @nn.compact
   def __call__(self, inputs, training: bool = False):
@@ -124,6 +125,7 @@ class _BSTAdapter(nn.Module):
         output_all_tokens=self.output_all_tokens,
         target_item_position=self.target_item_position,
         reserve_target_position=self.reserve_target_position,
+        pre_ln=self.pre_ln,
         name='bst')(seq, mask, target, training)
 
 
@@ -562,6 +564,7 @@ def _build_bst(p: Parameter, name: str):
       output_all_tokens=p.get_bool('output_all_token_embeddings', False),
       target_item_position=p.get_str('target_item_position', 'head'),
       reserve_target_position=p.get_bool('reserve_target_position', True),
+      pre_ln=p.get_bool('pre_ln', False),
       name=name)
 
 

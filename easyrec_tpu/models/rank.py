@@ -211,6 +211,7 @@ class _MultiTowerModule(nn.Module):
         max_position=max(int(tower.seq_len), hist.shape[1] + 1),
         hidden_dropout=0.0,
         attention_dropout=0.0,
+        pre_ln=bool(getattr(tower, 'pre_ln', False)),
         name='bst_%s' % tower.input)(hist, mask, target=query,
                                      training=training)
 
