@@ -42,6 +42,10 @@ def main(argv=None):
   parser.add_argument('--topology', default='v5e:2x4',
                       help='jax topology name (v5e:2x4 = 8 chips)')
   parser.add_argument('--batch_per_chip', type=int, default=8)
+  parser.add_argument('--num_slices', type=int, default=1,
+                      help='multi-slice (DCN-connected) topology: the '
+                           'mesh spans slices, XLA inserts cross-slice '
+                           'collectives over DCN')
   args = parser.parse_args(argv)
 
   # the CPU half needs virtual devices BEFORE jax initializes
@@ -64,10 +68,14 @@ def main(argv=None):
   from easyrec_tpu.utils.flagship import criteo_deepfm_config
   from easyrec_tpu.utils.synthetic import synthetic_batch
 
+  kwargs = {'num_slices': args.num_slices} if args.num_slices > 1 else {}
   topo = topologies.get_topology_desc(platform='tpu',
-                                      topology_name=args.topology)
+                                      topology_name=args.topology,
+                                      **kwargs)
   n = len(topo.devices)
-  print('topology %s: %d chips' % (args.topology, n))
+  n_slices = len({getattr(d, 'slice_index', 0) for d in topo.devices})
+  print('topology %s: %d chips over %d slice(s)'
+        % (args.topology, n, n_slices))
 
   bs = args.batch_per_chip * n
   cfg = criteo_deepfm_config(batch_size=bs, hash_bucket_size=4096,
