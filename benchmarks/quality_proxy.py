@@ -305,13 +305,16 @@ def torch_deepfm_auc(train_path, eval_path, mm, epochs=1, dim=16,
 # ------------------------------------------------------- easyrec side
 
 def easyrec_deepfm_auc(train_path, eval_path, mm, work, env_extra=None,
-                       num_steps=0):
+                       num_steps=0, epochs=1):
   """Trains via a subprocess so EASYREC_* env A/B variants apply at
   import time; returns eval AUC."""
   from benchmarks.quality import criteo_config
   cfg_text = criteo_config('deepfm', train_path, eval_path, mm,
                            os.path.join(work, 'model'),
                            num_steps=num_steps)
+  if epochs != 1:
+    cfg_text = cfg_text.replace('num_epochs: 1',
+                                'num_epochs: %d' % epochs)
   cfg_path = os.path.join(work, 'pipeline.config')
   with open(cfg_path, 'w') as f:
     f.write(cfg_text)
@@ -337,6 +340,11 @@ def main(argv=None):
   ap.add_argument('--work_dir', default='/tmp/quality_proxy')
   ap.add_argument('--smoke', action='store_true',
                   help='tiny corpus, plumbing only')
+  ap.add_argument('--epochs', type=int, default=1,
+                  help='epochs for BOTH implementations (the criteo '
+                       'protocol is 1; >1 narrows the undertraining '
+                       'gap to the bayes anchor on this 10x-smaller '
+                       'corpus)')
   ap.add_argument('--skip_torch', action='store_true')
   ap.add_argument('--skip_ab', action='store_true',
                   help='only the default-env easyrec run')
@@ -388,14 +396,14 @@ def main(argv=None):
     os.makedirs(work)        # CPU/plain-layout checkpoint) poisons runs
     auc, tail = easyrec_deepfm_auc(
         tr, te, mm, work, env_extra=env,
-        num_steps=30 if args.smoke else 0)
+        num_steps=30 if args.smoke else 0, epochs=args.epochs)
     results[name] = auc
     print(json.dumps({'case': 'easyrec_%s' % name, 'auc': round(auc, 5),
                       'delta_vs_bayes': round(auc - bayes, 5)}),
           flush=True)
 
   if not args.skip_torch:
-    tauc = torch_deepfm_auc(tr, te, mm,
+    tauc = torch_deepfm_auc(tr, te, mm, epochs=args.epochs,
                             max_rows=args.rows if not args.smoke
                             else 60000)
     results['torch'] = tauc

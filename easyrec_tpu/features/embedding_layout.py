@@ -396,8 +396,13 @@ def _init_stddev(spec: FeatureSpec, dim: int) -> float:
       return float(np.sqrt(2.0 / (spec.rows + dim)))
     if which == 'constant_initializer':
       return 0.0
-  # default: 1/sqrt(dim), the standard embedding scale
-  return float(1.0 / np.sqrt(dim))
+  # default: 0.01/sqrt(dim) — the REFERENCE's embedding_column default
+  # (compat/feature_column/feature_column_v2.py:911-912,
+  # truncated_normal(stddev=0.01/sqrt(dimension))). r1-r3 used
+  # 1/sqrt(dim) (100x larger); the calibrated proxy benchmark caught it
+  # as a 5.6-point AUC gap vs an independent torch implementation at
+  # the 1-epoch criteo protocol (PERF.md r4 quality proxy).
+  return float(0.01 / np.sqrt(dim))
 
 
 def _round_up(x: int, m: int) -> int:

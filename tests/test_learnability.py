@@ -139,15 +139,15 @@ data_config {{
 }}
 feature_config {{
   features {{ input_names: "uid" feature_type: IdFeature
-              embedding_dim: 8 hash_bucket_size: 3000 }}
+              embedding_dim: 8 hash_bucket_size: 3000 initializer {{ random_normal_initializer {{ stddev: 0.35 }} }} }}
   features {{ input_names: "iid" feature_type: IdFeature
-              embedding_dim: 8 hash_bucket_size: 3000 }}
+              embedding_dim: 8 hash_bucket_size: 3000 initializer {{ random_normal_initializer {{ stddev: 0.35 }} }} }}
   features {{ input_names: "cate" feature_type: IdFeature
-              embedding_dim: 8 hash_bucket_size: 1200 }}
+              embedding_dim: 8 hash_bucket_size: 1200 initializer {{ random_normal_initializer {{ stddev: 0.35 }} }} }}
   features {{ input_names: "seq_cate" feature_type: SequenceFeature
-              embedding_dim: 8 hash_bucket_size: 1200 max_seq_len: 8 }}
-  features {{ input_names: "d1" feature_type: RawFeature embedding_dim: 8 }}
-  features {{ input_names: "d2" feature_type: RawFeature embedding_dim: 8 }}
+              embedding_dim: 8 hash_bucket_size: 1200 max_seq_len: 8 initializer {{ random_normal_initializer {{ stddev: 0.35 }} }} }}
+  features {{ input_names: "d1" feature_type: RawFeature embedding_dim: 8 initializer {{ random_normal_initializer {{ stddev: 0.35 }} }} }}
+  features {{ input_names: "d2" feature_type: RawFeature embedding_dim: 8 initializer {{ random_normal_initializer {{ stddev: 0.35 }} }} }}
 }}
 model_config {{
 {model_body}
@@ -546,13 +546,13 @@ data_config {{
 }}
 feature_config {{
   features {{ input_names: "uid" feature_type: IdFeature
-              embedding_dim: 8 hash_bucket_size: 3000 }}
+              embedding_dim: 8 hash_bucket_size: 3000 initializer {{ random_normal_initializer {{ stddev: 0.35 }} }} }}
   features {{ input_names: "iid" feature_type: IdFeature
-              embedding_dim: 8 hash_bucket_size: 3000 }}
+              embedding_dim: 8 hash_bucket_size: 3000 initializer {{ random_normal_initializer {{ stddev: 0.35 }} }} }}
   features {{ input_names: "cate" feature_type: IdFeature
-              embedding_dim: 8 hash_bucket_size: 600 }}
+              embedding_dim: 8 hash_bucket_size: 600 initializer {{ random_normal_initializer {{ stddev: 0.35 }} }} }}
   features {{ input_names: "seq_cate" feature_type: SequenceFeature
-              embedding_dim: 8 hash_bucket_size: 600 max_seq_len: 10 }}
+              embedding_dim: 8 hash_bucket_size: 600 max_seq_len: 10 initializer {{ random_normal_initializer {{ stddev: 0.35 }} }} }}
 }}
 model_config {{
   model_class: "MIND"

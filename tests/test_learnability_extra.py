@@ -131,17 +131,17 @@ data_config {{
 }}
 feature_config {{
   features {{ input_names: "uid" feature_type: IdFeature
-              embedding_dim: 8 hash_bucket_size: 3000 }}
+              embedding_dim: 8 hash_bucket_size: 3000 initializer {{ random_normal_initializer {{ stddev: 0.35 }} }} }}
   features {{ input_names: "iid" feature_type: IdFeature
-              embedding_dim: 8 hash_bucket_size: 3000 }}
+              embedding_dim: 8 hash_bucket_size: 3000 initializer {{ random_normal_initializer {{ stddev: 0.35 }} }} }}
   features {{ input_names: "cate" feature_type: IdFeature
-              embedding_dim: 8 hash_bucket_size: 1200 }}
+              embedding_dim: 8 hash_bucket_size: 1200 initializer {{ random_normal_initializer {{ stddev: 0.35 }} }} }}
   features {{ input_names: "img_vec" feature_type: RawFeature
               raw_input_dim: {img_dim} separator: "|" }}
   features {{ input_names: "title" feature_type: TagFeature
-              embedding_dim: 8 hash_bucket_size: 200 max_multi_len: 2 }}
+              embedding_dim: 8 hash_bucket_size: 200 max_multi_len: 2 initializer {{ random_normal_initializer {{ stddev: 0.35 }} }} }}
   features {{ input_names: "seq_cate" feature_type: SequenceFeature
-              embedding_dim: 8 hash_bucket_size: 1200 max_seq_len: 8 }}
+              embedding_dim: 8 hash_bucket_size: 1200 max_seq_len: 8 initializer {{ random_normal_initializer {{ stddev: 0.35 }} }} }}
 }}
 model_config {{
 {model_body}
@@ -473,11 +473,11 @@ data_config {{
 }}
 feature_config {{
   features {{ input_names: "uid" feature_type: IdFeature
-              embedding_dim: 8 hash_bucket_size: 3000 }}
+              embedding_dim: 8 hash_bucket_size: 3000 initializer {{ random_normal_initializer {{ stddev: 0.35 }} }} }}
   features {{ input_names: "iid" feature_type: IdFeature
-              embedding_dim: 8 hash_bucket_size: 3000 }}
+              embedding_dim: 8 hash_bucket_size: 3000 initializer {{ random_normal_initializer {{ stddev: 0.35 }} }} }}
   features {{ input_names: "cate" feature_type: IdFeature
-              embedding_dim: 8 hash_bucket_size: 600 }}
+              embedding_dim: 8 hash_bucket_size: 600 initializer {{ random_normal_initializer {{ stddev: 0.35 }} }} }}
 }}
 model_config {{
   model_class: "DAT"
