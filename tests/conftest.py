@@ -28,10 +28,9 @@ if not os.environ.get('EASYREC_TEST_NO_CACHE'):
   jax.config.update('jax_compilation_cache_dir', _cache_dir)
   jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
   jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
-  try:
-    jax.config.update('jax_persistent_cache_enable_xla_caches', 'all')
-  except (AttributeError, ValueError):
-    pass
+  # NOTE: 'jax_persistent_cache_enable_xla_caches = all' was tried and
+  # reverted: it persists XLA:CPU AOT kernels with host-feature flags
+  # (+prefer-no-scatter) that do not round-trip on reload
 
 
 # ---- suite lanes (tests/run.py): convergence-training tests are

@@ -37,19 +37,26 @@ data_config {
 }
 feature_config {
   features { input_names: "uid" feature_type: IdFeature
-             embedding_dim: 8 hash_bucket_size: 100 }
+             embedding_dim: 8 hash_bucket_size: 100
+             initializer { random_normal_initializer { stddev: 0.35 } } }
   features { input_names: "iid" feature_type: IdFeature
-             embedding_dim: 8 hash_bucket_size: 100 }
+             embedding_dim: 8 hash_bucket_size: 100
+             initializer { random_normal_initializer { stddev: 0.35 } } }
   features { input_names: "cate" feature_type: IdFeature
-             embedding_dim: 8 hash_bucket_size: 40 }
+             embedding_dim: 8 hash_bucket_size: 40
+             initializer { random_normal_initializer { stddev: 0.35 } } }
   features { input_names: "title" feature_type: TagFeature
-             embedding_dim: 8 hash_bucket_size: 60 max_multi_len: 4 }
+             embedding_dim: 8 hash_bucket_size: 60 max_multi_len: 4
+             initializer { random_normal_initializer { stddev: 0.35 } } }
   features { input_names: "img_vec" feature_type: RawFeature
-             raw_input_dim: 16 separator: "|" }
+             raw_input_dim: 16 separator: "|"
+             initializer { random_normal_initializer { stddev: 0.35 } } }
   features { input_names: "age" feature_type: RawFeature
-             embedding_dim: 8 }
+             embedding_dim: 8
+             initializer { random_normal_initializer { stddev: 0.35 } } }
   features { input_names: "seq_cate" feature_type: SequenceFeature
-             embedding_dim: 8 hash_bucket_size: 40 max_seq_len: 6 }
+             embedding_dim: 8 hash_bucket_size: 40 max_seq_len: 6
+             initializer { random_normal_initializer { stddev: 0.35 } } }
 }
 """
 
