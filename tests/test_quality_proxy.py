@@ -45,6 +45,8 @@ def test_proxy_smoke_end_to_end(tmp_path):
   are informational only)."""
   out = subprocess.run(
       [sys.executable, 'benchmarks/quality_proxy.py', '--smoke',
+       '--skip_ab',    # ONE easyrec variant: the A/B matrix is a
+                       # full-scale measurement, not suite material
        '--work_dir', str(tmp_path)],
       capture_output=True, text=True, cwd='/root/repo', timeout=1500)
   lines = [line for line in out.stdout.splitlines()
