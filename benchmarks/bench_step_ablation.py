@@ -14,6 +14,8 @@ from __future__ import annotations
 import functools
 import time
 
+import os as _os_, sys as _sys_
+_sys_.path.insert(0, _os_.path.dirname(_os_.path.dirname(_os_.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
