@@ -36,7 +36,11 @@ def make_kernel(chunk: int, unroll: int = 1, bulk_wait: str = 'none',
   """RMW kernel: pull chunk groups, buf = buf*0.999 - 0.001, push back.
 
   bulk_wait: 'none' (per-copy wait loop) | 'count' (one semaphore_wait
-  for `chunk` completions) | 'bytes' (one wait for chunk*group_bytes).
+  for `chunk` completions) | 'bytes' (one wait for chunk*group_bytes)
+  | 'fake' (ONE .wait() on an unstarted whole-buffer descriptor: its
+  byte count equals the sum of the individual copies, so the single
+  wait drains every completion increment on the shared semaphore
+  without a scalar-loop iteration per copy).
   subtile: if >0, math runs over static sub-slices of the buf (stack
   temporaries stay small at large chunks).
   """
@@ -68,6 +72,10 @@ def make_kernel(chunk: int, unroll: int = 1, bulk_wait: str = 'none',
       jax.lax.fori_loop(0, chunk // unroll, pull_wait, 0)
     elif bulk_wait == 'count':
       pltpu.semaphore_wait(sem_in, chunk)
+    elif bulk_wait == 'fake':
+      # never started: .wait() just blocks until sem_in has accumulated
+      # this descriptor's byte count (== chunk copies) and decrements it
+      pltpu.make_async_copy(buf, buf, sem_in).wait()
     else:
       pltpu.semaphore_wait(sem_in, chunk * group_bytes)
 
@@ -98,6 +106,8 @@ def make_kernel(chunk: int, unroll: int = 1, bulk_wait: str = 'none',
       jax.lax.fori_loop(0, chunk // unroll, push_wait, 0)
     elif bulk_wait == 'count':
       pltpu.semaphore_wait(sem_out, chunk)
+    elif bulk_wait == 'fake':
+      pltpu.make_async_copy(buf, buf, sem_out).wait()
     else:
       pltpu.semaphore_wait(sem_out, chunk * group_bytes)
 
@@ -158,6 +168,11 @@ def main():
        {'unroll': 4, 'subtile': 512}),
       ('E: unroll8 chunk 4096 subtile', 4096,
        {'unroll': 8, 'subtile': 512}),
+      ('F: fake-desc bulk wait, chunk 512', 512, {'bulk_wait': 'fake'}),
+      ('G: fake-wait + unroll4, chunk 512', 512,
+       {'unroll': 4, 'bulk_wait': 'fake'}),
+      ('H: fake-wait unroll8 chunk 2048', 2048,
+       {'unroll': 8, 'bulk_wait': 'fake', 'subtile': 512}),
   ]:
     try:
       fn = jax.jit(make_kernel(chunk, **kw), donate_argnums=(1,))

@@ -758,6 +758,20 @@ def _rmw_pallas(table: jnp.ndarray,
   flag_page = jnp.zeros((nc, _PAGE), jnp.int32)
   flag_page = flag_page.at[:, :chunk].set(live.reshape(nc, chunk))
   flag3 = flag_page.reshape(nc, 8, _LANE)
+  # per-chunk liveness page: [i, 0, 0] = chunk i has any live entry,
+  # [i, 0, 1] = chunk i+1 has any live entry. Dedup puts sentinels at
+  # the TAIL of ugids, so dead chunks form a suffix — the pipelined
+  # kernel skips their DMA loops and math entirely with one scalar
+  # branch. The static cap (= min(N, groups)) sizes the worst case;
+  # realistic zipf-distributed ids touch far fewer unique groups and
+  # the skipped tail makes the kernel cost track the ACTUAL unique
+  # count instead of the cap.
+  chunk_live = (jnp.sum(live.reshape(nc, chunk), axis=1) > 0) \
+      .astype(jnp.int32)
+  alive_page = jnp.zeros((nc, _PAGE), jnp.int32)
+  alive_page = alive_page.at[:, 0].set(chunk_live)
+  alive_page = alive_page.at[:-1, 1].set(chunk_live[1:])
+  alive3 = alive_page.reshape(nc, 8, _LANE)
   table3 = table.reshape(meta.groups, 8, w)
   touch_m = jnp.asarray(_touch_matrix(w, meta.cc)).astype(jnp.bfloat16)
   e0t = jnp.asarray(
@@ -855,19 +869,47 @@ def _rmw_pallas(table: jnp.ndarray,
     #   2. (i==0 only) issue chunk 0's own pulls
     #   3. issue chunk i+1's pulls into slot nxt
     #   4. wait chunk i's pulls; optimizer math on slot cur; push cur
-    #   5. (i==nc-1 only) drain own pushes
+    #   5. (last live chunk only) drain own pushes
     # Waits are count-based on the per-slot DMA semaphore, so the wait
     # descriptors may be rebuilt with CURRENT gids; in predicated mode
     # the issued-copy COUNT for chunk i-1 comes from its own flag page
     # (flag_pref).
-    (gid_ref, gid_nref, flag_ref, flag_nref, flag_pref, gg_ref, hyp_ref,
-     tm_ref, e0t_ref, _in_tbl, out_ref, buf, sem_in, sem_out) = refs
+    #
+    # Two r5 issue-count levers (the kernel is DMA-ISSUE-bound at
+    # ~48 ns per .start(); waits on a drained semaphore are ~free —
+    # benchmarks/bench_dma_issue.py variants F/G):
+    #   - chunk skip: dead chunks (all-sentinel, a tail suffix by
+    #     construction) run NO DMAs and no math — one scalar branch.
+    #     With zipf-distributed real ids the unique-group count
+    #     collapses far below the static cap and the skipped tail makes
+    #     kernel cost track the actual touched set.
+    #   - bulk waits (unpredicated mode): ONE .wait() on an unstarted
+    #     whole-slot descriptor replaces the per-copy wait loop; its
+    #     byte count equals the sum of the chunk's equal-sized copies
+    #     on the shared per-slot semaphore. (pltpu.semaphore_wait
+    #     rejects DMA semaphores; the descriptor form is the supported
+    #     spelling of the same bulk wait.) Predicated mode keeps
+    #     per-copy waits: skipped copies never increment the semaphore.
+    (gid_ref, gid_nref, flag_ref, flag_nref, flag_pref, alive_ref,
+     gg_ref, hyp_ref, tm_ref, e0t_ref, _in_tbl, out_ref, buf, sem_in,
+     sem_out) = refs
     hyp = lambda k: hyp_ref[0, k]   # noqa: E731
     i = pl.program_id(0)
     cur = jax.lax.rem(i, 2)
     nxt = 1 - cur
+    alive = alive_ref[0, 0, 0]
+    alive_nxt = alive_ref[0, 0, 1]
 
     def dma_loop(gref, fref, slot, is_pull, sem, action):
+      if action == 'wait' and not predicate and not interpret:
+        # bulk drain: equal-sized copies on one semaphore — a single
+        # slot-sized descriptor wait replaces chunk scalar-loop waits
+        # (the interpreter's semaphore model counts copies, not bytes —
+        # keep per-copy waits there)
+        pltpu.make_async_copy(buf.at[slot], buf.at[slot],
+                              sem.at[slot]).wait()
+        return
+
       def lp(j, _):
         for u in range(_UNROLL):
           k = j * _UNROLL + u
@@ -885,13 +927,19 @@ def _rmw_pallas(table: jnp.ndarray,
         return 0
       jax.lax.fori_loop(0, chunk // _UNROLL, lp, 0)
 
-    pl.when(i > 0)(lambda: dma_loop(gid_ref, flag_pref, nxt, False,
-                                    sem_out, 'wait'))
-    pl.when(i == 0)(lambda: dma_loop(gid_ref, flag_ref, cur, True,
-                                     sem_in, 'start'))
-    pl.when(i + 1 < nc)(lambda: dma_loop(gid_nref, flag_nref, nxt, True,
-                                         sem_in, 'start'))
-    dma_loop(gid_ref, flag_ref, cur, True, sem_in, 'wait')
+    # alive(i) implies alive(i-1): sentinels are a dedup tail suffix,
+    # so live chunks form a prefix and every wait below is matched by
+    # copies a LIVE chunk actually started.
+    pl.when((i > 0) & (alive == 1))(
+        lambda: dma_loop(gid_ref, flag_pref, nxt, False, sem_out,
+                         'wait'))
+    pl.when((i == 0) & (alive == 1))(
+        lambda: dma_loop(gid_ref, flag_ref, cur, True, sem_in, 'start'))
+    pl.when((i + 1 < nc) & (alive_nxt == 1))(
+        lambda: dma_loop(gid_nref, flag_nref, nxt, True, sem_in,
+                         'start'))
+    pl.when(alive == 1)(
+        lambda: dma_loop(gid_ref, flag_ref, cur, True, sem_in, 'wait'))
 
     tm = tm_ref[:]
     e0t_m = e0t_ref[:]
@@ -908,11 +956,18 @@ def _rmw_pallas(table: jnp.ndarray,
       buf[cur, sl] = new.reshape(sub, 8, w).astype(buf.dtype)
       return 0
 
-    jax.lax.fori_loop(0, chunk // sub, math_tile, 0)
+    def run_math():
+      jax.lax.fori_loop(0, chunk // sub, math_tile, 0)
 
-    dma_loop(gid_ref, flag_ref, cur, False, sem_out, 'start')
-    pl.when(i == nc - 1)(lambda: dma_loop(gid_ref, flag_ref, cur, False,
-                                          sem_out, 'wait'))
+    pl.when(alive == 1)(run_math)
+
+    pl.when(alive == 1)(
+        lambda: dma_loop(gid_ref, flag_ref, cur, False, sem_out,
+                         'start'))
+    # drain own pushes on the LAST LIVE chunk (later chunks skip)
+    pl.when((alive == 1) & ((i == nc - 1) | (alive_nxt == 0)))(
+        lambda: dma_loop(gid_ref, flag_ref, cur, False, sem_out,
+                         'wait'))
 
   id_spec = lambda ix: pl.BlockSpec((1, 8, _LANE), ix,          # noqa
                                     memory_space=pltpu.SMEM)
@@ -935,19 +990,20 @@ def _rmw_pallas(table: jnp.ndarray,
         kernel_pipe,
         grid=(nc,),
         in_specs=([id_spec(cur_ix), id_spec(nxt_ix), id_spec(cur_ix),
-                   id_spec(nxt_ix), id_spec(prv_ix)] + shared_specs),
+                   id_spec(nxt_ix), id_spec(prv_ix), id_spec(cur_ix)]
+                  + shared_specs),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(table3.shape, table3.dtype),
         scratch_shapes=[pltpu.VMEM((2, chunk, 8, w), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))],
-        input_output_aliases={9: 0},
+        input_output_aliases={10: 0},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, dimension_semantics=('arbitrary',)),
         interpret=interpret,
     )
-    out = fn(gid3, gid3, flag3, flag3, flag3, gg, hyp_page, touch_m,
-             e0t, table3)
+    out = fn(gid3, gid3, flag3, flag3, flag3, alive3, gg, hyp_page,
+             touch_m, e0t, table3)
     return out.reshape(meta.phys_rows, w)
   fn = pl.pallas_call(
       kernel,
