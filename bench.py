@@ -99,6 +99,28 @@ def main():
   trainer = Trainer(cfg)
   batches = [synthetic_batch(trainer.specs, ['label'], batch_size, seed=s)
              for s in range(4)]
+  if os.environ.get('BENCH_ZIPF') == '1':
+    # realistic-id variant: per-feature ids follow the calibrated proxy
+    # corpus's truncated power law (benchmarks/quality_proxy.py VOCABS /
+    # zipf_a 1.08..1.16), scattered over the hash-bucket space with a
+    # Knuth multiplicative hash so hot ranks stay hot but land on
+    # uncorrelated rows — the workload shape real criteo-like data
+    # produces after feature hashing. Duplicated hot ids dedup to far
+    # fewer unique groups than the uniform default, which the RMW
+    # kernel's dead-chunk skip turns into proportionally less DMA work.
+    import numpy as np
+    from benchmarks.quality_proxy import GroundTruth
+    gt = GroundTruth(seed=7)
+    cat_keys = sorted(
+        (k for k in batches[0]
+         if k.startswith('feat.C') and k.endswith('.ids')),
+        key=lambda k: int(k.split('.')[1][1:]))
+    for s, b in enumerate(batches):
+      r = np.random.default_rng(1000 + s)
+      ids = gt.draw_ids(r, batch_size)          # [B, 26] zipf ranks
+      for f, key in enumerate(cat_keys[:ids.shape[1]]):
+        scattered = (ids[:, f] * 2654435761) % hash_buckets
+        b[key] = scattered.astype(np.int32).reshape(b[key].shape)
 
   tpu_rate = _rate(trainer, batches, warmup=10, steps=steps)
 
