@@ -93,6 +93,9 @@ def main():
     fn, labels = cfgs[name.strip()]
     cfg = fn(batch_size=batch_size, seq_len=seq_len) \
         if name != 'deepfm' else fn(batch_size=batch_size)
+    dtype = os.environ.get('BENCH_COMPUTE_DTYPE', '')
+    if dtype:
+      cfg.train_config.compute_dtype = dtype
     trainer = Trainer(cfg)
     batches = [synthetic_batch(trainer.specs, labels, batch_size, seed=s)
                for s in range(4)]

@@ -93,6 +93,83 @@ class MultiHeadSelfAttention(nn.Module):
     return out
 
 
+def _attn_impl() -> str:
+  import os
+  return os.environ.get('EASYREC_ATTN_IMPL', 'vpu_bf16')
+
+
+class PackedMHA(nn.Module):
+  """Multi-head dot-product attention tuned for recsys shapes
+  (L ~ 50, head_dim ~ 8), where the stock per-head batched matmuls
+  ([L, Dh] @ [Dh, L] x B x H instances) are dispatch- and MXU-padding-
+  bound: a K=8 contraction pads 16x on the 128x128 MXU and the B*H
+  instance count dominates.
+
+  Measured fwd+bwd of the attention core at BST bench shapes
+  ([4096, 51, 32], 4 heads; benchmarks/bench_attention.py, v5e):
+
+    stock per-head einsum    10.57 ms
+    block-diag head packing  15.1-15.7 ms (expansion transposes lose)
+    vpu multiply-reduce       8.11 ms
+    vpu + bf16 payloads       7.41 ms   <- default
+
+  The vpu formulation writes the K=8 contraction as a fused broadcast-
+  multiply-reduce (no dot_general): XLA lowers it to one VPU reduce
+  fusion per tensor, dodging both MXU K-padding and per-instance
+  matmul dispatch. bf16 payloads halve the fused-loop reads; scores
+  accumulate in f32 (sums of 8 products — bf16 rounding ~2^-8 on the
+  inputs only; the BST learnability gates pass). EASYREC_ATTN_IMPL
+  in {stock, vpu, vpu_bf16} selects the core at trace time.
+
+  Parameter tree ('query'/'key'/'value'/'out' DenseGeneral) matches
+  flax.linen.MultiHeadDotProductAttention, so swapping modules keeps
+  checkpoints compatible; numerics parity vs flax is pinned by
+  tests/test_backbone.py::test_packed_mha_matches_flax (stock impl
+  exact; vpu impls identical up to payload rounding).
+  """
+  num_heads: int
+  qkv_features: int
+  out_features: int
+  dropout_rate: float = 0.0
+  deterministic: bool = True
+
+  @nn.compact
+  def __call__(self, x_q, x_kv, mask=None):
+    h = self.num_heads
+    dh = self.qkv_features // h
+    q = nn.DenseGeneral((h, dh), axis=-1, name='query')(x_q)
+    k = nn.DenseGeneral((h, dh), axis=-1, name='key')(x_kv)
+    v = nn.DenseGeneral((h, dh), axis=-1, name='value')(x_kv)
+    q = q / jnp.sqrt(jnp.asarray(dh, q.dtype))
+    impl = _attn_impl()
+    if impl == 'stock':
+      s4 = jnp.einsum('blhd,bmhd->blhm', q, k)
+    else:
+      payload = jnp.bfloat16 if impl == 'vpu_bf16' else q.dtype
+      qp, kp = q.astype(payload), k.astype(payload)
+      # [B, L, M, H, Dh] product reduced over Dh, as one VPU fusion
+      s4 = jnp.sum((qp[:, :, None, :, :] * kp[:, None, :, :, :])
+                   .astype(jnp.float32),
+                   axis=-1).transpose(0, 1, 3, 2)     # [B, L, H, M]
+    if mask is not None:
+      s4 = jnp.where(mask[:, None, None, :] > 0, s4, _NEG_INF)
+    probs = nn.softmax(s4, axis=-1)
+    if self.dropout_rate > 0.0:
+      probs = nn.Dropout(self.dropout_rate,
+                         deterministic=self.deterministic)(probs)
+    if impl == 'stock':
+      ctx = jnp.einsum('blhm,bmhd->blhd', probs, v)
+    else:
+      payload = jnp.bfloat16 if impl == 'vpu_bf16' else q.dtype
+      pp = probs.astype(payload)
+      vp = v.astype(payload).transpose(0, 2, 1, 3)    # [B, H, M, Dh]
+      ctx = jnp.sum((pp[:, :, :, :, None] * vp[:, None, :, :, :])
+                    .astype(jnp.float32), axis=3)     # [B, L, H, Dh]
+    ctx = ctx.astype(x_q.dtype)
+    return nn.DenseGeneral(self.out_features, axis=(-2, -1),
+                           name='out')(ctx)
+
+
 class TransformerBlock(nn.Module):
   """Transformer encoder block (BST flavor, reference
   layers/keras/bst.py + multihead_cross_attention transformer_encoder).
@@ -112,13 +189,13 @@ class TransformerBlock(nn.Module):
   @nn.compact
   def __call__(self, x, mask, training: bool = False):
     a_in = nn.LayerNorm(name='ln1')(x) if self.pre_ln else x
-    att = nn.MultiHeadDotProductAttention(
+    att = PackedMHA(
         num_heads=self.num_heads,
         qkv_features=self.hidden_size,
         out_features=self.hidden_size,
         dropout_rate=self.attention_dropout,
         deterministic=not training,
-        name='mha')(a_in, a_in, mask=mask[:, None, None, :] > 0)
+        name='mha')(a_in, a_in, mask=mask)
     att = nn.Dropout(self.hidden_dropout, deterministic=not training)(att)
     if self.pre_ln:
       x = x + att

@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from easyrec_tpu.layers.attention import TransformerBlock
+from easyrec_tpu.layers.attention import PackedMHA, TransformerBlock
 from easyrec_tpu.layers.dnn import DNN
 from easyrec_tpu.losses import losses as L
 from easyrec_tpu.models.base import RankModel, register_model
@@ -198,14 +198,16 @@ class CMBFEncoder(nn.Module):
     img_c = nn.Dense(d_cross, name='img_cross_proj')(img)
     txt_c = nn.Dense(d_cross, name='txt_cross_proj')(txt)
     for i in range(int(cfg.cross_modal_layer_num) or 1):
-      t2i = nn.MultiHeadDotProductAttention(
+      # PackedMHA: head-packed attention (param-compatible with the
+      # stock flax MHA; see layers/attention.py)
+      t2i = PackedMHA(
           num_heads=int(cfg.multi_head_num) or 1, qkv_features=d_cross,
-          deterministic=not training, name='t2i_%d' % i)(
-              txt_c, img_c)
-      i2t = nn.MultiHeadDotProductAttention(
+          out_features=d_cross, deterministic=not training,
+          name='t2i_%d' % i)(txt_c, img_c)
+      i2t = PackedMHA(
           num_heads=int(cfg.multi_head_num) or 1, qkv_features=d_cross,
-          deterministic=not training, name='i2t_%d' % i)(
-              img_c, txt_c)
+          out_features=d_cross, deterministic=not training,
+          name='i2t_%d' % i)(img_c, txt_c)
       txt_c = nn.LayerNorm(name='t_ln_%d' % i)(txt_c + t2i)
       img_c = nn.LayerNorm(name='i_ln_%d' % i)(img_c + i2t)
 

@@ -331,3 +331,48 @@ def test_bst_target_position_options():
   out = m.apply(v, seq, mask, None,
                 rngs={'dropout': jax.random.PRNGKey(1)})
   assert np.isfinite(np.asarray(out)).all()
+
+
+def test_packed_mha_matches_flax():
+  """PackedMHA (head-packed block-diagonal attention) must match
+  flax.linen.MultiHeadDotProductAttention bit-for-bit in structure and
+  numerically in output: same param tree, swap-in compatible."""
+  import flax.linen as nn
+  import jax
+  import jax.numpy as jnp
+  from easyrec_tpu.layers.attention import PackedMHA
+  rng = np.random.default_rng(3)
+  b, l, d, h = 5, 9, 32, 4
+  x = jnp.asarray(rng.normal(size=(b, l, d)), jnp.float32)
+  mask = jnp.asarray(rng.random((b, l)) > 0.3, jnp.float32)
+  mask = mask.at[:, 0].set(1.0)               # no fully-masked rows
+  ours = PackedMHA(num_heads=h, qkv_features=d, out_features=d,
+                   dropout_rate=0.0, deterministic=True)
+  ref = nn.MultiHeadDotProductAttention(
+      num_heads=h, qkv_features=d, out_features=d, dropout_rate=0.0,
+      deterministic=True)
+  v_ours = ours.init(jax.random.PRNGKey(0), x, x, mask)
+  v_ref = ref.init(jax.random.PRNGKey(0), x, x,
+                   mask=mask[:, None, None, :] > 0)
+  ours_tree = jax.tree.map(lambda a: a.shape, v_ours['params'])
+  ref_tree = jax.tree.map(lambda a: a.shape, v_ref['params'])
+  assert ours_tree == ref_tree, (ours_tree, ref_tree)
+  # run OUR module on the FLAX-initialized params (swap-in contract)
+  y_ref = ref.apply(v_ref, x, x, mask=mask[:, None, None, :] > 0)
+  import os
+  for impl, atol in [('stock', 2e-5), ('vpu', 2e-4), ('vpu_bf16', 0.05)]:
+    os.environ['EASYREC_ATTN_IMPL'] = impl
+    try:
+      y_ours = ours.apply(v_ref, x, x, mask)
+    finally:
+      del os.environ['EASYREC_ATTN_IMPL']
+    np.testing.assert_allclose(np.asarray(y_ours), np.asarray(y_ref),
+                               atol=atol, rtol=atol,
+                               err_msg='impl=%s' % impl)
+  # cross-attention shape (CMBF/Uniter towers): kv length != q length
+  xkv = jnp.asarray(rng.normal(size=(b, 7, d)), jnp.float32)
+  mkv = jnp.ones((b, 7), jnp.float32)
+  y2 = ours.apply(ours.init(jax.random.PRNGKey(1), x, xkv, mkv),
+                  x, xkv, mkv)
+  assert y2.shape == (b, l, d)
+  assert np.isfinite(np.asarray(y2)).all()
