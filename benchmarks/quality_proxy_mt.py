@@ -1,0 +1,423 @@
+"""Multi-task quality proxies: ESMM (censored cvr via prob-product)
+and MMoE vs INDEPENDENT torch implementations (VERDICT r4 next step 3).
+
+Generator: users and items carry hidden low-rank trait vectors; three
+Bernoulli outcomes per impression —
+  click       p_ctr = sigmoid(a_u + b_i + u.v)
+  conversion  p_cvr = sigmoid(c_u + d_i + u'.v')  OBSERVED ONLY IF
+              clicked (the logged `buy` column is click * Bern(p_cvr):
+              exactly the sample-selection bias ESMM's ctcvr
+              formulation exists for — reference model/esmm.py:58-98)
+  fav         p_fav — an uncensored second task for the MMoE pair.
+
+Both implementations read identical CSV rows. Ours trains through the
+full pipeline + CLI (ESMM config, MMoE config); torch references are
+shared-nothing (own hashing, own towers, own autograd). Scores: AUC of
+click on all rows; for ESMM additionally AUC of buy (= ctcvr) on all
+rows scored by p_ctr * p_cvr.
+
+Run:  python benchmarks/quality_proxy_mt.py [--smoke]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+from benchmarks.quality_proxy import _auc                  # noqa: E402
+
+N_USERS = 50000
+N_ITEMS = 20000
+H = 4
+
+
+def make_truth(seed=31):
+  r = np.random.default_rng(seed)
+  return {
+      'a_u': r.normal(0, 0.8, N_USERS),
+      'b_i': r.normal(0, 0.8, N_ITEMS),
+      'u1': r.normal(0, 0.7, (N_USERS, H)),
+      'v1': r.normal(0, 0.7, (N_ITEMS, H)),
+      'c_u': r.normal(0, 0.8, N_USERS),
+      'd_i': r.normal(0, 0.8, N_ITEMS),
+      'u2': r.normal(0, 0.7, (N_USERS, H)),
+      'v2': r.normal(0, 0.7, (N_ITEMS, H)),
+      'e_u': r.normal(0, 0.8, N_USERS),
+      'f_i': r.normal(0, 0.8, N_ITEMS),
+  }
+
+
+def _probs(t, users, items):
+  z_ctr = t['a_u'][users] + t['b_i'][items] + \
+      np.einsum('nh,nh->n', t['u1'][users], t['v1'][items]) - 1.2
+  z_cvr = t['c_u'][users] + t['d_i'][items] + \
+      np.einsum('nh,nh->n', t['u2'][users], t['v2'][items]) - 0.8
+  z_fav = t['e_u'][users] + t['f_i'][items] - 1.0
+  sig = lambda z: 1.0 / (1.0 + np.exp(-z))   # noqa: E731
+  return sig(z_ctr), sig(z_cvr), sig(z_fav)
+
+
+def write_corpus(path, t, seed, n, with_truth=None):
+  r = np.random.default_rng(seed)
+  with open(path, 'w') as f:
+    done = 0
+    while done < n:
+      m = min(100000, n - done)
+      users = r.integers(0, N_USERS, m)
+      items = r.integers(0, N_ITEMS, m)
+      p_ctr, p_cvr, p_fav = _probs(t, users, items)
+      clk = (r.random(m) < p_ctr).astype(np.int64)
+      buy = clk * (r.random(m) < p_cvr).astype(np.int64)  # CENSORED
+      fav = (r.random(m) < p_fav).astype(np.int64)
+      if with_truth is not None:
+        with_truth.append((clk, buy, fav, p_ctr, p_ctr * p_cvr, p_fav))
+      rows = ['%d,%d,%d,u%d,i%d' % (clk[i], buy[i], fav[i],
+                                    users[i], items[i])
+              for i in range(m)]
+      f.write('\n'.join(rows) + '\n')
+      done += m
+
+
+CONFIG_HEAD = """
+train_input_path: "%(train)s"
+eval_input_path: "%(eval)s"
+model_dir: "%(model)s"
+train_config {
+  log_step_count_steps: 500
+  optimizer_config {
+    adam_optimizer {
+      learning_rate { constant_learning_rate { learning_rate: 0.001 } }
+    }
+  }
+  num_steps: %(steps)d
+  save_checkpoints_steps: 1000000
+}
+eval_config { metrics_set { auc {} } }
+data_config {
+  batch_size: 1024
+  num_epochs: 1
+  label_fields: "clk"
+  label_fields: "buy"
+  input_fields { input_name: "clk" input_type: FLOAT }
+  input_fields { input_name: "buy" input_type: FLOAT }
+  input_fields { input_name: "fav" input_type: FLOAT }
+  input_fields { input_name: "uid" input_type: STRING }
+  input_fields { input_name: "iid" input_type: STRING }
+  input_type: CSVInput
+}
+feature_config {
+  features { input_names: "uid" feature_type: IdFeature
+             embedding_dim: 16 hash_bucket_size: 100000 }
+  features { input_names: "iid" feature_type: IdFeature
+             embedding_dim: 16 hash_bucket_size: 40000 }
+}
+"""
+
+ESMM_MODEL = """
+model_config {
+  model_class: "ESMM"
+  feature_groups {
+    group_name: "all"
+    feature_names: "uid" feature_names: "iid"
+    wide_deep: DEEP
+  }
+  esmm {
+    groups { input: "all" dnn { hidden_units: [64, 32] use_bn: false } }
+    ctr_tower { tower_name: "ctr" label_name: "clk"
+                dnn { hidden_units: [16] use_bn: false } }
+    cvr_tower { tower_name: "cvr" label_name: "buy"
+                dnn { hidden_units: [16] use_bn: false } }
+  }
+}
+"""
+
+MMOE_MODEL = """
+model_config {
+  model_class: "MMoE"
+  feature_groups {
+    group_name: "all"
+    feature_names: "uid" feature_names: "iid"
+    wide_deep: DEEP
+  }
+  mmoe {
+    expert_dnn { hidden_units: [64, 32] use_bn: false }
+    num_expert: 3
+    task_towers {
+      tower_name: "ctr" label_name: "clk"
+      dnn { hidden_units: [16] use_bn: false }
+    }
+    task_towers {
+      tower_name: "fav" label_name: "fav"
+      dnn { hidden_units: [16] use_bn: false }
+    }
+  }
+}
+"""
+
+
+def run_cli(cfg_text, work, keys):
+  cfg_path = os.path.join(work, 'pipeline.config')
+  with open(cfg_path, 'w') as f:
+    f.write(cfg_text)
+  out = subprocess.run(
+      [sys.executable, '-m', 'easyrec_tpu.train_eval',
+       '--pipeline_config_path', cfg_path],
+      capture_output=True, text=True,
+      cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+  tail = (out.stdout + out.stderr).strip().splitlines()
+  vals = {}
+  for line in reversed(tail):
+    if all(("'%s':" % k) in line for k in keys):
+      for k in keys:
+        vals[k] = float(line.split("'%s':" % k)[1]
+                        .split(',')[0].strip(' }'))
+      return vals
+  raise RuntimeError('missing %s in output:\n%s'
+                     % (keys, '\n'.join(tail[-30:])))
+
+
+def _read(path):
+  clk, buy, fav, us, it = [], [], [], [], []
+  import zlib
+  with open(path) as f:
+    for line in f:
+      c, b, fv, u, i = line.rstrip('\n').split(',')
+      clk.append(int(c))
+      buy.append(int(b))
+      fav.append(int(fv))
+      us.append(zlib.crc32(u.encode()) % 100000)
+      it.append(zlib.crc32(i.encode()) % 40000)
+  return (np.array(clk, np.float32), np.array(buy, np.float32),
+          np.array(fav, np.float32), np.array(us, np.int64),
+          np.array(it, np.int64))
+
+
+def _torch_towers(dim=16):
+  import torch
+
+  class Shared(torch.nn.Module):
+    def __init__(self):
+      super().__init__()
+      self.ue = torch.nn.Embedding(100000, dim)
+      self.ie = torch.nn.Embedding(40000, dim)
+      for e in (self.ue, self.ie):
+        torch.nn.init.normal_(e.weight, 0, 0.01 / np.sqrt(dim))
+
+    def forward(self, u, i):
+      return torch.cat([self.ue(u), self.ie(i)], -1)
+  return Shared
+
+
+def torch_esmm(train, evalp, epochs=1, lr=1e-3, batch=1024):
+  import torch
+  torch.manual_seed(0)
+  clk, buy, _, us, it = _read(train)
+  clk_e, buy_e, _, us_e, it_e = _read(evalp)
+  Shared = _torch_towers()
+
+  def tower():
+    return torch.nn.Sequential(
+        torch.nn.Linear(32, 64), torch.nn.ReLU(),
+        torch.nn.Linear(64, 32), torch.nn.ReLU(),
+        torch.nn.Linear(32, 1))
+
+  shared, t_ctr, t_cvr = Shared(), tower(), tower()
+  params = list(shared.parameters()) + list(t_ctr.parameters()) + \
+      list(t_cvr.parameters())
+  opt = torch.optim.Adam(params, lr=lr)
+  bce = torch.nn.functional.binary_cross_entropy
+  n = len(clk)
+  for _ in range(epochs):
+    for s in range(0, n - batch + 1, batch):
+      sl = slice(s, s + batch)
+      opt.zero_grad()
+      x = shared(torch.from_numpy(us[sl]), torch.from_numpy(it[sl]))
+      p_ctr = torch.sigmoid(t_ctr(x)[..., 0])
+      p_cvr = torch.sigmoid(t_cvr(x)[..., 0])
+      loss = bce(p_ctr, torch.from_numpy(clk[sl])) + \
+          bce((p_ctr * p_cvr).clamp(1e-7, 1 - 1e-7),
+              torch.from_numpy(buy[sl]))
+      loss.backward()
+      opt.step()
+  with torch.no_grad():
+    ps_ctr, ps_ctcvr = [], []
+    for s in range(0, len(clk_e), 8192):
+      sl = slice(s, s + 8192)
+      x = shared(torch.from_numpy(us_e[sl]), torch.from_numpy(it_e[sl]))
+      pc = torch.sigmoid(t_ctr(x)[..., 0])
+      pv = torch.sigmoid(t_cvr(x)[..., 0])
+      ps_ctr.append(pc.numpy())
+      ps_ctcvr.append((pc * pv).numpy())
+  return (_auc(clk_e, np.concatenate(ps_ctr)),
+          _auc(buy_e, np.concatenate(ps_ctcvr)))
+
+
+def torch_mmoe(train, evalp, epochs=1, lr=1e-3, batch=1024,
+               n_expert=3):
+  import torch
+  torch.manual_seed(0)
+  clk, _, fav, us, it = _read(train)
+  clk_e, _, fav_e, us_e, it_e = _read(evalp)
+  Shared = _torch_towers()
+
+  class MMoE(torch.nn.Module):
+    def __init__(self):
+      super().__init__()
+      self.shared = Shared()
+      self.experts = torch.nn.ModuleList([
+          torch.nn.Sequential(torch.nn.Linear(32, 64), torch.nn.ReLU(),
+                              torch.nn.Linear(64, 32))
+          for _ in range(n_expert)])
+      self.gates = torch.nn.ModuleList(
+          [torch.nn.Linear(32, n_expert) for _ in range(2)])
+      self.towers = torch.nn.ModuleList([
+          torch.nn.Sequential(torch.nn.Linear(32, 16), torch.nn.ReLU(),
+                              torch.nn.Linear(16, 1))
+          for _ in range(2)])
+
+    def forward(self, u, i):
+      x = self.shared(u, i)
+      ex = torch.stack([e(x) for e in self.experts], 1)  # [B, E, 32]
+      outs = []
+      for t in range(2):
+        g = torch.softmax(self.gates[t](x), -1)          # [B, E]
+        mix = torch.einsum('be,bed->bd', g, ex)
+        outs.append(self.towers[t](mix)[..., 0])
+      return outs
+
+  m = MMoE()
+  opt = torch.optim.Adam(m.parameters(), lr=lr)
+  bcel = torch.nn.functional.binary_cross_entropy_with_logits
+  n = len(clk)
+  for _ in range(epochs):
+    for s in range(0, n - batch + 1, batch):
+      sl = slice(s, s + batch)
+      opt.zero_grad()
+      o_ctr, o_fav = m(torch.from_numpy(us[sl]), torch.from_numpy(it[sl]))
+      loss = bcel(o_ctr, torch.from_numpy(clk[sl])) + \
+          bcel(o_fav, torch.from_numpy(fav[sl]))
+      loss.backward()
+      opt.step()
+  with torch.no_grad():
+    sc, sf = [], []
+    for s in range(0, len(clk_e), 8192):
+      sl = slice(s, s + 8192)
+      o_ctr, o_fav = m(torch.from_numpy(us_e[sl]),
+                       torch.from_numpy(it_e[sl]))
+      sc.append(o_ctr.numpy())
+      sf.append(o_fav.numpy())
+  return (_auc(clk_e, np.concatenate(sc)),
+          _auc(fav_e, np.concatenate(sf)))
+
+
+def main(argv=None):
+  ap = argparse.ArgumentParser()
+  ap.add_argument('--rows', type=int, default=2000000)
+  ap.add_argument('--eval_rows', type=int, default=200000)
+  ap.add_argument('--work_dir', default='/tmp/quality_proxy_mt')
+  ap.add_argument('--smoke', action='store_true')
+  args = ap.parse_args(argv)
+  if args.smoke:
+    args.rows, args.eval_rows = 40000, 20000
+
+  os.makedirs(args.work_dir, exist_ok=True)
+  t = make_truth()
+  tag = '%d_%d' % (args.rows, args.eval_rows)
+  tr = os.path.join(args.work_dir, 'mt_train_%s.csv' % tag)
+  te = os.path.join(args.work_dir, 'mt_eval_%s.csv' % tag)
+  truth_path = os.path.join(args.work_dir, 'mt_truth_%s.npz' % tag)
+  if not (os.path.exists(tr) and os.path.exists(truth_path)):
+    print('writing corpus ...', flush=True)
+    probs = []
+    write_corpus(tr, t, 1, args.rows)
+    write_corpus(te, t, 2, args.eval_rows, with_truth=probs)
+    np.savez(truth_path,
+             clk=np.concatenate([a[0] for a in probs]),
+             buy=np.concatenate([a[1] for a in probs]),
+             fav=np.concatenate([a[2] for a in probs]),
+             p_ctr=np.concatenate([a[3] for a in probs]),
+             p_ctcvr=np.concatenate([a[4] for a in probs]),
+             p_fav=np.concatenate([a[5] for a in probs]))
+  tt = np.load(truth_path)
+  bayes = {'ctr': _auc(tt['clk'], tt['p_ctr']),
+           'ctcvr': _auc(tt['buy'], tt['p_ctcvr']),
+           'fav': _auc(tt['fav'], tt['p_fav'])}
+  print(json.dumps({'case': 'bayes_anchors',
+                    **{k: round(v, 5) for k, v in bayes.items()},
+                    'ctr_rate': round(float(tt['clk'].mean()), 4),
+                    'buy_rate': round(float(tt['buy'].mean()), 4)}),
+        flush=True)
+
+  results = {}
+  ok = True
+  steps = 30 if args.smoke else 0
+
+  # ---- ESMM
+  work = os.path.join(args.work_dir, 'er_esmm')
+  if os.path.exists(work):
+    shutil.rmtree(work)
+  os.makedirs(work)
+  cfg = CONFIG_HEAD % {'train': tr, 'eval': te,
+                       'model': os.path.join(work, 'model'),
+                       'steps': steps} + ESMM_MODEL
+  ours = run_cli(cfg, work, ['auc_ctr', 'auc_cvr'])
+  print(json.dumps({'case': 'easyrec_esmm',
+                    **{k: round(v, 5) for k, v in ours.items()}}),
+        flush=True)
+  t_ctr, t_ctcvr = torch_esmm(tr, te)
+  print(json.dumps({'case': 'torch_esmm', 'auc_ctr': round(t_ctr, 5),
+                    'auc_ctcvr': round(t_ctcvr, 5)}), flush=True)
+  results['esmm'] = {
+      'ours_ctr': round(ours['auc_ctr'], 5),
+      'ours_ctcvr': round(ours['auc_cvr'], 5),
+      'torch_ctr': round(t_ctr, 5), 'torch_ctcvr': round(t_ctcvr, 5),
+      'delta_ctr': round(ours['auc_ctr'] - t_ctr, 5),
+      'delta_ctcvr': round(ours['auc_cvr'] - t_ctcvr, 5)}
+  if not args.smoke:
+    ok &= ours['auc_ctr'] >= t_ctr - 0.005
+    ok &= ours['auc_cvr'] >= t_ctcvr - 0.005
+
+  # ---- MMoE
+  work = os.path.join(args.work_dir, 'er_mmoe')
+  if os.path.exists(work):
+    shutil.rmtree(work)
+  os.makedirs(work)
+  cfg = CONFIG_HEAD % {'train': tr, 'eval': te,
+                       'model': os.path.join(work, 'model'),
+                       'steps': steps} + MMOE_MODEL
+  cfg = cfg.replace('label_fields: "clk"\n  label_fields: "buy"',
+                    'label_fields: "clk"\n  label_fields: "fav"')
+  ours = run_cli(cfg, work, ['auc_ctr', 'auc_fav'])
+  print(json.dumps({'case': 'easyrec_mmoe',
+                    **{k: round(v, 5) for k, v in ours.items()}}),
+        flush=True)
+  t_ctr, t_fav = torch_mmoe(tr, te)
+  print(json.dumps({'case': 'torch_mmoe', 'auc_ctr': round(t_ctr, 5),
+                    'auc_fav': round(t_fav, 5)}), flush=True)
+  results['mmoe'] = {
+      'ours_ctr': round(ours['auc_ctr'], 5),
+      'ours_fav': round(ours['auc_fav'], 5),
+      'torch_ctr': round(t_ctr, 5), 'torch_fav': round(t_fav, 5),
+      'delta_ctr': round(ours['auc_ctr'] - t_ctr, 5),
+      'delta_fav': round(ours['auc_fav'] - t_fav, 5)}
+  if not args.smoke:
+    ok &= ours['auc_ctr'] >= t_ctr - 0.005
+    ok &= ours['auc_fav'] >= t_fav - 0.005
+
+  print(json.dumps({'case': 'verdict', 'ok': bool(ok),
+                    'bayes': {k: round(v, 5) for k, v in bayes.items()},
+                    'results': results}), flush=True)
+  return 0 if ok else 1
+
+
+if __name__ == '__main__':
+  sys.exit(main())

@@ -126,12 +126,146 @@ def test_v2_gzip_batch():
   assert got == [(7, None, b'a,b,c'), (8, None, b'd,e,f')]
 
 
-def test_v2_snappy_fails_with_remediation():
-  data = v2_batch(0, [b''], codec=2, codec_payload=b'\x00garbage')
+# --------------------------- independent snappy / lz4 encoders (spec)
+
+def snappy_encode_literal(data: bytes) -> bytes:
+  """Literal-only raw snappy stream, straight from the format spec —
+  shares nothing with the client's decoder."""
+  out = uvarint(len(data))
+  pos = 0
+  while pos < len(data):
+    chunk = data[pos:pos + 60]
+    out += bytes([(len(chunk) - 1) << 2]) + chunk
+    pos += len(chunk)
+  return out
+
+
+def xerial_frame(blocks) -> bytes:
+  out = b'\x82SNAPPY\x00' + struct.pack('>ii', 1, 1)
+  for b in blocks:
+    out += struct.pack('>i', len(b)) + b
+  return out
+
+
+def lz4_literal_block(data: bytes) -> bytes:
+  """Single literals-only sequence (valid last sequence per spec)."""
+  lit = len(data)
+  if lit < 15:
+    return bytes([lit << 4]) + data
+  out = bytes([0xF0])
+  rem = lit - 15
+  while rem >= 255:
+    out += b'\xff'
+    rem -= 255
+  return out + bytes([rem]) + data
+
+
+def lz4_frame(blocks, stored=False) -> bytes:
+  """Minimal LZ4 frame: FLG v1 + block-independence, 64KB max block,
+  dummy header checksum (the client skips HC by design: pre-KIP-57
+  Kafka clients wrote it wrong and real consumers accept them)."""
+  out = struct.pack('<I', 0x184D2204) + bytes([0x60, 0x40, 0x82])
+  for b in blocks:
+    size = len(b) | (0x80000000 if stored else 0)
+    out += struct.pack('<I', size) + b
+  return out + struct.pack('<I', 0)
+
+
+def test_snappy_raw_roundtrip():
+  from easyrec_tpu.data.kafka_client import snappy_decompress
+  payload = b'the quick brown fox jumps over the lazy dog' * 7
+  assert snappy_decompress(snappy_encode_literal(payload)) == payload
+
+
+def test_snappy_golden_copy_fixture():
+  """Hand-derived from format_description.txt: 12-byte output built
+  from a 4-byte literal + an OVERLAPPING copy (offset 4, length 8) —
+  the RLE idiom real encoders emit for repeated data."""
+  from easyrec_tpu.data.kafka_client import snappy_decompress
+  golden = bytes.fromhex(
+      '0c'         # uncompressed length 12 (varint)
+      '0c'         # literal tag: (4-1)<<2
+      '61626364'   # 'abcd'
+      '11'         # copy-1: (8-4)<<2 | 01
+      '04')        # offset 4
+  assert snappy_decompress(golden) == b'abcdabcdabcd'
+
+
+def test_snappy_xerial_framing():
+  from easyrec_tpu.data.kafka_client import snappy_decompress
+  b1 = snappy_encode_literal(b'hello ')
+  b2 = snappy_encode_literal(b'world')
+  assert snappy_decompress(xerial_frame([b1, b2])) == b'hello world'
+
+
+def test_snappy_corrupt_offset_raises():
+  from easyrec_tpu.data.kafka_client import snappy_decompress
+  # copy with offset 4 but only 1 byte of history
+  bad = bytes.fromhex('05' '00' '61' '11' '04')
   with pytest.raises(KafkaError, match='snappy'):
-    parse_record_batches(data)
-  data = v2_batch(0, [b''], codec=3, codec_payload=b'\x00garbage')
+    snappy_decompress(bad)
+
+
+def test_lz4_block_golden_match_fixture():
+  """Hand-derived from the lz4 block spec: literal 'abcd', match
+  offset 4 length 12 (overlapping RLE), literal tail 'Z'."""
+  from easyrec_tpu.data.kafka_client import lz4_block_decompress
+  golden = bytes.fromhex(
+      '44'         # token: lit 4, matchlen 4+4 = 8
+      '61626364'   # 'abcd'
+      '0400'       # offset 4, little-endian
+      '10'         # last sequence: literal 1
+      '5a')        # 'Z'
+  assert lz4_block_decompress(golden) == b'abcdabcdabcdZ'
+
+
+def test_lz4_frame_roundtrip_and_stored():
+  from easyrec_tpu.data.kafka_client import lz4_frame_decompress
+  payload = b'col1,col2,col3\n' * 40
+  framed = lz4_frame([lz4_literal_block(payload)])
+  assert lz4_frame_decompress(framed) == payload
+  # stored (uncompressed) block path: high bit of the size word
+  assert lz4_frame_decompress(lz4_frame([payload], stored=True)) == \
+      payload
+
+
+def test_lz4_corrupt_offset_raises():
+  from easyrec_tpu.data.kafka_client import lz4_block_decompress
+  bad = bytes.fromhex('14' '61' '0900' '10' '5a')   # offset 9 > history
   with pytest.raises(KafkaError, match='lz4'):
+    lz4_block_decompress(bad)
+
+
+def test_v2_snappy_batch_end_to_end():
+  recs = b''.join([v2_record(0, 0, None, b'a,b,c'),
+                   v2_record(1, 1, None, b'd,e,f')])
+  data = v2_batch(7, [b'', b''], codec=2,
+                  codec_payload=snappy_encode_literal(recs))
+  assert parse_record_batches(data) == [(7, None, b'a,b,c'),
+                                        (8, None, b'd,e,f')]
+
+
+def test_v2_lz4_batch_end_to_end():
+  recs = b''.join([v2_record(0, 0, None, b'x,y'),
+                   v2_record(3, 1, b'k', b'z,w')])
+  data = v2_batch(42, [b'', b''], codec=3,
+                  codec_payload=lz4_frame([lz4_literal_block(recs)]))
+  assert parse_record_batches(data) == [(42, None, b'x,y'),
+                                        (43, b'k', b'z,w')]
+
+
+def test_legacy_v1_snappy_wrapper():
+  inner = legacy_entry(0, None, b'r0') + legacy_entry(1, None, b'r1')
+  wrapped = legacy_entry(11, None, snappy_encode_literal(inner),
+                         attrs=2)
+  got = parse_record_batches(wrapped)
+  # KIP-31 relative-offset rebase on the wrapper offset
+  assert got == [(10, None, b'r0'), (11, None, b'r1')]
+
+
+def test_unknown_codec_raises():
+  data = v2_batch(0, [b''], codec=5, codec_payload=b'garbage')
+  with pytest.raises(KafkaError, match='codec 5'):
     parse_record_batches(data)
 
 
