@@ -421,8 +421,12 @@ class Trainer:
 
     def eval_step(state: TrainState, batch, metric_states):
       packs = emb_ops.pack_all_views(layout, batch)
+      # exchange-overflow surfaced in EVAL output too (VERDICT r4 weak
+      # #8): dropped id slots within the train guardrail's tolerance
+      # still degrade quality silently unless eval shows them
+      xstats = {}
       pulled = emb_ops.pull_embeddings(state.tables, packs, pack_metas,
-                                       mesh=ep_mesh)
+                                       mesh=ep_mesh, stats=xstats)
       variables = {'params': eval_params(state)}
       if state.batch_stats:
         variables['batch_stats'] = state.batch_stats
@@ -444,7 +448,9 @@ class Trainer:
             new_states[key] = update_auc(
                 new_states[key], tmi['labels'], tmi['probs'],
                 tmi['weights'])
-      return new_states, loss, mi
+      overflow = sum((v.astype(jnp.float32) for v in xstats.values()),
+                     jnp.float32(0.0))
+      return new_states, loss, mi, overflow
 
     return jax.jit(eval_step)
 
@@ -522,6 +528,7 @@ class Trainer:
     gbuffers = {f: GroupedMetricBuffer()
                 for f in self.metrics.host_fields}
     losses, n = [], 0
+    overflow_slots = [0.0, 0]      # dropped id slots / total id slots
 
     # -- multi-host plumbing (reference main.py:524 distribute_evaluate +
     # core/easyrec_metrics/distribute_metrics_impl_tf.py): each process
@@ -585,10 +592,14 @@ class Trainer:
                      for f in self.metrics.host_fields
                      if 'field.%s' % f in batch}
       sharded = self.rules.shard_batch(batch)
-      metric_states, loss, mi = self.eval_step(state, sharded,
-                                               metric_states)
+      metric_states, loss, mi, overflow = self.eval_step(state, sharded,
+                                                         metric_states)
       if not filler:
         losses.append(float(loss))
+        overflow_slots[0] += float(overflow)
+        overflow_slots[1] += sum(int(np.prod(v.shape))
+                                 for k, v in batch.items()
+                                 if k.endswith('.ids'))
       if host_needed:
         w = to_host(mi['weights']) > 0
         lbl_w = to_host(mi['labels'])[w]
@@ -611,6 +622,14 @@ class Trainer:
     results.update(per_task_results)
     if losses:
       results['loss'] = float(np.mean(losses))
+    # exchange-overflow rate in eval output (VERDICT r4 weak #8): rows
+    # dropped by the capacity-bounded EP exchange within the train
+    # guardrail's tolerance still silently degrade quality — surface
+    # the eval-time rate in eval_result.txt; tune with
+    # EASYREC_EXCHANGE_CAP_FACTOR (docs/distribution.md)
+    if overflow_slots[1]:
+      results['exchange_overflow_rate'] = \
+          overflow_slots[0] / overflow_slots[1]
     return results
 
   # -- full training loop ---------------------------------------------------

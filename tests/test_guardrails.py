@@ -120,3 +120,17 @@ def test_sampler_table_size_guard(tmp_path, monkeypatch):
   monkeypatch.delenv('EASYREC_SAMPLER_MAX_GB')
   rows = samplers._load_table(path, 3)
   assert len(rows) == 200
+
+
+def test_eval_reports_exchange_overflow_rate():
+  """evaluate() surfaces the EP-exchange drop rate in its metric dict
+  (and therefore eval_result.txt): drops within the train guardrail's
+  tolerance must not stay invisible (VERDICT r4 weak #8)."""
+  cfg = get_configs_from_pipeline_str(_CFG)
+  trainer = Trainer(cfg)
+  from easyrec_tpu.utils.synthetic import synthetic_batch
+  batch = synthetic_batch(trainer.specs, ['label'], 16, seed=0)
+  state = trainer.init_state(batch)
+  metrics = trainer.evaluate(state, max_batches=2)
+  assert 'exchange_overflow_rate' in metrics, sorted(metrics)
+  assert 0.0 <= metrics['exchange_overflow_rate'] <= 1.0
