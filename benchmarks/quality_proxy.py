@@ -147,7 +147,20 @@ def _auc(y, s):
 
 
 def calibrate(seed=7, n=300000):
-  """Find (scale, bias) hitting TARGET_BAYES_AUC / TARGET_CTR."""
+  """Find (scale, bias) hitting TARGET_BAYES_AUC / TARGET_CTR.
+
+  Deterministic in (seed, n) — the ~30 s bisection is cached on disk so
+  repeated suite smokes don't re-derive it."""
+  cache = os.path.join(os.path.expanduser('~'), '.cache',
+                       'easyrec_tpu_proxy_calib.json')
+  key = '%d_%d_%s_%s' % (seed, n, TARGET_BAYES_AUC, TARGET_CTR)
+  try:
+    with open(cache) as f:
+      hit = json.load(f).get(key)
+    if hit:
+      return tuple(hit)
+  except Exception:
+    pass
   lo, hi = 0.1, 3.0
   for _ in range(18):
     mid = 0.5 * (lo + hi)
@@ -171,6 +184,18 @@ def calibrate(seed=7, n=300000):
       lo = mid
     else:
       hi = mid
+  try:
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    try:
+      with open(cache) as f:
+        store = json.load(f)
+    except Exception:
+      store = {}
+    store[key] = [mid, b]
+    with open(cache, 'w') as f:
+      json.dump(store, f)
+  except Exception:
+    pass
   return mid, b
 
 
@@ -321,6 +346,9 @@ def easyrec_deepfm_auc(train_path, eval_path, mm, work, env_extra=None,
   if epochs != 1:
     cfg_text = cfg_text.replace('num_epochs: 1',
                                 'num_epochs: %d' % epochs)
+  # the proxy only reads the eval AUC — skip the serving export (its
+  # separate jit compile was pure overhead in every proxy run)
+  cfg_text += '\nexport_config { exporter_type: "none" }\n'
   cfg_path = os.path.join(work, 'pipeline.config')
   with open(cfg_path, 'w') as f:
     f.write(cfg_text)

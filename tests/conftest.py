@@ -28,6 +28,14 @@ if not os.environ.get('EASYREC_TEST_NO_CACHE'):
   jax.config.update('jax_compilation_cache_dir', _cache_dir)
   jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
   jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+  # EXPORT the cache to child processes too: the quality-proxy/harness
+  # smokes and multihost tests spawn CLI subprocesses that were paying
+  # a full cold XLA compile every suite run (the top suite-time items:
+  # 513 s + 264 s in the r5 duration profile). JAX reads these env vars
+  # natively at startup.
+  os.environ['JAX_COMPILATION_CACHE_DIR'] = _cache_dir
+  os.environ['JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS'] = '0.5'
+  os.environ['JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES'] = '-1'
   # NOTE: 'jax_persistent_cache_enable_xla_caches = all' was tried and
   # reverted: it persists XLA:CPU AOT kernels with host-feature flags
   # (+prefer-no-scatter) that do not round-trip on reload

@@ -158,7 +158,7 @@ def test_kd_distillation_trains(tmp_path):
   state = result['state']
   # kd loss contributed: run one loss eval to inspect the dict
   sharded = trainer.rules.shard_batch(batch)
-  _, loss, _ = trainer.eval_step(state, sharded,
+  _, loss, _, _ = trainer.eval_step(state, sharded,
                                  trainer.metrics.init_states())
   assert np.isfinite(float(loss))
   assert result['eval_metrics']['auc'] > 0.7

@@ -345,7 +345,7 @@ def test_model_trains(key):
   # same batch repeated must be learnable: loss drops
   assert losses[-1] < losses[0], (key, losses)
   # eval step runs
-  ms, eval_loss, mi = trainer.eval_step(state, sharded,
+  ms, eval_loss, mi, _ = trainer.eval_step(state, sharded,
                                         trainer.metrics.init_states())
   assert np.isfinite(float(eval_loss))
 

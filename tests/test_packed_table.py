@@ -306,6 +306,19 @@ def _run_sharded(mode, interpret, steps=2, rows=4096, dim=16, n_ids=600,
   old_bf16 = os.environ.get('EASYREC_GG_BF16')
   os.environ['EASYREC_PACKED_EXCHANGE'] = mode
   os.environ['EASYREC_GG_BF16'] = '0'   # numerics instrument (see _run_both)
+
+  # jit once: a bare _packed_update_sharded call re-traces its shard_map
+  # body EVERY step (trace+lower of the emulated exchange dominated the
+  # suite profile at 263 s for this test); the wrapper makes step 2+
+  # reuse the compiled program
+  import jax as _jax
+
+  @_jax.jit
+  def _upd(table, ids, grads, hyp):
+    return sparse_lib._packed_update_sharded(
+        mesh, table, ids, grads, hyp, optimizer.block_math, meta,
+        use_pallas=interpret, interpret=interpret)
+
   try:
     for step in range(steps):
       ids_np = rng.randint(0, rows, n_ids).astype(np.int32)
@@ -317,10 +330,8 @@ def _run_sharded(mode, interpret, steps=2, rows=4096, dim=16, n_ids=600,
       uids, ug = sparse_lib.dedup_sum(ids, grads, rows - 1)
       plain_w, plain_s = optimizer.update_rows(plain_w, plain_s, uids,
                                                ug, lr, st)
-      packed, overflow = sparse_lib._packed_update_sharded(
-          mesh, packed, ids, grads, optimizer.hypers(lr, st),
-          optimizer.block_math, meta, use_pallas=interpret,
-          interpret=interpret)
+      packed, overflow = _upd(packed, ids, grads,
+                              optimizer.hypers(lr, st))
       assert int(np.asarray(overflow)) == 0
   finally:
     if old is None:
