@@ -129,7 +129,11 @@ class RocketLaunching(RankModel):
 
 
 def _image_tokens(ctx, batch, patch_num: int, name_prefix: str):
-  """'image' group dense features -> [B, patch_num, dim] tokens."""
+  """'image' group dense features -> [B, patch_num, dim] tokens;
+  None when the config has no image group (text-only variants —
+  reference cmbf_on_movielens_only_text_feature.config)."""
+  if 'image' not in ctx.groups:
+    return None
   names = ctx.group_features('image')
   flat = jnp.concatenate(
       [ctx.input_layer.dense_feature(batch, f) for f in names
@@ -142,7 +146,10 @@ def _image_tokens(ctx, batch, patch_num: int, name_prefix: str):
 
 
 def _text_tokens(ctx, pulled, batch):
-  """'text' group embeddings -> [B, F, D] one token per feature."""
+  """'text' group embeddings -> [B, F, D] one token per feature; None
+  when the config has no text group (image-only variants)."""
+  if 'text' not in ctx.groups:
+    return None
   names = ctx.group_features('text')
   return ctx.input_layer.group_stack(pulled, batch, names)
 
@@ -170,48 +177,55 @@ class CMBFEncoder(nn.Module):
     img = _image_tokens(ctx, batch, int(cfg.image_feature_patch_num) or 1,
                         'cmbf')
     txt = _text_tokens(ctx, pulled, batch)
+    assert img is not None or txt is not None, \
+        'CMBF needs an "image" and/or "text" feature group'
     d_img = int(cfg.image_head_size) * int(cfg.image_multi_head_num)
     d_txt = (int(cfg.text_head_size) or 16) * int(cfg.text_multi_head_num)
-    img = nn.Dense(d_img, name='img_proj')(img)
-    txt = nn.Dense(d_txt, name='txt_proj')(txt)
     ones = jnp.ones
-    img_mask = ones(img.shape[:2], img.dtype)
-    txt_mask = ones(txt.shape[:2], txt.dtype)
+    if img is not None:
+      img = nn.Dense(d_img, name='img_proj')(img)
+      img_mask = ones(img.shape[:2], img.dtype)
+      for i in range(int(cfg.image_self_attention_layer_num)):
+        img = TransformerBlock(
+            hidden_size=d_img, num_heads=int(cfg.image_multi_head_num),
+            intermediate_size=d_img * 2,
+            hidden_dropout=cfg.hidden_dropout_prob,
+            attention_dropout=cfg.attention_probs_dropout_prob,
+            name='img_sa_%d' % i)(img, img_mask, training)
+    if txt is not None:
+      txt = nn.Dense(d_txt, name='txt_proj')(txt)
+      txt_mask = ones(txt.shape[:2], txt.dtype)
+      for i in range(int(cfg.text_self_attention_layer_num)):
+        txt = TransformerBlock(
+            hidden_size=d_txt, num_heads=int(cfg.text_multi_head_num),
+            intermediate_size=d_txt * 2,
+            hidden_dropout=cfg.hidden_dropout_prob,
+            attention_dropout=cfg.attention_probs_dropout_prob,
+            name='txt_sa_%d' % i)(txt, txt_mask, training)
 
-    for i in range(int(cfg.image_self_attention_layer_num)):
-      img = TransformerBlock(
-          hidden_size=d_img, num_heads=int(cfg.image_multi_head_num),
-          intermediate_size=d_img * 2,
-          hidden_dropout=cfg.hidden_dropout_prob,
-          attention_dropout=cfg.attention_probs_dropout_prob,
-          name='img_sa_%d' % i)(img, img_mask, training)
-    for i in range(int(cfg.text_self_attention_layer_num)):
-      txt = TransformerBlock(
-          hidden_size=d_txt, num_heads=int(cfg.text_multi_head_num),
-          intermediate_size=d_txt * 2,
-          hidden_dropout=cfg.hidden_dropout_prob,
-          attention_dropout=cfg.attention_probs_dropout_prob,
-          name='txt_sa_%d' % i)(txt, txt_mask, training)
-
-    # cross-modal: text attends to image tokens and vice versa
-    d_cross = max(d_img, d_txt)
-    img_c = nn.Dense(d_cross, name='img_cross_proj')(img)
-    txt_c = nn.Dense(d_cross, name='txt_cross_proj')(txt)
-    for i in range(int(cfg.cross_modal_layer_num) or 1):
-      # PackedMHA: head-packed attention (param-compatible with the
-      # stock flax MHA; see layers/attention.py)
-      t2i = PackedMHA(
-          num_heads=int(cfg.multi_head_num) or 1, qkv_features=d_cross,
-          out_features=d_cross, deterministic=not training,
-          name='t2i_%d' % i)(txt_c, img_c)
-      i2t = PackedMHA(
-          num_heads=int(cfg.multi_head_num) or 1, qkv_features=d_cross,
-          out_features=d_cross, deterministic=not training,
-          name='i2t_%d' % i)(img_c, txt_c)
-      txt_c = nn.LayerNorm(name='t_ln_%d' % i)(txt_c + t2i)
-      img_c = nn.LayerNorm(name='i_ln_%d' % i)(img_c + i2t)
-
-    parts = [txt_c.mean(axis=1), img_c.mean(axis=1)]
+    if img is None or txt is None:
+      # single-modality variant (reference cmbf_on_movielens_only_
+      # {image,text}_feature.config): per-modality self attention only
+      parts = [(img if txt is None else txt).mean(axis=1)]
+    else:
+      # cross-modal: text attends to image tokens and vice versa
+      d_cross = max(d_img, d_txt)
+      img_c = nn.Dense(d_cross, name='img_cross_proj')(img)
+      txt_c = nn.Dense(d_cross, name='txt_cross_proj')(txt)
+      for i in range(int(cfg.cross_modal_layer_num) or 1):
+        # PackedMHA: head-packed attention (param-compatible with the
+        # stock flax MHA; see layers/attention.py)
+        t2i = PackedMHA(
+            num_heads=int(cfg.multi_head_num) or 1, qkv_features=d_cross,
+            out_features=d_cross, deterministic=not training,
+            name='t2i_%d' % i)(txt_c, img_c)
+        i2t = PackedMHA(
+            num_heads=int(cfg.multi_head_num) or 1, qkv_features=d_cross,
+            out_features=d_cross, deterministic=not training,
+            name='i2t_%d' % i)(img_c, txt_c)
+        txt_c = nn.LayerNorm(name='t_ln_%d' % i)(txt_c + t2i)
+        img_c = nn.LayerNorm(name='i_ln_%d' % i)(img_c + i2t)
+      parts = [txt_c.mean(axis=1), img_c.mean(axis=1)]
     other = _other_features(ctx, pulled, batch)
     if other is not None:
       if cfg.HasField('other_feature_dnn') and \
@@ -260,9 +274,14 @@ class UniterEncoder(nn.Module):
 
     img = _image_tokens(ctx, batch, 1, 'uniter')
     txt = _text_tokens(ctx, pulled, batch)
-    img = nn.Dense(d, name='img_proj')(img)
-    txt = nn.Dense(d, name='txt_proj')(txt)
-    tokens = jnp.concatenate([img, txt], axis=1)
+    assert img is not None or txt is not None, \
+        'Uniter needs an "image" and/or "text" feature group'
+    toks = []
+    if img is not None:
+      toks.append(nn.Dense(d, name='img_proj')(img))
+    if txt is not None:
+      toks.append(nn.Dense(d, name='txt_proj')(txt))
+    tokens = jnp.concatenate(toks, axis=1) if len(toks) > 1 else toks[0]
     mask = jnp.ones(tokens.shape[:2], tokens.dtype)
     if cfg.use_position_embeddings:
       pos = self.param('position_emb', nn.initializers.normal(
