@@ -58,4 +58,6 @@ def main(argv=None):
 
 
 if __name__ == '__main__':
-  sys.exit(main())
+  _rc = main()
+  from easyrec_tpu.utils.proc import exit_after
+  exit_after(_rc)
