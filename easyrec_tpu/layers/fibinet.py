@@ -52,14 +52,20 @@ class Bilinear(nn.Module):
   def __call__(self, x):
     b, f, d = x.shape
     rows, cols = jnp.triu_indices(f, k=1)
+    # the reference builds one Dense(dim) PER field/pair, so each (d,d)
+    # matrix gets its own glorot fan; batch_axis keeps that scaling on
+    # the stacked param (plain glorot on the 3D shape would divide by
+    # an extra sqrt(f) / sqrt(n_pairs))
+    glorot_each = nn.initializers.variance_scaling(
+        1.0, 'fan_avg', 'uniform', batch_axis=0)
     if self.type == 'all':
       w = self.param('w', nn.initializers.glorot_uniform(), (d, d))
       left = jnp.einsum('bfd,de->bfe', x, w)
     elif self.type == 'each':
-      w = self.param('w', nn.initializers.glorot_uniform(), (f, d, d))
+      w = self.param('w', glorot_each, (f, d, d))
       left = jnp.einsum('bfd,fde->bfe', x, w)
     else:  # interaction: one matrix per pair
-      w = self.param('w', nn.initializers.glorot_uniform(),
+      w = self.param('w', glorot_each,
                      (len(rows), d, d))
       left_pairs = jnp.einsum('bpd,pde->bpe', x[:, rows, :], w)
       inter = left_pairs * x[:, cols, :] if self.use_plus else \

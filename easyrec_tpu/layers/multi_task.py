@@ -28,9 +28,15 @@ class BatchedExperts(nn.Module):
   def __call__(self, x, training: bool = False):
     from easyrec_tpu.layers.dnn import get_activation
     act = get_activation(self.activation)
+    # batch_axis marks the expert dim as independent replicas: plain
+    # he_uniform on the 3D shape counts E into fan_in and under-scales
+    # every expert layer by sqrt(E) (caught by quality_proxy_mt: MMoE
+    # ctr AUC -0.067 vs the independent torch reference)
+    he_expert = nn.initializers.variance_scaling(
+        2.0, 'fan_in', 'uniform', batch_axis=0)
     h = jnp.repeat(x[:, None, :], self.num_expert, axis=1)  # [B, E, D]
     for i, units in enumerate(self.hidden_units):
-      w = self.param('w_%d' % i, nn.initializers.he_uniform(),
+      w = self.param('w_%d' % i, he_expert,
                      (self.num_expert, h.shape[-1], units))
       b = self.param('b_%d' % i, nn.initializers.zeros,
                      (self.num_expert, units))

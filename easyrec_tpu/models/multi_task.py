@@ -250,6 +250,12 @@ class ESMM(MultiTaskModel):
   def task_towers(self):
     return [self.config.esmm.ctr_tower, self.config.esmm.cvr_tower]
 
+  def metric_task_names(self):
+    # auc_ctr + conditional auc_cvr (clicked space) + auc_ctcvr over
+    # all impressions — the reference reports all three (esmm.py:58-98)
+    return [self.config.esmm.ctr_tower.tower_name,
+            self.config.esmm.cvr_tower.tower_name, 'ctcvr']
+
   def build_loss(self, outputs, batch):
     cfg = self.config.esmm
     weights = self.sample_weights(batch)

@@ -518,9 +518,12 @@ class Trainer:
     metric_states = self.metrics.init_states()
     if hasattr(self.model, 'task_towers'):
       from easyrec_tpu.metrics.metrics import init_metric_state
-      for tower in self.model.task_towers():
-        metric_states['auc_task_%s' % tower.tower_name] = \
-            init_metric_state('auc')
+      if hasattr(self.model, 'metric_task_names'):
+        tnames = self.model.metric_task_names()
+      else:
+        tnames = [t.tower_name for t in self.model.task_towers()]
+      for tname in tnames:
+        metric_states['auc_task_%s' % tname] = init_metric_state('auc')
     host_needed = bool(self.metrics.host_fields)
     # bounded per-field buffers: exact up to the row cap, bucketized
     # per-group AUC past it (VERDICT r1 weak 6 — unbounded eval RAM)
