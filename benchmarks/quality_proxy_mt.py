@@ -224,15 +224,22 @@ def torch_esmm(train, evalp, epochs=1, lr=1e-3, batch=1024):
   clk_e, buy_e, _, us_e, it_e = _read(evalp)
   Shared = _torch_towers()
 
+  # reference ESMM architecture: one SHARED bottom DNN across tasks
+  # (esmm.py groups) + small per-task towers — per-task full towers
+  # would dodge the shared-trunk gradient interference the reference
+  # model actually has
+  trunk = torch.nn.Sequential(
+      torch.nn.Linear(32, 64), torch.nn.ReLU(),
+      torch.nn.Linear(64, 32), torch.nn.ReLU())
+
   def tower():
     return torch.nn.Sequential(
-        torch.nn.Linear(32, 64), torch.nn.ReLU(),
-        torch.nn.Linear(64, 32), torch.nn.ReLU(),
-        torch.nn.Linear(32, 1))
+        torch.nn.Linear(32, 16), torch.nn.ReLU(),
+        torch.nn.Linear(16, 1))
 
   shared, t_ctr, t_cvr = Shared(), tower(), tower()
-  params = list(shared.parameters()) + list(t_ctr.parameters()) + \
-      list(t_cvr.parameters())
+  params = list(shared.parameters()) + list(trunk.parameters()) + \
+      list(t_ctr.parameters()) + list(t_cvr.parameters())
   opt = torch.optim.Adam(params, lr=lr)
   bce = torch.nn.functional.binary_cross_entropy
   n = len(clk)
@@ -240,7 +247,8 @@ def torch_esmm(train, evalp, epochs=1, lr=1e-3, batch=1024):
     for s in range(0, n - batch + 1, batch):
       sl = slice(s, s + batch)
       opt.zero_grad()
-      x = shared(torch.from_numpy(us[sl]), torch.from_numpy(it[sl]))
+      x = trunk(shared(torch.from_numpy(us[sl]),
+                       torch.from_numpy(it[sl])))
       p_ctr = torch.sigmoid(t_ctr(x)[..., 0])
       p_cvr = torch.sigmoid(t_cvr(x)[..., 0])
       loss = bce(p_ctr, torch.from_numpy(clk[sl])) + \
@@ -252,7 +260,8 @@ def torch_esmm(train, evalp, epochs=1, lr=1e-3, batch=1024):
     ps_ctr, ps_ctcvr = [], []
     for s in range(0, len(clk_e), 8192):
       sl = slice(s, s + 8192)
-      x = shared(torch.from_numpy(us_e[sl]), torch.from_numpy(it_e[sl]))
+      x = trunk(shared(torch.from_numpy(us_e[sl]),
+                       torch.from_numpy(it_e[sl])))
       pc = torch.sigmoid(t_ctr(x)[..., 0])
       pv = torch.sigmoid(t_cvr(x)[..., 0])
       ps_ctr.append(pc.numpy())
